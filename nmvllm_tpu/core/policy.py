@@ -1,0 +1,32 @@
+"""Scheduling policy (reference: vllm/core/policy.py — FCFS)."""
+from collections import deque
+from typing import Deque
+
+from nmvllm_tpu.sequence import SequenceGroup
+
+
+class Policy:
+
+    def get_priority(self, now: float, seq_group: SequenceGroup) -> float:
+        raise NotImplementedError
+
+    def sort_by_priority(self, now: float,
+                         seq_groups: Deque[SequenceGroup]
+                         ) -> Deque[SequenceGroup]:
+        return deque(sorted(seq_groups,
+                            key=lambda g: self.get_priority(now, g),
+                            reverse=True))
+
+
+class FCFS(Policy):
+
+    def get_priority(self, now: float, seq_group: SequenceGroup) -> float:
+        return now - seq_group.metrics.arrival_time
+
+
+class PolicyFactory:
+    _POLICIES = {"fcfs": FCFS}
+
+    @classmethod
+    def get_policy(cls, policy_name: str, **kwargs) -> Policy:
+        return cls._POLICIES[policy_name](**kwargs)

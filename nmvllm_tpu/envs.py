@@ -1,0 +1,45 @@
+"""Centralized environment-flag registry.
+
+TPU-native analogue of the reference's ``vllm/envs.py:5-43``: every tunable
+environment variable the framework reads is declared here once, with a lazy
+accessor so values are read at use time (tests can monkeypatch os.environ).
+"""
+import os
+from typing import Any, Callable, Dict
+
+environment_variables: Dict[str, Callable[[], Any]] = {
+    # Logging level for the package logger.
+    "NMVLLM_LOGGING_LEVEL": lambda: os.getenv("NMVLLM_LOGGING_LEVEL", "INFO"),
+    # Force Pallas kernels into interpreter mode (any non-empty value).
+    # Automatically implied on non-TPU backends.
+    "NMVLLM_PALLAS_INTERPRET": lambda: bool(os.getenv("NMVLLM_PALLAS_INTERPRET", "")),
+    # Disable Pallas kernels entirely and use the jnp reference paths.
+    "NMVLLM_DISABLE_PALLAS": lambda: bool(os.getenv("NMVLLM_DISABLE_PALLAS", "")),
+    # Fraction of HBM the engine may use for weights+KV (same role as
+    # --gpu-memory-utilization in the reference).
+    "NMVLLM_HBM_UTILIZATION": lambda: float(os.getenv("NMVLLM_HBM_UTILIZATION", "0.9")),
+    # Host swap space for swapped-out KV blocks, GiB.
+    "NMVLLM_SWAP_SPACE_GB": lambda: float(os.getenv("NMVLLM_SWAP_SPACE_GB", "4")),
+    # Engine iteration watchdog, seconds (async engine).
+    "NMVLLM_ENGINE_ITERATION_TIMEOUT_S": lambda: int(
+        os.getenv("NMVLLM_ENGINE_ITERATION_TIMEOUT_S", "60")),
+    # Persistent XLA compile-cache directory ("" disables).
+    "NMVLLM_XLA_CACHE_PATH": lambda: os.getenv(
+        "NMVLLM_XLA_CACHE_PATH", os.path.expanduser("~/.cache/nmvllm_tpu/xla")),
+    # Port for the OpenAI-compatible server.
+    "NMVLLM_PORT": lambda: int(os.getenv("NMVLLM_PORT", "8000")),
+    # API key for the OpenAI server ("" = no auth).
+    "NMVLLM_API_KEY": lambda: os.getenv("NMVLLM_API_KEY", ""),
+    # Usage telemetry is always off (the NM fork also defaults it off).
+    "NMVLLM_NO_USAGE_STATS": lambda: True,
+}
+
+
+def __getattr__(name: str) -> Any:
+    if name in environment_variables:
+        return environment_variables[name]()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return list(environment_variables.keys())

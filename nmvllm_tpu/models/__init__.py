@@ -1,0 +1,47 @@
+"""Model registry (reference: vllm/model_executor/models/__init__.py:94
+ModelRegistry). Maps HF `architectures[0]` strings to model classes."""
+from typing import Any, Dict, List, Optional, Type
+
+_GENERATION_MODELS: Dict[str, str] = {
+    "LlamaForCausalLM": "nmvllm_tpu.models.llama:LlamaForCausalLM",
+    "LLaMAForCausalLM": "nmvllm_tpu.models.llama:LlamaForCausalLM",
+    "MistralForCausalLM": "nmvllm_tpu.models.llama:LlamaForCausalLM",
+    "Qwen2ForCausalLM": "nmvllm_tpu.models.qwen2:Qwen2ForCausalLM",
+    "GemmaForCausalLM": "nmvllm_tpu.models.gemma:GemmaForCausalLM",
+    "MixtralForCausalLM": "nmvllm_tpu.models.mixtral:MixtralForCausalLM",
+    "Phi3ForCausalLM": "nmvllm_tpu.models.phi3:Phi3ForCausalLM",
+}
+
+_OOT_MODELS: Dict[str, Type] = {}
+
+
+class ModelRegistry:
+
+    @staticmethod
+    def load_model_cls(arch: str) -> Optional[Type]:
+        if arch in _OOT_MODELS:
+            return _OOT_MODELS[arch]
+        if arch not in _GENERATION_MODELS:
+            return None
+        module_name, cls_name = _GENERATION_MODELS[arch].split(":")
+        import importlib
+        mod = importlib.import_module(module_name)
+        return getattr(mod, cls_name)
+
+    @staticmethod
+    def get_supported_archs() -> List[str]:
+        return list(_GENERATION_MODELS) + list(_OOT_MODELS)
+
+    @staticmethod
+    def register_model(arch: str, model_cls: Type) -> None:
+        _OOT_MODELS[arch] = model_cls
+
+
+def resolve_model_cls(architectures: List[str]) -> Type:
+    for arch in architectures:
+        cls = ModelRegistry.load_model_cls(arch)
+        if cls is not None:
+            return cls
+    raise ValueError(
+        f"Model architectures {architectures} are not supported. "
+        f"Supported: {ModelRegistry.get_supported_archs()}")

@@ -1,0 +1,339 @@
+"""Llama-family decoder (also serves Mistral — same block structure with
+sliding window).
+
+Reference: vllm/model_executor/models/llama.py (forward:393→284,
+load_weights:433). TPU-native: pure-functional modules over a params pytree,
+per-layer paged-KV write + Pallas attention, explicit TP collectives inside
+shard_map. The same class covers LlamaForCausalLM / MistralForCausalLM.
+"""
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from nmvllm_tpu.layers.activation import get_act_fn, silu_and_mul
+from nmvllm_tpu.layers.embedding import ParallelLMHead, VocabParallelEmbedding
+from nmvllm_tpu.layers.layernorm import RMSNorm
+from nmvllm_tpu.layers.linear import Linear, UnquantizedLinearMethod
+from nmvllm_tpu.layers.rotary import RotaryEmbedding
+from nmvllm_tpu.models.base import AttentionMetadata, KVCache
+from nmvllm_tpu.ops.cache_ops import write_to_kv_cache
+from nmvllm_tpu.ops.paged_attention import (paged_attention,
+                                            paged_attention_reference)
+from nmvllm_tpu.ops.prefill_attention import (
+    prefill_attention, prefill_attention_with_paged_prefix)
+
+MethodFactory = Callable[[str], Any]
+
+
+def _default_method_factory(layer_name: str):
+    return UnquantizedLinearMethod()
+
+
+class Attention:
+    """Paged attention block: QKV projections + RoPE + cache write + kernel
+    (reference attention/layer.py:15 + backends/pallas.py)."""
+
+    def __init__(self, cfg, layer_idx: int, tp_size: int,
+                 method_factory: MethodFactory, dtype,
+                 kv_cache_dtype: str = "auto",
+                 k_scale: float = 1.0, v_scale: float = 1.0):
+        self.hidden_size = cfg.hidden_size
+        self.total_heads = cfg.num_attention_heads
+        self.total_kv_heads = getattr(cfg, "num_key_value_heads",
+                                      self.total_heads)
+        self.head_dim = getattr(cfg, "head_dim", None) or (
+            cfg.hidden_size // cfg.num_attention_heads)
+        assert self.total_heads % tp_size == 0
+        assert self.total_kv_heads % tp_size == 0 or tp_size == 1, (
+            "TP size must divide num_kv_heads (KV replication TBD)")
+        self.heads = self.total_heads // tp_size
+        self.kv_heads = max(1, self.total_kv_heads // tp_size)
+        self.scale = self.head_dim**-0.5
+        self.sliding_window = getattr(cfg, "sliding_window", None) or 0
+        if not getattr(cfg, "use_sliding_window", True):
+            self.sliding_window = 0
+        self.k_scale = k_scale
+        self.v_scale = v_scale
+        prefix = f"model.layers.{layer_idx}.self_attn"
+        attn_bias = getattr(cfg, "attention_bias", False)
+        qd = self.total_heads * self.head_dim
+        kvd = self.total_kv_heads * self.head_dim
+        self.q_proj = Linear(cfg.hidden_size, qd, bias=attn_bias,
+                             shard="column",
+                             method=method_factory(f"{prefix}.q_proj"),
+                             params_dtype=dtype)
+        self.k_proj = Linear(cfg.hidden_size, kvd, bias=attn_bias,
+                             shard="column",
+                             method=method_factory(f"{prefix}.k_proj"),
+                             params_dtype=dtype)
+        self.v_proj = Linear(cfg.hidden_size, kvd, bias=attn_bias,
+                             shard="column",
+                             method=method_factory(f"{prefix}.v_proj"),
+                             params_dtype=dtype)
+        self.o_proj = Linear(qd, cfg.hidden_size, bias=attn_bias,
+                             shard="row",
+                             method=method_factory(f"{prefix}.o_proj"),
+                             params_dtype=dtype)
+
+    def init(self, rng):
+        ks = jax.random.split(rng, 4)
+        return {"q_proj": self.q_proj.init(ks[0]),
+                "k_proj": self.k_proj.init(ks[1]),
+                "v_proj": self.v_proj.init(ks[2]),
+                "o_proj": self.o_proj.init(ks[3])}
+
+    def specs(self):
+        return {"q_proj": self.q_proj.specs(), "k_proj": self.k_proj.specs(),
+                "v_proj": self.v_proj.specs(), "o_proj": self.o_proj.specs()}
+
+    def __call__(self, params, rotary: RotaryEmbedding, rotary_params,
+                 x: jax.Array, positions: jax.Array, kv_cache: KVCache,
+                 meta: AttentionMetadata, *, is_prefill: bool,
+                 has_prefix: bool) -> Tuple[jax.Array, KVCache]:
+        b, t, _ = x.shape
+        q = self.q_proj(params["q_proj"], x).reshape(
+            b, t, self.heads, self.head_dim)
+        k = self.k_proj(params["k_proj"], x).reshape(
+            b, t, self.kv_heads, self.head_dim)
+        v = self.v_proj(params["v_proj"], x).reshape(
+            b, t, self.kv_heads, self.head_dim)
+        q, k = rotary(rotary_params, positions, q, k)
+
+        k_cache, v_cache = kv_cache
+        flat_k = k.reshape(b * t, self.kv_heads, self.head_dim)
+        flat_v = v.reshape(b * t, self.kv_heads, self.head_dim)
+        if self.k_scale != 1.0:
+            flat_k = flat_k.astype(jnp.float32) / self.k_scale
+        if self.v_scale != 1.0:
+            flat_v = flat_v.astype(jnp.float32) / self.v_scale
+        k_cache, v_cache = write_to_kv_cache(
+            k_cache, v_cache, flat_k, flat_v,
+            meta.slot_mapping.reshape(b * t))
+
+        if is_prefill:
+            if has_prefix:
+                o = prefill_attention_with_paged_prefix(
+                    q, k, v, positions, meta.seq_lens, k_cache, v_cache,
+                    meta.block_tables, meta.prefix_lens, scale=self.scale,
+                    sliding_window=self.sliding_window,
+                    k_scale=self.k_scale, v_scale=self.v_scale)
+            else:
+                o = prefill_attention(q, k, v, positions, meta.seq_lens,
+                                      scale=self.scale,
+                                      sliding_window=self.sliding_window)
+        else:
+            o = paged_attention(
+                q.reshape(b, self.heads, self.head_dim), k_cache, v_cache,
+                meta.block_tables, meta.context_lens, scale=self.scale,
+                k_scale=self.k_scale, v_scale=self.v_scale)
+            o = o.reshape(b, 1, self.heads, self.head_dim)
+        o = o.reshape(b, t, self.heads * self.head_dim)
+        return self.o_proj(params["o_proj"], o), (k_cache, v_cache)
+
+
+class LlamaMLP:
+    def __init__(self, cfg, layer_idx: int, method_factory: MethodFactory,
+                 dtype):
+        prefix = f"model.layers.{layer_idx}.mlp"
+        hidden = cfg.hidden_size
+        inter = cfg.intermediate_size
+        bias = getattr(cfg, "mlp_bias", False)
+        self.gate_proj = Linear(hidden, inter, bias=bias, shard="column",
+                                method=method_factory(f"{prefix}.gate_proj"),
+                                params_dtype=dtype)
+        self.up_proj = Linear(hidden, inter, bias=bias, shard="column",
+                              method=method_factory(f"{prefix}.up_proj"),
+                              params_dtype=dtype)
+        self.down_proj = Linear(inter, hidden, bias=bias, shard="row",
+                                method=method_factory(f"{prefix}.down_proj"),
+                                params_dtype=dtype)
+        act = getattr(cfg, "hidden_act", "silu")
+        self.act_fn = get_act_fn(act)
+
+    def init(self, rng):
+        ks = jax.random.split(rng, 3)
+        return {"gate_proj": self.gate_proj.init(ks[0]),
+                "up_proj": self.up_proj.init(ks[1]),
+                "down_proj": self.down_proj.init(ks[2])}
+
+    def specs(self):
+        return {"gate_proj": self.gate_proj.specs(),
+                "up_proj": self.up_proj.specs(),
+                "down_proj": self.down_proj.specs()}
+
+    def __call__(self, params, x):
+        gate = self.act_fn(self.gate_proj(params["gate_proj"], x))
+        up = self.up_proj(params["up_proj"], x)
+        return self.down_proj(params["down_proj"], gate * up)
+
+
+class LlamaDecoderLayer:
+    def __init__(self, cfg, layer_idx: int, tp_size: int,
+                 method_factory: MethodFactory, dtype,
+                 kv_cache_dtype: str = "auto",
+                 kv_scales: Tuple[float, float] = (1.0, 1.0)):
+        self.self_attn = Attention(cfg, layer_idx, tp_size, method_factory,
+                                   dtype, kv_cache_dtype, *kv_scales)
+        self.mlp = LlamaMLP(cfg, layer_idx, method_factory, dtype)
+        eps = getattr(cfg, "rms_norm_eps", 1e-6)
+        self.input_layernorm = RMSNorm(cfg.hidden_size, eps, dtype)
+        self.post_attention_layernorm = RMSNorm(cfg.hidden_size, eps, dtype)
+
+    def init(self, rng):
+        ks = jax.random.split(rng, 4)
+        return {
+            "self_attn": self.self_attn.init(ks[0]),
+            "mlp": self.mlp.init(ks[1]),
+            "input_layernorm": self.input_layernorm.init(ks[2]),
+            "post_attention_layernorm":
+                self.post_attention_layernorm.init(ks[3]),
+        }
+
+    def specs(self):
+        return {
+            "self_attn": self.self_attn.specs(),
+            "mlp": self.mlp.specs(),
+            "input_layernorm": self.input_layernorm.specs(),
+            "post_attention_layernorm":
+                self.post_attention_layernorm.specs(),
+        }
+
+    def __call__(self, params, rotary, rotary_params, x, positions, kv_cache,
+                 meta, residual, *, is_prefill: bool, has_prefix: bool):
+        if residual is None:
+            residual = x
+            x = self.input_layernorm(params["input_layernorm"], x)
+        else:
+            x, residual = self.input_layernorm(params["input_layernorm"], x,
+                                               residual)
+        x, kv_cache = self.self_attn(params["self_attn"], rotary,
+                                     rotary_params, x, positions, kv_cache,
+                                     meta, is_prefill=is_prefill,
+                                     has_prefix=has_prefix)
+        x, residual = self.post_attention_layernorm(
+            params["post_attention_layernorm"], x, residual)
+        x = self.mlp(params["mlp"], x)
+        return x, residual, kv_cache
+
+
+class LlamaForCausalLM:
+    """Builds from an HF LlamaConfig/MistralConfig.
+
+    forward(params, input_ids, positions, kv_caches, meta, is_prefill)
+      -> (last-token hidden states or all hidden states, new kv_caches)
+    compute_logits(params, hidden) -> (B, V_padded) f32
+    """
+
+    def __init__(self, cfg, *, tp_size: int = 1,
+                 method_factory: Optional[MethodFactory] = None,
+                 dtype=jnp.bfloat16, kv_cache_dtype: str = "auto",
+                 kv_scales: Optional[List[Tuple[float, float]]] = None):
+        self.cfg = cfg
+        self.tp_size = tp_size
+        self.dtype = dtype
+        method_factory = method_factory or _default_method_factory
+        self.embed_tokens = VocabParallelEmbedding(
+            cfg.vocab_size, cfg.hidden_size, dtype, tp_size)
+        head_dim = getattr(cfg, "head_dim", None) or (
+            cfg.hidden_size // cfg.num_attention_heads)
+        self.rotary = RotaryEmbedding(
+            head_dim, rotary_dim=head_dim,
+            max_position=cfg.max_position_embeddings,
+            base=getattr(cfg, "rope_theta", 10000.0),
+            rope_scaling=getattr(cfg, "rope_scaling", None),
+            dtype=dtype)
+        kv_scales = kv_scales or [(1.0, 1.0)] * cfg.num_hidden_layers
+        self.layers = [
+            LlamaDecoderLayer(cfg, i, tp_size, method_factory, dtype,
+                              kv_cache_dtype, kv_scales[i])
+            for i in range(cfg.num_hidden_layers)
+        ]
+        self.norm = RMSNorm(cfg.hidden_size,
+                            getattr(cfg, "rms_norm_eps", 1e-6), dtype)
+        tied = getattr(cfg, "tie_word_embeddings", False)
+        self.lm_head = ParallelLMHead(cfg.vocab_size, cfg.hidden_size, dtype,
+                                      tp_size, tied=tied)
+        self.num_kv_heads = self.layers[0].self_attn.kv_heads
+        self.total_num_kv_heads = self.layers[0].self_attn.total_kv_heads
+        self.head_dim = head_dim
+        self.logit_scale = 1.0
+        self.logit_soft_cap = 0.0
+        self.embedding_multiplier = 1.0
+
+    def init(self, rng):
+        keys = jax.random.split(rng, len(self.layers) + 3)
+        return {
+            "embed_tokens": self.embed_tokens.init(keys[0]),
+            "rotary": self.rotary.init(keys[1]),
+            "layers": [l.init(k) for l, k in zip(self.layers, keys[2:-1])],
+            "norm": self.norm.init(keys[-1]),
+            "lm_head": self.lm_head.init(keys[-1]),
+        }
+
+    def specs(self):
+        return {
+            "embed_tokens": self.embed_tokens.specs(),
+            "rotary": self.rotary.specs(),
+            "layers": [l.specs() for l in self.layers],
+            "norm": self.norm.specs(),
+            "lm_head": self.lm_head.specs(),
+        }
+
+    def forward(self, params, input_ids: jax.Array, positions: jax.Array,
+                kv_caches: List[KVCache], meta: AttentionMetadata, *,
+                is_prefill: bool, has_prefix: bool = False):
+        x = self.embed_tokens(params["embed_tokens"], input_ids)
+        if self.embedding_multiplier != 1.0:
+            x = x * jnp.asarray(self.embedding_multiplier, x.dtype)
+        residual = None
+        new_caches = []
+        for layer, lp, kv in zip(self.layers, params["layers"], kv_caches):
+            x, residual, kv = layer(lp, self.rotary, params["rotary"], x,
+                                    positions, kv, meta, residual,
+                                    is_prefill=is_prefill,
+                                    has_prefix=has_prefix)
+            new_caches.append(kv)
+        x, _ = self.norm(params["norm"], x, residual)
+        return x, new_caches
+
+    def select_last_token(self, hidden: jax.Array,
+                          seq_lens: jax.Array) -> jax.Array:
+        """(B, T, H) -> (B, H) at each row's last valid position."""
+        b = hidden.shape[0]
+        idx = jnp.maximum(seq_lens - 1, 0)
+        return hidden[jnp.arange(b), idx]
+
+    def compute_logits(self, params, hidden: jax.Array) -> jax.Array:
+        return self.lm_head(params["lm_head"], hidden,
+                            embedding_params=params["embed_tokens"],
+                            logit_scale=self.logit_scale,
+                            logit_soft_cap=self.logit_soft_cap)
+
+    # -- weight loading (HF checkpoint name -> params path) -----------------
+    def hf_name_map(self) -> Dict[str, Tuple]:
+        """Maps HF tensor names to (path tuple, transform) pairs; transform
+        is 'transpose' for linear weights (we store K-major)."""
+        m: Dict[str, Tuple] = {
+            "model.embed_tokens.weight": (("embed_tokens", "weight"), "pad_vocab"),
+            "model.norm.weight": (("norm", "weight"), None),
+        }
+        if not self.lm_head.tied:
+            m["lm_head.weight"] = (("lm_head", "weight"), "pad_vocab")
+        for i in range(len(self.layers)):
+            pre = f"model.layers.{i}."
+            path = ("layers", i)
+            for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                m[pre + f"self_attn.{name}.weight"] = (
+                    path + ("self_attn", name, "weight"), "transpose")
+                m[pre + f"self_attn.{name}.bias"] = (
+                    path + ("self_attn", name, "bias"), None)
+            for name in ("gate_proj", "up_proj", "down_proj"):
+                m[pre + f"mlp.{name}.weight"] = (
+                    path + ("mlp", name, "weight"), "transpose")
+            m[pre + "input_layernorm.weight"] = (
+                path + ("input_layernorm", "weight"), None)
+            m[pre + "post_attention_layernorm.weight"] = (
+                path + ("post_attention_layernorm", "weight"), None)
+        return m

@@ -1,0 +1,128 @@
+"""Prefill (prompt) attention with optional paged prefix.
+
+Covers what the reference does with flash-attn prefill + the Triton
+prefix-aware kernel (vllm/attention/ops/prefix_prefill.py:1-807,
+context_attention_fwd): causal attention of the current chunk's queries over
+  (a) previously computed context held in the paged KV cache
+      (prefix caching / chunked prefill), plus
+  (b) the chunk's own keys/values.
+
+TPU strategy: queries/keys of the current chunk are dense (B, T, H, d)
+arrays; the paged prefix is gathered per-sequence from the cache by block
+table. Everything is expressed as jnp einsums with masks — XLA fuses this
+into two large MXU matmuls per head group; a Pallas flash kernel with
+page-DMA (like the decode kernel) is the planned upgrade for very long
+prefixes.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = float("-inf")
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "sliding_window",
+                                             "logit_soft_cap"))
+def prefill_attention(
+    q: jax.Array,            # (B, T, num_q_heads, head_dim)
+    k: jax.Array,            # (B, T, num_kv_heads, head_dim) current chunk
+    v: jax.Array,            # (B, T, num_kv_heads, head_dim)
+    positions: jax.Array,    # (B, T) int32 absolute positions (for causal)
+    seq_lens: jax.Array,     # (B,) int32 valid token count in this chunk
+    *,
+    scale: float,
+    sliding_window: int = 0,
+    logit_soft_cap: float = 0.0,
+) -> jax.Array:
+    """Causal self-attention within the current chunk only (no prefix)."""
+    batch, t, num_q_heads, head_dim = q.shape
+    num_kv_heads = k.shape[2]
+    group = num_q_heads // num_kv_heads
+
+    qf = q.astype(jnp.float32).reshape(batch, t, num_kv_heads, group,
+                                       head_dim)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    s = jnp.einsum("bqhgd,bkhd->bhgqk", qf, kf) * scale
+    if logit_soft_cap > 0.0:
+        s = logit_soft_cap * jnp.tanh(s / logit_soft_cap)
+    qpos = positions[:, :, None]                      # (B, T, 1)
+    kpos = positions[:, None, :]                      # (B, 1, T)
+    valid_k = jnp.arange(t)[None, None, :] < seq_lens[:, None, None]
+    mask = (kpos <= qpos) & valid_k
+    if sliding_window > 0:
+        mask &= kpos > (qpos - sliding_window)
+    s = jnp.where(mask[:, None, None, :, :], s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhgqk,bkhd->bqhgd", p, vf)
+    return o.reshape(batch, t, num_q_heads, head_dim).astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "sliding_window",
+                                             "logit_soft_cap"))
+def prefill_attention_with_paged_prefix(
+    q: jax.Array,            # (B, T, num_q_heads, head_dim)
+    k: jax.Array,            # (B, T, num_kv_heads, head_dim) current chunk
+    v: jax.Array,
+    positions: jax.Array,    # (B, T) absolute positions of chunk tokens
+    seq_lens: jax.Array,     # (B,) valid tokens in this chunk
+    k_cache: jax.Array,      # (H_kv, num_blocks, block_size, head_dim)
+    v_cache: jax.Array,
+    block_tables: jax.Array,  # (B, max_bpp)
+    context_lens: jax.Array,  # (B,) prefix length already in cache
+    *,
+    scale: float,
+    sliding_window: int = 0,
+    logit_soft_cap: float = 0.0,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+) -> jax.Array:
+    """Chunked-prefill attention: queries attend to cached prefix + chunk."""
+    batch, t, num_q_heads, head_dim = q.shape
+    num_kv_heads, _, block_size, _ = k_cache.shape
+    group = num_q_heads // num_kv_heads
+    max_bpp = block_tables.shape[1]
+    ctx_t = max_bpp * block_size
+
+    qf = q.astype(jnp.float32).reshape(batch, t, num_kv_heads, group,
+                                       head_dim)
+
+    # --- prefix scores over gathered pages ---
+    kp = jnp.moveaxis(k_cache[:, block_tables], 1, 0).reshape(
+        batch, num_kv_heads, ctx_t, head_dim).astype(jnp.float32) * k_scale
+    vp = jnp.moveaxis(v_cache[:, block_tables], 1, 0).reshape(
+        batch, num_kv_heads, ctx_t, head_dim).astype(jnp.float32) * v_scale
+    s_pre = jnp.einsum("bqhgd,bhkd->bhgqk", qf, kp) * scale
+
+    # --- chunk-internal scores ---
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    s_cur = jnp.einsum("bqhgd,bkhd->bhgqk", qf, kf) * scale
+
+    if logit_soft_cap > 0.0:
+        s_pre = logit_soft_cap * jnp.tanh(s_pre / logit_soft_cap)
+        s_cur = logit_soft_cap * jnp.tanh(s_cur / logit_soft_cap)
+
+    qpos = positions[:, :, None]
+    # Prefix mask: cached token index < context_len, window check.
+    ctx_pos = jnp.arange(ctx_t)[None, None, :]
+    pre_mask = ctx_pos < context_lens[:, None, None]
+    if sliding_window > 0:
+        pre_mask &= ctx_pos > (qpos - sliding_window)
+    s_pre = jnp.where(pre_mask[:, None, None, :, :], s_pre, _NEG_INF)
+
+    kpos = positions[:, None, :]
+    valid_k = jnp.arange(t)[None, None, :] < seq_lens[:, None, None]
+    cur_mask = (kpos <= qpos) & valid_k
+    if sliding_window > 0:
+        cur_mask &= kpos > (qpos - sliding_window)
+    s_cur = jnp.where(cur_mask[:, None, None, :, :], s_cur, _NEG_INF)
+
+    s = jnp.concatenate([s_pre, s_cur], axis=-1)
+    p = jax.nn.softmax(s, axis=-1)
+    p_pre, p_cur = p[..., :ctx_t], p[..., ctx_t:]
+    o = (jnp.einsum("bhgqk,bhkd->bqhgd", p_pre, vp) +
+         jnp.einsum("bhgqk,bkhd->bqhgd", p_cur, vf))
+    return o.reshape(batch, t, num_q_heads, head_dim).astype(q.dtype)

@@ -1,0 +1,229 @@
+"""Fused dequantize + matmul for weight-only quantized linears (W4A16/W8A16).
+
+TPU-native replacement for the reference's Marlin/GPTQ/AWQ CUDA GEMM family
+(csrc/quantization/marlin/dense/marlin_cuda_kernel.cu,
+csrc/quantization/gptq_marlin/gptq_marlin.cu, csrc/quantization/gptq/q_gemm.cu,
+csrc/quantization/awq/gemm_kernels.cu): INT4/INT8 weights with group-wise
+scales (+ optional asymmetric zero points) are dequantized in VMEM and fed to
+the MXU, so HBM traffic is the *packed* weight size — the kernel targets the
+HBM-bandwidth roofline the way Marlin does on GPU.
+
+Canonical packed layout (produced at load time by ``pack_weights`` — the
+analogue of ``gptq_marlin_repack``; all checkpoint formats are converted to
+it once):
+  * weights stored K-major as ``(K // vals_per_word, N) int32``; packing is
+    *local to each scale group*: within group ``gi`` (natural k rows
+    ``[gi*g, (gi+1)*g)``), packed row ``gi*(g//vpw) + j`` holds nibbles
+    ``i`` ↦ natural k ``gi*g + i*(g//vpw) + j``. Unpacking a group is then
+    ``vpw`` shift/mask ops + one sublane concat — no cross-lane shuffles.
+  * ``scales_t``: ``(K // group_size, N)``, float32.
+  * ``zeros_t``: ``(K // group_size, N)`` int8 — value subtracted before
+    scaling (symmetric quant stores ``2^(bits-1)``).
+
+Grid ``(M/bm, N/bn, K/bk)`` with a float32 VMEM accumulator across the
+sequential k dimension (classic Pallas matmul accumulation); dequant of each
+``(g, bn)`` group tile happens right before its MXU dot.
+"""
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nmvllm_tpu.ops.utils import pallas_interpret, use_pallas
+from nmvllm_tpu.utils import round_up
+
+
+def pack_weights(w_int: jax.Array, bits: int,
+                 group_size: int) -> jax.Array:
+    """Pack integer weights (values in [0, 2^bits)) into int32 words.
+
+    Args:
+      w_int: (K, N) integer array (weight already transposed to K-major).
+      bits: 4 or 8.
+      group_size: scale group size g along K; packing is group-local.
+    Returns: (K // (32//bits), N) int32.
+    """
+    k, n = w_int.shape
+    vpw = 32 // bits
+    g = group_size
+    assert k % g == 0, (k, g)
+    assert g % vpw == 0, (g, vpw)
+    spw = g // vpw  # packed sub-rows per group
+    w = w_int.astype(jnp.uint32).reshape(k // g, vpw, spw, n)
+    shifts = (jnp.arange(vpw, dtype=jnp.uint32) * bits)[None, :, None, None]
+    packed = jnp.sum(w << shifts, axis=1, dtype=jnp.uint32)  # (K/g, spw, N)
+    return packed.reshape(k // vpw, n).astype(jnp.int32)
+
+
+def unpack_weights(packed: jax.Array, bits: int, group_size: int,
+                   k: int) -> jax.Array:
+    """Inverse of pack_weights → (K, N) int32 values in [0, 2^bits)."""
+    vpw = 32 // bits
+    g = group_size
+    spw = g // vpw
+    n = packed.shape[1]
+    p = packed.astype(jnp.uint32).reshape(k // g, spw, n)
+    shifts = (jnp.arange(vpw, dtype=jnp.uint32) * bits)[None, :, None, None]
+    vals = (p[:, None, :, :] >> shifts) & jnp.uint32(2**bits - 1)
+    return vals.reshape(k, n).astype(jnp.int32)
+
+
+def _quant_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                         bits: int, group_size: int, bk: int,
+                         out_dtype):
+    vpw = 32 // bits
+    mask = (1 << bits) - 1
+    g = group_size
+    spw = g // vpw
+    gpb = bk // g  # groups per k-block
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cdtype = x_ref.dtype
+    acc = acc_ref[:]
+    for gi in range(gpb):
+        rows = w_ref[gi * spw:(gi + 1) * spw, :]  # (spw, bn) int32
+        parts = [
+            jax.lax.shift_right_logical(rows, bits * i) & mask
+            for i in range(vpw)
+        ]
+        w4 = jnp.concatenate(parts, axis=0)  # (g, bn) int32, natural order
+        zg = z_ref[gi:gi + 1, :].astype(jnp.int32)  # (1, bn)
+        sg = s_ref[gi:gi + 1, :].astype(cdtype)
+        wq = ((w4 - zg).astype(cdtype)) * sg  # (g, bn) dequantized
+        xg = x_ref[:, gi * g:(gi + 1) * g]  # (bm, g)
+        acc = acc + jnp.dot(xg, wq, preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bits", "group_size", "block_m",
+                                    "block_n", "block_k"))
+def quant_matmul(
+    x: jax.Array,          # (M, K) activations (bf16/f32)
+    qweight: jax.Array,    # (K // vpw, N) int32 packed
+    scales: jax.Array,     # (K // g, N)
+    zeros: jax.Array,      # (K // g, N) int8
+    *,
+    bits: int,
+    group_size: int,
+    block_m: int = 0,
+    block_n: int = 512,
+    block_k: int = 0,
+) -> jax.Array:
+    """y[M, N] = x @ dequant(qweight)."""
+    if not use_pallas():
+        return quant_matmul_reference(x, qweight, scales, zeros, bits=bits,
+                                      group_size=group_size)
+    m, k = x.shape
+    vpw = 32 // bits
+    n = qweight.shape[1]
+    assert qweight.shape[0] == k // vpw
+    g = group_size
+    assert k % g == 0
+
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    if block_m <= 0:
+        block_m = min(round_up(m, sublane), 256)
+    bm = min(block_m, round_up(m, sublane))
+    m_pad = round_up(m, bm)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    if block_k <= 0:
+        # Whole-K strips up to 4096: fewer accumulator round trips.
+        block_k = min(k, 4096)
+    bk = min(block_k, k)
+    assert k % bk == 0 and bk % g == 0, (k, bk, g)
+    bn = min(block_n, n)
+    assert n % bn == 0, (n, bn)
+
+    grid = (m_pad // bm, n // bn, k // bk)
+    kernel = functools.partial(_quant_matmul_kernel, bits=bits,
+                               group_size=g, bk=bk, out_dtype=x.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // vpw, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // g, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // g, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=(m_pad * k * x.dtype.itemsize + k * n * bits // 8 +
+                            m_pad * n * x.dtype.itemsize),
+            transcendentals=0),
+        interpret=pallas_interpret(),
+    )(x, qweight, scales, zeros)
+    return out[:m]
+
+
+def quant_matmul_reference(x: jax.Array, qweight: jax.Array,
+                           scales: jax.Array, zeros: jax.Array, *,
+                           bits: int, group_size: int) -> jax.Array:
+    """jnp reference: unpack → dequant → dense matmul."""
+    m, k = x.shape
+    w_int = unpack_weights(qweight, bits, group_size, k)  # (K, N)
+    g = group_size
+    z = jnp.repeat(zeros.astype(jnp.int32), g, axis=0)
+    s = jnp.repeat(scales.astype(jnp.float32), g, axis=0)
+    w = (w_int - z).astype(jnp.float32) * s
+    y = jnp.dot(x.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quantize_weights_to_packed(
+    w: jax.Array, bits: int, group_size: int,
+    symmetric: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Runtime quantization of a dense (N, K) weight into the packed layout.
+
+    Used for on-the-fly quantization of fp16 checkpoints (the reference's
+    Fp8LinearMethod does the analogous runtime quantize; here generalized to
+    INT4/INT8) and by tests/benchmarks to fabricate quantized models.
+
+    Returns (qweight (K/vpw, N) int32, scales (K/g, N) f32,
+             zeros (K/g, N) int8).
+    """
+    n, k = w.shape
+    g = group_size
+    assert k % g == 0
+    wt = w.T.astype(jnp.float32).reshape(k // g, g, n)
+    qmax = 2**bits - 1
+    if symmetric:
+        zero = 2**(bits - 1)
+        absmax = jnp.max(jnp.abs(wt), axis=1, keepdims=True)
+        scale = absmax / (qmax - zero)
+        zeros_arr = jnp.full((k // g, n), zero, jnp.int8)
+        q = jnp.clip(jnp.round(wt / jnp.maximum(scale, 1e-10)) + zero, 0,
+                     qmax)
+    else:
+        wmin = jnp.min(wt, axis=1, keepdims=True)
+        wmax = jnp.max(wt, axis=1, keepdims=True)
+        scale = (wmax - wmin) / qmax
+        zero = jnp.clip(jnp.round(-wmin / jnp.maximum(scale, 1e-10)), 0, qmax)
+        zeros_arr = zero[:, 0, :].astype(jnp.int8)
+        q = jnp.clip(jnp.round(wt / jnp.maximum(scale, 1e-10)) + zero, 0,
+                     qmax)
+    qweight = pack_weights(q.reshape(k, n).astype(jnp.int32), bits, g)
+    return qweight, scale[:, 0, :].astype(jnp.float32), zeros_arr

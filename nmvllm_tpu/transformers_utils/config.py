@@ -1,0 +1,202 @@
+"""Model-config resolution (reference: vllm/transformers_utils/config.py).
+
+Resolution order for ``get_hf_config(model)``:
+  1. built-in presets (offline-friendly named architectures, incl. debug-sized
+     models used by tests and benchmarks),
+  2. a local directory containing ``config.json``,
+  3. ``transformers.AutoConfig`` (hits the HF hub only if the environment
+     allows network access).
+"""
+import json
+import os
+from typing import Any, Callable, Dict, Optional
+
+_PRESETS: Dict[str, Callable[[], Any]] = {}
+
+
+def register_preset(name: str):
+    def deco(fn):
+        _PRESETS[name.lower()] = fn
+        return fn
+    return deco
+
+
+def _llama_config(**kw):
+    from transformers import LlamaConfig
+    defaults = dict(architectures=["LlamaForCausalLM"])
+    defaults.update(kw)
+    return LlamaConfig(**defaults)
+
+
+@register_preset("debug-llama")
+def _debug_llama():
+    # Tiny model for tests: fits CPU, exercises GQA.
+    return _llama_config(hidden_size=128, intermediate_size=256,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, vocab_size=512,
+                         max_position_embeddings=2048, head_dim=32)
+
+
+@register_preset("debug-llama-tp")
+def _debug_llama_tp():
+    # Tiny model shaped for 8-way tensor parallel dry runs.
+    return _llama_config(hidden_size=256, intermediate_size=512,
+                         num_hidden_layers=2, num_attention_heads=8,
+                         num_key_value_heads=8, vocab_size=512,
+                         max_position_embeddings=2048, head_dim=32)
+
+
+@register_preset("tinyllama-1.1b")
+def _tinyllama():
+    # TinyLlama/TinyLlama-1.1B-Chat-v1.0 geometry.
+    return _llama_config(hidden_size=2048, intermediate_size=5632,
+                         num_hidden_layers=22, num_attention_heads=32,
+                         num_key_value_heads=4, vocab_size=32000,
+                         max_position_embeddings=2048, rope_theta=10000.0)
+
+
+@register_preset("llama-3-8b")
+def _llama3_8b():
+    # Meta-Llama-3-8B geometry (the BASELINE.json flagship config).
+    return _llama_config(hidden_size=4096, intermediate_size=14336,
+                         num_hidden_layers=32, num_attention_heads=32,
+                         num_key_value_heads=8, vocab_size=128256,
+                         max_position_embeddings=8192, rope_theta=500000.0)
+
+
+@register_preset("llama-2-7b")
+def _llama2_7b():
+    return _llama_config(hidden_size=4096, intermediate_size=11008,
+                         num_hidden_layers=32, num_attention_heads=32,
+                         num_key_value_heads=32, vocab_size=32000,
+                         max_position_embeddings=4096, rope_theta=10000.0)
+
+
+@register_preset("llama-3-70b")
+def _llama3_70b():
+    return _llama_config(hidden_size=8192, intermediate_size=28672,
+                         num_hidden_layers=80, num_attention_heads=64,
+                         num_key_value_heads=8, vocab_size=128256,
+                         max_position_embeddings=8192, rope_theta=500000.0)
+
+
+@register_preset("debug-mixtral")
+def _debug_mixtral():
+    from transformers import MixtralConfig
+    return MixtralConfig(architectures=["MixtralForCausalLM"],
+                         hidden_size=128, intermediate_size=256,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, vocab_size=512,
+                         num_local_experts=4, num_experts_per_tok=2,
+                         max_position_embeddings=2048)
+
+
+@register_preset("mixtral-8x7b")
+def _mixtral_8x7b():
+    from transformers import MixtralConfig
+    return MixtralConfig(architectures=["MixtralForCausalLM"],
+                         hidden_size=4096, intermediate_size=14336,
+                         num_hidden_layers=32, num_attention_heads=32,
+                         num_key_value_heads=8, vocab_size=32000,
+                         num_local_experts=8, num_experts_per_tok=2,
+                         max_position_embeddings=32768, rope_theta=1e6)
+
+
+@register_preset("debug-qwen2")
+def _debug_qwen2():
+    from transformers import Qwen2Config
+    return Qwen2Config(architectures=["Qwen2ForCausalLM"],
+                       hidden_size=128, intermediate_size=256,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2, vocab_size=512,
+                       max_position_embeddings=2048)
+
+
+@register_preset("qwen2-7b")
+def _qwen2_7b():
+    from transformers import Qwen2Config
+    return Qwen2Config(architectures=["Qwen2ForCausalLM"],
+                       hidden_size=3584, intermediate_size=18944,
+                       num_hidden_layers=28, num_attention_heads=28,
+                       num_key_value_heads=4, vocab_size=152064,
+                       max_position_embeddings=32768, rope_theta=1e6)
+
+
+@register_preset("debug-gemma")
+def _debug_gemma():
+    from transformers import GemmaConfig
+    return GemmaConfig(architectures=["GemmaForCausalLM"],
+                       hidden_size=128, intermediate_size=256,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=1, head_dim=32, vocab_size=512,
+                       max_position_embeddings=2048)
+
+
+@register_preset("gemma-7b")
+def _gemma_7b():
+    from transformers import GemmaConfig
+    return GemmaConfig(architectures=["GemmaForCausalLM"],
+                       hidden_size=3072, intermediate_size=24576,
+                       num_hidden_layers=28, num_attention_heads=16,
+                       num_key_value_heads=16, head_dim=256,
+                       vocab_size=256000, max_position_embeddings=8192)
+
+
+@register_preset("debug-mistral")
+def _debug_mistral():
+    from transformers import MistralConfig
+    return MistralConfig(architectures=["MistralForCausalLM"],
+                         hidden_size=128, intermediate_size=256,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, vocab_size=512,
+                         sliding_window=64, max_position_embeddings=2048)
+
+
+@register_preset("mistral-7b")
+def _mistral_7b():
+    from transformers import MistralConfig
+    return MistralConfig(architectures=["MistralForCausalLM"],
+                         hidden_size=4096, intermediate_size=14336,
+                         num_hidden_layers=32, num_attention_heads=32,
+                         num_key_value_heads=8, vocab_size=32768,
+                         sliding_window=4096, max_position_embeddings=32768)
+
+
+@register_preset("debug-phi3")
+def _debug_phi3():
+    from transformers import Phi3Config
+    return Phi3Config(architectures=["Phi3ForCausalLM"],
+                      hidden_size=128, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, vocab_size=512,
+                      max_position_embeddings=2048)
+
+
+def list_presets():
+    return sorted(_PRESETS)
+
+
+def get_hf_config(model: str, trust_remote_code: bool = False,
+                  revision: Optional[str] = None) -> Any:
+    key = model.lower()
+    if key in _PRESETS:
+        return _PRESETS[key]()
+    if os.path.isdir(model) and os.path.exists(
+            os.path.join(model, "config.json")):
+        from transformers import AutoConfig
+        return AutoConfig.from_pretrained(
+            model, trust_remote_code=trust_remote_code)
+    from transformers import AutoConfig
+    return AutoConfig.from_pretrained(model,
+                                      trust_remote_code=trust_remote_code,
+                                      revision=revision)
+
+
+def get_quantization_config_dict(model: str) -> Optional[Dict[str, Any]]:
+    """Read quantization_config from a local checkpoint's config.json."""
+    path = os.path.join(model, "config.json")
+    if os.path.isdir(model) and os.path.exists(path):
+        with open(path) as f:
+            cfg = json.load(f)
+        return cfg.get("quantization_config")
+    return None
