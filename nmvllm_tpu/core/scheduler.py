@@ -273,7 +273,7 @@ class Scheduler:
             preempted=preempted)
 
     def _schedule_prefills(
-            self, budget: SchedulingBudget
+            self, budget: SchedulingBudget, enable_chunking: bool = False
     ) -> Tuple[List[ScheduledSequenceGroup], List[SequenceGroup]]:
         prefills: List[ScheduledSequenceGroup] = []
         ignored: List[SequenceGroup] = []
@@ -285,14 +285,18 @@ class Scheduler:
             assert len(seqs) == 1, (
                 "Waiting sequence group should have only one prompt seq.")
             num_new_tokens = self._get_num_new_tokens(
-                seq_group, SequenceStatus.WAITING, enable_chunking=False,
-                budget=budget)
+                seq_group, SequenceStatus.WAITING,
+                enable_chunking=enable_chunking, budget=budget)
             prompt_len = seqs[0].get_len()
-            if prompt_len > self.scheduler_config.max_model_len or \
-                    prompt_len > self.scheduler_config.max_num_batched_tokens:
+            max_prompt = self.scheduler_config.max_model_len
+            if not self.scheduler_config.chunked_prefill_enabled:
+                max_prompt = min(
+                    max_prompt,
+                    self.scheduler_config.max_num_batched_tokens)
+            if prompt_len > max_prompt:
                 logger.warning(
                     "Input prompt (%d tokens) is too long and exceeds limit "
-                    "of %d", prompt_len, self.scheduler_config.max_model_len)
+                    "of %d", prompt_len, max_prompt)
                 for seq in seqs:
                     seq.status = SequenceStatus.FINISHED_IGNORED
                 ignored.append(seq_group)
@@ -323,6 +327,7 @@ class Scheduler:
                                           num_new_tokens)
             budget.add_num_seqs(seq_group.request_id, num_new_seqs)
         waiting.extendleft(reversed(leftover))
+        self.running.extend(s.seq_group for s in prefills)
         if prefills:
             self.prev_prompt = True
         return prefills, ignored
@@ -405,6 +410,7 @@ class Scheduler:
             swapped.popleft()
             self._swap_in(seq_group, blocks_to_swap_in)
             self._append_slots(seq_group, blocks_to_copy)
+            self.running.append(seq_group)
             scheduled.append(
                 ScheduledSequenceGroup(seq_group, num_new_tokens))
             budget.add_num_batched_tokens(seq_group.request_id,
@@ -432,7 +438,7 @@ class Scheduler:
                                                 blocks_to_copy,
                                                 enable_chunking=True)
         prefills, ignored = self._schedule_prefills(
-            budget) if not self.swapped else ([], [])
+            budget, enable_chunking=True) if not self.swapped else ([], [])
 
         # Order: decodes first, then prefills — the runner relies on it.
         decode_groups = [

@@ -1,0 +1,293 @@
+"""Synchronous engine: request admission, step loop, output processing.
+
+Reference: vllm/engine/llm_engine.py:66 (LLMEngine; add_request:560,
+step:794, abort_request:686, _initialize_kv_caches:348). TPU-native: the
+executor is in-process (SPMD over the mesh replaces the driver/worker
+process topology), KV sizing comes from live HBM stats instead of an
+empirical profiling pass, and each step dispatches to a bucketed compiled
+function.
+"""
+import time
+from typing import Any, Dict, Iterable, List, Optional, Union
+
+from nmvllm_tpu.config import EngineConfig
+from nmvllm_tpu.core.scheduler import Scheduler, SchedulerOutputs
+from nmvllm_tpu.engine.arg_utils import EngineArgs
+from nmvllm_tpu.engine.metrics import StatLogger, Stats
+from nmvllm_tpu.engine.output_processor import (Detokenizer,
+                                                SingleStepOutputProcessor,
+                                                StopChecker)
+from nmvllm_tpu.executor.executor import TPUExecutor
+from nmvllm_tpu.logger import init_logger
+from nmvllm_tpu.outputs import RequestOutput
+from nmvllm_tpu.sampling_params import SamplingParams
+from nmvllm_tpu.sequence import (ExecuteModelRequest, SamplerOutput,
+                                 Sequence, SequenceGroup, SequenceStatus)
+from nmvllm_tpu.transformers_utils.tokenizer import get_tokenizer
+from nmvllm_tpu.utils import Counter
+from nmvllm_tpu.version import __version__
+
+logger = init_logger(__name__)
+
+
+class LLMEngine:
+
+    def __init__(self, engine_config: EngineConfig,
+                 log_stats: bool = True) -> None:
+        logger.info("Initializing nmvllm_tpu engine v%s with model %s",
+                    __version__, engine_config.model_config.model)
+        self.config = engine_config
+        self.model_config = engine_config.model_config
+        self.cache_config = engine_config.cache_config
+        self.scheduler_config = engine_config.scheduler_config
+        self.parallel_config = engine_config.parallel_config
+        self.log_stats = log_stats
+
+        self.seq_counter = Counter()
+        self.request_counter = Counter()
+
+        if not self.model_config.skip_tokenizer_init:
+            self.tokenizer = get_tokenizer(
+                self.model_config.tokenizer,
+                tokenizer_mode=self.model_config.tokenizer_mode,
+                trust_remote_code=self.model_config.trust_remote_code)
+            self.detokenizer = Detokenizer(self.tokenizer)
+        else:
+            self.tokenizer = None
+            self.detokenizer = None
+
+        self.executor = TPUExecutor(engine_config)
+        self._initialize_kv_caches()
+
+        self.scheduler = Scheduler(self.scheduler_config, self.cache_config,
+                                   engine_config.lora_config)
+        self.stop_checker = StopChecker(self.scheduler_config.max_model_len)
+        self.output_processor = SingleStepOutputProcessor(
+            self.detokenizer, self.stop_checker, self.scheduler)
+        self.stat_logger = StatLogger(
+            local_interval=5.0,
+            labels=dict(model_name=self.model_config.served_model_name)
+        ) if log_stats else None
+        self.tracer = None
+        if (engine_config.observability_config and
+                engine_config.observability_config.otlp_traces_endpoint):
+            from nmvllm_tpu.tracing import init_tracer
+            self.tracer = init_tracer(
+                "nmvllm_tpu.llm_engine",
+                engine_config.observability_config.otlp_traces_endpoint)
+
+    # ------------------------------------------------------------- factory
+    @classmethod
+    def from_engine_args(cls, engine_args: EngineArgs,
+                         log_stats: Optional[bool] = None) -> "LLMEngine":
+        engine_config = engine_args.create_engine_config()
+        return cls(engine_config,
+                   log_stats=not engine_args.disable_log_stats
+                   if log_stats is None else log_stats)
+
+    def _initialize_kv_caches(self) -> None:
+        num_gpu_blocks, num_cpu_blocks = \
+            self.executor.determine_num_available_blocks()
+        if self.cache_config.num_gpu_blocks_override is not None:
+            num_gpu_blocks = self.cache_config.num_gpu_blocks_override
+        self.cache_config.num_gpu_blocks = num_gpu_blocks
+        self.cache_config.num_cpu_blocks = num_cpu_blocks
+        logger.info("# device KV blocks: %d, # host swap blocks: %d",
+                    num_gpu_blocks, num_cpu_blocks)
+        self.executor.initialize_cache(num_gpu_blocks, num_cpu_blocks)
+
+    # ----------------------------------------------------------- admission
+    def add_request(
+        self,
+        request_id: str,
+        prompt: Optional[str] = None,
+        sampling_params: Optional[SamplingParams] = None,
+        prompt_token_ids: Optional[List[int]] = None,
+        arrival_time: Optional[float] = None,
+        lora_request: Optional[Any] = None,
+        trace_headers: Optional[Dict[str, str]] = None,
+    ) -> None:
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if arrival_time is None:
+            arrival_time = time.time()
+        if prompt_token_ids is None:
+            if prompt is None:
+                raise ValueError("Either prompt or prompt_token_ids "
+                                 "must be provided.")
+            prompt_token_ids = self.tokenizer.encode(prompt)
+        if sampling_params.truncate_prompt_tokens is not None:
+            prompt_token_ids = prompt_token_ids[
+                -sampling_params.truncate_prompt_tokens:]
+
+        sampling_params = sampling_params.clone()
+        eos = None
+        if self.tokenizer is not None:
+            eos = getattr(self.tokenizer, "eos_token_id", None)
+        sampling_params.update_from_generation_config(eos)
+        if sampling_params.logprobs is not None:
+            sampling_params.logprobs = min(sampling_params.logprobs,
+                                           self.model_config.max_logprobs)
+
+        block_size = self.cache_config.block_size
+        n_seqs = (sampling_params.best_of
+                  if not sampling_params.use_beam_search else 1)
+        if sampling_params.use_beam_search:
+            raise NotImplementedError(
+                "Beam search is not yet supported in nmvllm_tpu.")
+        seqs = []
+        for _ in range(n_seqs):
+            seq_id = next(self.seq_counter)
+            seqs.append(Sequence(seq_id, prompt, prompt_token_ids,
+                                 block_size, eos, lora_request))
+        group = SequenceGroup(request_id=request_id, seqs=seqs,
+                              arrival_time=arrival_time,
+                              sampling_params=sampling_params,
+                              lora_request=lora_request,
+                              trace_headers=trace_headers)
+        group.state_seed = next(self.request_counter)
+        self.scheduler.add_seq_group(group)
+
+    def abort_request(self, request_id: Union[str, Iterable[str]]) -> None:
+        self.scheduler.abort_seq_group(request_id)
+
+    # ------------------------------------------------------------ stepping
+    def step(self) -> List[RequestOutput]:
+        seq_group_metadata_list, scheduler_outputs = \
+            self.scheduler.schedule()
+        # Propagate the engine's per-request seed to the runner.
+        for meta in seq_group_metadata_list:
+            pass
+        if not scheduler_outputs.is_empty():
+            execute_model_req = ExecuteModelRequest(
+                seq_group_metadata_list=seq_group_metadata_list,
+                blocks_to_swap_in=scheduler_outputs.blocks_to_swap_in,
+                blocks_to_swap_out=scheduler_outputs.blocks_to_swap_out,
+                blocks_to_copy=scheduler_outputs.blocks_to_copy,
+                num_lookahead_slots=scheduler_outputs.num_lookahead_slots,
+                running_queue_size=scheduler_outputs.running_queue_size)
+            outputs = self.executor.execute_model(execute_model_req)
+        else:
+            outputs = []
+        return self._process_model_outputs(outputs, scheduler_outputs)
+
+    def _process_model_outputs(
+            self, outputs: List[SamplerOutput],
+            scheduler_outputs: SchedulerOutputs) -> List[RequestOutput]:
+        now = time.time()
+        request_outputs: List[RequestOutput] = []
+        scheduled = scheduler_outputs.scheduled_seq_groups
+        if outputs:
+            output = outputs[0]
+            idx = 0
+            for sched_group in scheduled:
+                seq_group = sched_group.seq_group
+                seq_group.update_num_computed_tokens(
+                    sched_group.token_chunk_size)
+                if idx < len(output.outputs):
+                    group_output = output.outputs[idx]
+                    idx += 1
+                    if group_output is not None and group_output.samples:
+                        self.output_processor.process_outputs(
+                            seq_group, group_output)
+                seq_group.maybe_set_first_token_time(now)
+        self.scheduler.free_finished_seq_groups()
+
+        for sched_group in scheduled:
+            seq_group = sched_group.seq_group
+            # Only emit an output when the group progressed past prefill
+            # chunks (parity: chunked prefill emits nothing mid-prompt).
+            if seq_group.is_prefill() and not seq_group.is_finished():
+                continue
+            if seq_group.is_finished():
+                seq_group.set_finished_time(now)
+                self._create_trace_span(seq_group)
+            request_outputs.append(RequestOutput.from_seq_group(seq_group))
+        for seq_group in scheduler_outputs.ignored_seq_groups:
+            request_outputs.append(RequestOutput.from_seq_group(seq_group))
+
+        if self.stat_logger is not None:
+            self.stat_logger.log(
+                self._get_stats(scheduler_outputs, request_outputs))
+        return request_outputs
+
+    # -------------------------------------------------------------- queries
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_seqs()
+
+    def get_num_unfinished_requests(self) -> int:
+        return self.scheduler.get_num_unfinished_seq_groups()
+
+    def get_model_config(self):
+        return self.model_config
+
+    def get_decoding_config(self):
+        return self.config.decoding_config
+
+    def check_health(self) -> None:
+        self.executor.check_health()
+
+    def _get_stats(self, scheduler_outputs: Optional[SchedulerOutputs],
+                   request_outputs: Optional[List[RequestOutput]] = None
+                   ) -> Stats:
+        now = time.time()
+        num_total_blocks = self.cache_config.num_gpu_blocks or 1
+        num_free = self.scheduler.block_manager.get_num_free_gpu_blocks()
+        gpu_cache_usage = 1.0 - num_free / num_total_blocks
+        cpu_total = self.cache_config.num_cpu_blocks or 0
+        cpu_usage = 0.0
+        if cpu_total:
+            cpu_free = self.scheduler.block_manager.get_num_free_cpu_blocks()
+            cpu_usage = 1.0 - cpu_free / cpu_total
+
+        num_prompt_tokens = 0
+        num_generation_tokens = 0
+        time_to_first_tokens = []
+        time_per_output_tokens = []
+        time_e2e_requests = []
+        finished_reasons = []
+        if scheduler_outputs is not None:
+            for sg in scheduler_outputs.scheduled_seq_groups:
+                group = sg.seq_group
+                if group.is_prefill():
+                    num_prompt_tokens += sg.token_chunk_size
+                else:
+                    num_generation_tokens += group.num_seqs(
+                        SequenceStatus.RUNNING)
+                metrics = group.metrics
+                if metrics.first_token_time is not None and \
+                        group.get_seqs()[0].get_output_len() == 1:
+                    time_to_first_tokens.append(
+                        metrics.first_token_time - metrics.arrival_time)
+                else:
+                    last = metrics.last_token_time
+                    time_per_output_tokens.append(now - last)
+                metrics.last_token_time = now
+                if group.is_finished():
+                    time_e2e_requests.append(now - metrics.arrival_time)
+                    for seq in group.get_finished_seqs():
+                        reason = SequenceStatus.get_finished_reason(
+                            seq.status)
+                        if reason:
+                            finished_reasons.append(reason)
+        return Stats(
+            now=now,
+            num_running_sys=len(self.scheduler.running),
+            num_swapped_sys=len(self.scheduler.swapped),
+            num_waiting_sys=len(self.scheduler.waiting),
+            gpu_cache_usage_sys=gpu_cache_usage,
+            cpu_cache_usage_sys=cpu_usage,
+            num_prompt_tokens_iter=num_prompt_tokens,
+            num_generation_tokens_iter=num_generation_tokens,
+            time_to_first_tokens_iter=time_to_first_tokens,
+            time_per_output_tokens_iter=time_per_output_tokens,
+            time_e2e_requests=time_e2e_requests,
+            finished_reason_requests=finished_reasons,
+            num_preemption_iter=(scheduler_outputs.preempted
+                                 if scheduler_outputs else 0))
+
+    def _create_trace_span(self, seq_group: SequenceGroup) -> None:
+        if self.tracer is None:
+            return
+        from nmvllm_tpu.tracing import emit_request_span
+        emit_request_span(self.tracer, seq_group)

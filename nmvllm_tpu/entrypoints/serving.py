@@ -1,0 +1,321 @@
+"""OpenAI serving logic: chat/completions/embeddings over AsyncLLMEngine.
+
+Reference: vllm/entrypoints/openai/serving_chat.py, serving_completion.py,
+serving_engine.py — chat templates, SSE streaming, logprobs, usage info.
+"""
+import asyncio
+import json
+import time
+from typing import AsyncIterator, Dict, List, Optional, Union
+
+from nmvllm_tpu.engine.async_llm_engine import AsyncLLMEngine
+from nmvllm_tpu.entrypoints.protocol import (
+    ChatCompletionLogProb, ChatCompletionLogProbs,
+    ChatCompletionLogProbsContent, ChatCompletionRequest,
+    ChatCompletionResponse, ChatCompletionResponseChoice,
+    ChatCompletionResponseStreamChoice, ChatCompletionStreamResponse,
+    ChatMessage, CompletionRequest, CompletionResponse,
+    CompletionResponseChoice, CompletionResponseStreamChoice,
+    CompletionStreamResponse, DeltaMessage, EmbeddingRequest, ErrorResponse,
+    LogProbsPart, ModelCard, ModelList, UsageInfo)
+from nmvllm_tpu.logger import init_logger
+from nmvllm_tpu.outputs import RequestOutput
+from nmvllm_tpu.utils import random_uuid
+
+logger = init_logger(__name__)
+
+
+class OpenAIServing:
+
+    def __init__(self, engine: AsyncLLMEngine, served_model_names: List[str]):
+        self.engine = engine
+        self.served_model_names = served_model_names
+        self.max_model_len = 0
+        self.tokenizer = None
+
+    async def _post_init(self):
+        model_config = await self.engine.get_model_config()
+        self.max_model_len = model_config.max_model_len
+        self.tokenizer = self.engine.get_tokenizer()
+
+    async def show_available_models(self) -> ModelList:
+        return ModelList(data=[
+            ModelCard(id=name, root=self.served_model_names[0])
+            for name in self.served_model_names
+        ])
+
+    def _check_model(self, model: str) -> Optional[ErrorResponse]:
+        if model in self.served_model_names:
+            return None
+        return ErrorResponse(
+            message=f"The model `{model}` does not exist.",
+            type="NotFoundError", code=404)
+
+    def _validate_prompt(self, prompt_ids: List[int],
+                         max_tokens: Optional[int]
+                         ) -> Optional[ErrorResponse]:
+        if len(prompt_ids) >= self.max_model_len:
+            return ErrorResponse(
+                message=f"This model's maximum context length is "
+                f"{self.max_model_len} tokens, but the prompt is "
+                f"{len(prompt_ids)} tokens long.",
+                type="BadRequestError", code=400)
+        return None
+
+    async def _maybe_guided_processors(self, request):
+        """Resolve guided-decoding constraints (native FSM backend)."""
+        from nmvllm_tpu.guided_decoding import (
+            get_guided_decoding_logits_processors)
+        return await get_guided_decoding_logits_processors(
+            request, self.tokenizer)
+
+
+class OpenAIServingChat(OpenAIServing):
+
+    def __init__(self, engine, served_model_names,
+                 response_role: str = "assistant",
+                 chat_template: Optional[str] = None):
+        super().__init__(engine, served_model_names)
+        self.response_role = response_role
+        self.chat_template = chat_template
+
+    def _apply_chat_template(self, request: ChatCompletionRequest) -> str:
+        messages = [{"role": m.role, "content": m.content or ""}
+                    for m in request.messages]
+        try:
+            return self.tokenizer.apply_chat_template(
+                messages, tokenize=False,
+                add_generation_prompt=request.add_generation_prompt,
+                chat_template=request.chat_template or self.chat_template)
+        except Exception:
+            # Fallback simple template.
+            parts = [f"<|{m['role']}|>\n{m['content']}\n" for m in messages]
+            if request.add_generation_prompt:
+                parts.append("<|assistant|>\n")
+            return "".join(parts)
+
+    async def create_chat_completion(
+            self, request: ChatCompletionRequest
+    ) -> Union[ChatCompletionResponse, ErrorResponse, AsyncIterator[str]]:
+        err = self._check_model(request.model)
+        if err:
+            return err
+        prompt_text = self._apply_chat_template(request)
+        prompt_ids = self.tokenizer.encode(prompt_text)
+        err = self._validate_prompt(prompt_ids, request.max_tokens)
+        if err:
+            return err
+        try:
+            sampling_params = request.to_sampling_params(
+                self.max_model_len - len(prompt_ids))
+            guided = await self._maybe_guided_processors(request)
+            if guided:
+                sampling_params.logits_processors.extend(guided)
+        except ValueError as e:
+            return ErrorResponse(message=str(e), type="BadRequestError")
+        request_id = f"chatcmpl-{random_uuid()}"
+        generator = self.engine.generate(prompt_text, sampling_params,
+                                         request_id,
+                                         prompt_token_ids=prompt_ids)
+        if request.stream:
+            return self._stream_chat(request, generator, request_id)
+        return await self._full_chat(request, generator, request_id,
+                                     prompt_ids)
+
+    async def _full_chat(self, request, generator, request_id, prompt_ids):
+        final: Optional[RequestOutput] = None
+        async for output in generator:
+            final = output
+        assert final is not None
+        choices = []
+        for out in final.outputs:
+            logprobs = None
+            if request.logprobs and out.logprobs:
+                logprobs = self._chat_logprobs(out.logprobs,
+                                               request.top_logprobs or 0)
+            choices.append(ChatCompletionResponseChoice(
+                index=out.index,
+                message=ChatMessage(role=self.response_role,
+                                    content=out.text),
+                logprobs=logprobs,
+                finish_reason=out.finish_reason,
+                stop_reason=out.stop_reason))
+        num_gen = sum(len(o.token_ids) for o in final.outputs)
+        usage = UsageInfo(prompt_tokens=len(prompt_ids),
+                          completion_tokens=num_gen,
+                          total_tokens=len(prompt_ids) + num_gen)
+        return ChatCompletionResponse(id=request_id,
+                                      model=request.model,
+                                      choices=choices, usage=usage)
+
+    def _chat_logprobs(self, logprobs_list,
+                       top_n: int) -> ChatCompletionLogProbs:
+        content = []
+        for pos_logprobs in logprobs_list:
+            if not pos_logprobs:
+                continue
+            sampled = max(pos_logprobs.items(),
+                          key=lambda kv: (kv[1].rank is None,
+                                          -(kv[1].rank or 1e9)))
+            # sampled token = the one appended; find it: rank may be None
+            items = sorted(pos_logprobs.items(),
+                           key=lambda kv: kv[1].rank or 10**9)
+            chosen_id, chosen = items[0]
+            top = [ChatCompletionLogProb(
+                token=lp.decoded_token or str(tid), logprob=lp.logprob)
+                for tid, lp in items[:top_n]]
+            content.append(ChatCompletionLogProbsContent(
+                token=chosen.decoded_token or str(chosen_id),
+                logprob=chosen.logprob, top_logprobs=top))
+        return ChatCompletionLogProbs(content=content)
+
+    async def _stream_chat(self, request, generator,
+                           request_id) -> AsyncIterator[str]:
+        first = ChatCompletionStreamResponse(
+            id=request_id, model=request.model,
+            choices=[ChatCompletionResponseStreamChoice(
+                index=i, delta=DeltaMessage(role=self.response_role),
+                finish_reason=None) for i in range(request.n or 1)])
+        yield f"data: {first.model_dump_json(exclude_unset=True)}\n\n"
+        previous_texts = {}
+        prompt_tokens = 0
+        completion_tokens = 0
+        async for output in generator:
+            prompt_tokens = len(output.prompt_token_ids)
+            for out in output.outputs:
+                prev = previous_texts.get(out.index, "")
+                delta_text = out.text[len(prev):]
+                previous_texts[out.index] = out.text
+                completion_tokens = len(out.token_ids)
+                if delta_text or out.finish_reason is not None:
+                    chunk = ChatCompletionStreamResponse(
+                        id=request_id, model=request.model,
+                        choices=[ChatCompletionResponseStreamChoice(
+                            index=out.index,
+                            delta=DeltaMessage(content=delta_text),
+                            finish_reason=out.finish_reason,
+                            stop_reason=out.stop_reason)])
+                    yield (f"data: "
+                           f"{chunk.model_dump_json(exclude_unset=True)}\n\n")
+        if request.stream_options and request.stream_options.include_usage:
+            usage_chunk = ChatCompletionStreamResponse(
+                id=request_id, model=request.model, choices=[],
+                usage=UsageInfo(
+                    prompt_tokens=prompt_tokens,
+                    completion_tokens=completion_tokens,
+                    total_tokens=prompt_tokens + completion_tokens))
+            yield f"data: {usage_chunk.model_dump_json()}\n\n"
+        yield "data: [DONE]\n\n"
+
+
+class OpenAIServingCompletion(OpenAIServing):
+
+    async def create_completion(
+            self, request: CompletionRequest
+    ) -> Union[CompletionResponse, ErrorResponse, AsyncIterator[str]]:
+        err = self._check_model(request.model)
+        if err:
+            return err
+        if request.suffix is not None:
+            return ErrorResponse(message="suffix is not supported",
+                                 type="BadRequestError")
+        prompts = request.prompt
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        elif prompts and isinstance(prompts[0], int):
+            prompts = [prompts]
+        request_id = f"cmpl-{random_uuid()}"
+        generators = []
+        prompt_lens = []
+        try:
+            guided = await self._maybe_guided_processors(request)
+        except ValueError as e:
+            return ErrorResponse(message=str(e), type="BadRequestError")
+        for i, prompt in enumerate(prompts):
+            if isinstance(prompt, str):
+                prompt_ids = self.tokenizer.encode(prompt)
+                prompt_text: Optional[str] = prompt
+            else:
+                prompt_ids = list(prompt)
+                prompt_text = None
+            err = self._validate_prompt(prompt_ids, request.max_tokens)
+            if err:
+                return err
+            sampling_params = request.to_sampling_params(
+                self.max_model_len - len(prompt_ids))
+            if guided:
+                sampling_params.logits_processors.extend(guided)
+            prompt_lens.append(len(prompt_ids))
+            generators.append(self.engine.generate(
+                prompt_text, sampling_params, f"{request_id}-{i}",
+                prompt_token_ids=prompt_ids))
+        if request.stream:
+            return self._stream_completion(request, generators, request_id)
+        return await self._full_completion(request, generators, request_id,
+                                           prompt_lens)
+
+    async def _full_completion(self, request, generators, request_id,
+                               prompt_lens):
+        choices = []
+        total_gen = 0
+        for i, generator in enumerate(generators):
+            final = None
+            async for output in generator:
+                final = output
+            for out in final.outputs:
+                text = out.text
+                if request.echo:
+                    text = (final.prompt or "") + text
+                logprobs = None
+                if request.logprobs is not None:
+                    logprobs = self._completion_logprobs(
+                        out, request.logprobs)
+                choices.append(CompletionResponseChoice(
+                    index=i * (request.n or 1) + out.index, text=text,
+                    logprobs=logprobs, finish_reason=out.finish_reason,
+                    stop_reason=out.stop_reason))
+                total_gen += len(out.token_ids)
+        usage = UsageInfo(prompt_tokens=sum(prompt_lens),
+                          completion_tokens=total_gen,
+                          total_tokens=sum(prompt_lens) + total_gen)
+        return CompletionResponse(id=request_id, model=request.model,
+                                  choices=choices, usage=usage)
+
+    def _completion_logprobs(self, out, top_n: int) -> LogProbsPart:
+        part = LogProbsPart(top_logprobs=[])
+        offset = 0
+        for tid, pos in zip(out.token_ids, out.logprobs or []):
+            lp = pos.get(tid)
+            token_str = (lp.decoded_token if lp and lp.decoded_token
+                         else str(tid))
+            part.tokens.append(token_str)
+            part.token_logprobs.append(lp.logprob if lp else None)
+            part.text_offset.append(offset)
+            offset += len(token_str)
+            part.top_logprobs.append({
+                (v.decoded_token or str(k)): v.logprob
+                for k, v in list(pos.items())[:top_n]
+            } if top_n else None)
+        return part
+
+    async def _stream_completion(self, request, generators,
+                                 request_id) -> AsyncIterator[str]:
+        for i, generator in enumerate(generators):
+            previous_texts: Dict[int, str] = {}
+            async for output in generator:
+                for out in output.outputs:
+                    prev = previous_texts.get(out.index, "")
+                    delta = out.text[len(prev):]
+                    previous_texts[out.index] = out.text
+                    if delta or out.finish_reason is not None:
+                        chunk = CompletionStreamResponse(
+                            id=request_id, model=request.model,
+                            choices=[CompletionResponseStreamChoice(
+                                index=i * (request.n or 1) + out.index,
+                                text=delta,
+                                finish_reason=out.finish_reason,
+                                stop_reason=out.stop_reason)])
+                        yield (f"data: "
+                               f"{chunk.model_dump_json(exclude_unset=True)}"
+                               f"\n\n")
+        yield "data: [DONE]\n\n"

@@ -1,0 +1,117 @@
+"""In-process TPU executor.
+
+Reference: vllm/executor/executor_base.py:12 (ExecutorBase:
+determine_num_available_blocks:49, initialize_cache:65, execute_model:72)
+and executor/tpu_executor.py. TPU-native: there is no driver/worker process
+split — SPMD over the jax mesh replaces Ray/multiprocessing topology
+(SURVEY.md §7 decision 1); this executor owns the mesh, the runner, and the
+cache engine in-process. Multi-host pods run one identical engine per host
+with deterministic replicated scheduling.
+"""
+from typing import List, Optional, Tuple
+
+from nmvllm_tpu.config import EngineConfig
+from nmvllm_tpu.logger import init_logger
+from nmvllm_tpu.parallel.mesh import build_mesh, set_global_mesh
+from nmvllm_tpu.sequence import ExecuteModelRequest, SamplerOutput
+from nmvllm_tpu.utils import device_memory_total, device_memory_used
+from nmvllm_tpu.worker.cache import CacheEngine
+from nmvllm_tpu.worker.runner import ModelRunner
+
+logger = init_logger(__name__)
+
+
+class TPUExecutor:
+
+    def __init__(self, engine_config: EngineConfig) -> None:
+        self.config = engine_config
+        parallel = engine_config.parallel_config
+        self.mesh = build_mesh(parallel.data_parallel_size,
+                               parallel.tensor_parallel_size)
+        set_global_mesh(self.mesh)
+        self._maybe_init_compile_cache()
+        self.runner = ModelRunner(engine_config, self.mesh)
+        self.runner.load_model()
+        self.cache_engine: Optional[CacheEngine] = None
+
+    def _maybe_init_compile_cache(self) -> None:
+        from nmvllm_tpu import envs
+        path = envs.NMVLLM_XLA_CACHE_PATH
+        if path:
+            try:
+                import jax
+                jax.config.update("jax_compilation_cache_dir", path)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception as e:
+                logger.warning("Could not enable XLA compile cache: %s", e)
+
+    # ------------------------------------------------------------- KV sizing
+    def determine_num_available_blocks(self) -> Tuple[int, int]:
+        """Size the paged KV pool from live HBM stats (the reference's TPU
+        path uses xm.get_memory_info the same way, tpu_worker.py:107-140)."""
+        cache_config = self.config.cache_config
+        model_config = self.config.model_config
+        parallel_config = self.config.parallel_config
+        block_bytes = CacheEngine.get_cache_block_size(
+            cache_config, model_config, parallel_config)
+        # Per-device share of one (global) page:
+        tp = parallel_config.tensor_parallel_size
+        block_bytes_per_dev = max(block_bytes // tp, 1)
+        total = device_memory_total()
+        used = device_memory_used()
+        avail = int(total * cache_config.hbm_utilization) - used
+        num_dev_blocks = max(avail // block_bytes_per_dev, 0)
+        num_host_blocks = int(cache_config.swap_space_bytes // block_bytes)
+        # Cap the block count so block tables stay reasonable.
+        num_dev_blocks = min(num_dev_blocks, 512 * 1024)
+        return num_dev_blocks, num_host_blocks
+
+    def initialize_cache(self, num_gpu_blocks: int,
+                         num_cpu_blocks: int) -> None:
+        self.config.cache_config.num_gpu_blocks = num_gpu_blocks
+        self.config.cache_config.num_cpu_blocks = num_cpu_blocks
+        self.cache_engine = CacheEngine(self.config.cache_config,
+                                        self.config.model_config,
+                                        self.config.parallel_config,
+                                        self.mesh)
+        self.cache_engine.allocate()
+
+    # ------------------------------------------------------------- stepping
+    def execute_model(
+            self,
+            execute_model_req: ExecuteModelRequest) -> List[SamplerOutput]:
+        assert self.cache_engine is not None
+        # Cache maintenance first: swap in/out, CoW copies
+        # (reference worker.py:272 execute_worker ordering).
+        self.cache_engine.swap_out(execute_model_req.blocks_to_swap_out)
+        self.cache_engine.swap_in(execute_model_req.blocks_to_swap_in)
+        self.cache_engine.copy(execute_model_req.blocks_to_copy)
+
+        metas = execute_model_req.seq_group_metadata_list
+        if not metas:
+            return []
+        prefills = [m for m in metas if m.is_prompt]
+        decodes = [m for m in metas if not m.is_prompt]
+        kv = self.cache_engine.kv_caches
+
+        outputs_by_request = {}
+        for meta in prefills:
+            kv, out = self.runner.execute_prefill(meta, kv)
+            if out is not None:
+                outputs_by_request[meta.request_id] = out.outputs[0]
+            else:
+                outputs_by_request[meta.request_id] = None
+        if decodes:
+            kv, out = self.runner.execute_decode(decodes, kv)
+            for meta, group_out in zip(decodes, out.outputs):
+                outputs_by_request[meta.request_id] = group_out
+        self.cache_engine.kv_caches = kv
+
+        merged = SamplerOutput(outputs=[
+            outputs_by_request.get(m.request_id) for m in metas
+        ])
+        return [merged]
+
+    def check_health(self) -> None:
+        return

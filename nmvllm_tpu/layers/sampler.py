@@ -25,6 +25,7 @@ _EPS = 1e-5
 _NEG_INF = float("-inf")
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class SamplingTensors:
     """Device-side per-row sampling parameters (reference
@@ -43,8 +44,12 @@ class SamplingTensors:
     prompt_tokens: jax.Array      # (B, max_prompt) int32
     # min-tokens ban list, padded with vocab_size.
     banned_tokens: jax.Array      # (B, max_ban) int32
+    # guided-decoding allow list, padded with vocab_size; a row with no
+    # valid entries is unconstrained.
+    allowed_tokens: Optional[jax.Array] = None  # (B, max_allow) int32
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class SamplerOutputArrays:
     """What the compiled step returns to the host."""
@@ -111,6 +116,7 @@ def sample(
     do_min_tokens: bool = False,
     do_top_k_top_p: bool = True,
     do_min_p: bool = False,
+    do_guided: bool = False,
     num_logprobs: int = 0,
 ) -> SamplerOutputArrays:
     b, v_pad = logits.shape
@@ -125,6 +131,13 @@ def sample(
         ban = jnp.zeros((b, v_pad), jnp.bool_).at[
             rows, tensors.banned_tokens].set(True, mode="drop")
         logits = jnp.where(ban, _NEG_INF, logits)
+
+    if do_guided and tensors.allowed_tokens is not None:
+        rows = jnp.arange(b)[:, None]
+        allow = jnp.zeros((b, v_pad), jnp.bool_).at[
+            rows, tensors.allowed_tokens].set(True, mode="drop")
+        constrained = jnp.any(allow, axis=-1, keepdims=True)
+        logits = jnp.where(constrained & ~allow, _NEG_INF, logits)
 
     if do_penalties:
         logits = _apply_penalties(logits, tensors, v_pad)

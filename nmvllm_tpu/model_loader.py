@@ -1,0 +1,170 @@
+"""Model building + weight loading.
+
+Reference: vllm/model_executor/model_loader/loader.py (DefaultModelLoader:149,
+DummyModelLoader:309, ShardedStateLoader:446) and weight_utils.py. TPU-native:
+params are a pytree initialized directly into their mesh shardings
+(jit(init, out_shardings=...)); checkpoint ingestion is a pure transform on
+host numpy tensors (transpose to K-major, quant repack) streamed per-tensor
+into the sharded buffers.
+"""
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding
+
+from nmvllm_tpu.config import EngineConfig
+from nmvllm_tpu.logger import init_logger
+from nmvllm_tpu.models import resolve_model_cls
+from nmvllm_tpu.utils import STR_DTYPE_TO_JNP
+
+logger = init_logger(__name__)
+
+
+def _get_quant_method_factory(engine_config: EngineConfig):
+    """Resolve the per-layer LinearMethod factory from model config
+    (reference model_loader/loader.py _get_quantization_config:46)."""
+    model_config = engine_config.model_config
+    quant = model_config.quantization
+    sparsity = model_config.sparsity
+    if quant is None and sparsity is None:
+        return None, None
+    if sparsity is not None:
+        from nmvllm_tpu.sparsity import get_sparsity_config
+        cfg_cls = get_sparsity_config(sparsity)
+        cfg = cfg_cls.from_config(_hf_quant_dict(model_config) or {})
+        return cfg, cfg.get_linear_method
+    from nmvllm_tpu.quantization import get_quantization_config
+    cfg_cls = get_quantization_config(quant)
+    cfg = cfg_cls.from_config(_hf_quant_dict(model_config) or {})
+    return cfg, cfg.get_linear_method
+
+
+def _hf_quant_dict(model_config) -> Optional[Dict[str, Any]]:
+    q = getattr(model_config.hf_config, "quantization_config", None)
+    if isinstance(q, dict):
+        return q
+    if q is not None and hasattr(q, "to_dict"):
+        return q.to_dict()
+    return None
+
+
+def build_model(engine_config: EngineConfig):
+    model_config = engine_config.model_config
+    parallel = engine_config.parallel_config
+    arch_cls = resolve_model_cls(model_config.architectures)
+    quant_cfg, method_factory = _get_quant_method_factory(engine_config)
+    dtype = jnp.dtype(STR_DTYPE_TO_JNP[model_config.dtype])
+    kwargs = dict(tp_size=parallel.tensor_parallel_size, dtype=dtype,
+                  kv_cache_dtype=engine_config.cache_config.cache_dtype)
+    if method_factory is not None:
+        kwargs["method_factory"] = method_factory
+    kv_scales = _load_kv_scales(model_config)
+    if kv_scales is not None:
+        kwargs["kv_scales"] = kv_scales
+    model = arch_cls(model_config.hf_config, **kwargs)
+    return model
+
+
+def _load_kv_scales(model_config):
+    """KV-cache scaling factors from quantization_param_path (reference
+    vllm/model_executor/layers/quantization/schema.py)."""
+    path = model_config.quantization_param_path
+    if not path or not os.path.exists(path):
+        return None
+    with open(path) as f:
+        data = json.load(f)
+    layers = data.get("kv_cache", {}).get("scaling_factor", {})
+    num_layers = model_config.hf_config.num_hidden_layers
+    # Schema: {"kv_cache": {"scaling_factor": {"0": {"0": s, "1": s...}}}}
+    rank_scales = layers.get("0", layers)
+    out = []
+    for i in range(num_layers):
+        s = float(rank_scales.get(str(i), 1.0))
+        out.append((s, s))
+    return out
+
+
+def init_params_on_mesh(model, mesh, seed: int):
+    specs = model.specs()
+    from jax.sharding import PartitionSpec
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, PartitionSpec))
+    key = jax.random.PRNGKey(seed)
+    with mesh:
+        init_fn = jax.jit(model.init, out_shardings=shardings)
+        return init_fn(key)
+
+
+def _set_in(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    node[path[-1]] = value
+
+
+def load_safetensors_weights(model, params, model_dir: str, mesh,
+                             dtype) -> Any:
+    """Stream a local safetensors/pt checkpoint into the params tree."""
+    from safetensors import safe_open
+    name_map = model.hf_name_map()
+    files = sorted(f for f in os.listdir(model_dir)
+                   if f.endswith(".safetensors"))
+    if not files:
+        raise FileNotFoundError(f"No safetensors files in {model_dir}")
+    loaded = 0
+    for fname in files:
+        with safe_open(os.path.join(model_dir, fname), framework="np") as f:
+            for tensor_name in f.keys():
+                if tensor_name not in name_map:
+                    continue
+                path, transform = name_map[tensor_name]
+                arr = f.get_tensor(tensor_name)
+                if transform == "transpose":
+                    arr = np.ascontiguousarray(arr.T)
+                elif transform == "pad_vocab":
+                    target = _get_in(params, path)
+                    pad = target.shape[0] - arr.shape[0]
+                    if pad > 0:
+                        arr = np.pad(arr, ((0, pad), (0, 0)))
+                target = _get_in(params, path)
+                arr = jnp.asarray(arr).astype(target.dtype)
+                arr = jax.device_put(arr, target.sharding)
+                _set_in(params, path, arr)
+                loaded += 1
+    logger.info("Loaded %d tensors from %s", loaded, model_dir)
+    return params
+
+
+def _get_in(tree, path):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def get_model(engine_config: EngineConfig, mesh):
+    """Build the model and its (sharded) params per LoadConfig."""
+    model = build_model(engine_config)
+    model_config = engine_config.model_config
+    load_config = engine_config.load_config
+    params = init_params_on_mesh(model, mesh, model_config.seed)
+    fmt = load_config.load_format if load_config else "auto"
+    is_local_ckpt = os.path.isdir(model_config.model)
+    if fmt == "dummy" or (fmt == "auto" and not is_local_ckpt):
+        # Presets / benchmarks: random weights (DummyModelLoader:309).
+        if hasattr(model, "post_process_weights"):
+            params = model.post_process_weights(params)
+        return model, params
+    if is_local_ckpt:
+        params = load_safetensors_weights(model, params, model_config.model,
+                                          mesh, model_config.dtype)
+        if hasattr(model, "post_process_weights"):
+            params = model.post_process_weights(params)
+        return model, params
+    raise ValueError(
+        f"Cannot load weights for {model_config.model} with format {fmt}")

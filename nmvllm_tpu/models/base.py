@@ -5,6 +5,7 @@ from typing import List, Optional, Tuple
 import jax
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class AttentionMetadata:
     """Per-step attention inputs (TPU analogue of the reference's

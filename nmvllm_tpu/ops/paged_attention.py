@@ -141,7 +141,10 @@ def paged_attention(
     pages_per_compute_block: int = 8,
 ) -> jax.Array:
     """Flash-decoding paged attention. Returns (B, num_q_heads, head_dim)."""
-    if not use_pallas():
+    # Mosaic requires lane-aligned (128) head_dim for the page DMA slices;
+    # fall back to the jnp path otherwise (reference pallas.py:103 has the
+    # same head_size % 128 constraint).
+    if not use_pallas() or q.shape[-1] % 128 != 0:
         return paged_attention_reference(q, k_cache, v_cache, block_tables,
                                          context_lens, scale=scale,
                                          k_scale=k_scale, v_scale=v_scale)

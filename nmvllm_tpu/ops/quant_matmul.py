@@ -17,7 +17,7 @@ it once):
     ``i`` ↦ natural k ``gi*g + i*(g//vpw) + j``. Unpacking a group is then
     ``vpw`` shift/mask ops + one sublane concat — no cross-lane shuffles.
   * ``scales_t``: ``(K // group_size, N)``, float32.
-  * ``zeros_t``: ``(K // group_size, N)`` int8 — value subtracted before
+  * ``zeros_t``: ``(K // group_size, N)`` int32 — value subtracted before
     scaling (symmetric quant stores ``2^(bits-1)``).
 
 Grid ``(M/bm, N/bn, K/bk)`` with a float32 VMEM accumulator across the
@@ -85,6 +85,9 @@ def _quant_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     cdtype = x_ref.dtype
+    # scales/zeros refs hold the FULL K extent (their sublane dim is too
+    # small to tile per-k-block); index groups globally.
+    g0 = pl.program_id(2) * gpb
     acc = acc_ref[:]
     for gi in range(gpb):
         rows = w_ref[gi * spw:(gi + 1) * spw, :]  # (spw, bn) int32
@@ -93,8 +96,8 @@ def _quant_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
             for i in range(vpw)
         ]
         w4 = jnp.concatenate(parts, axis=0)  # (g, bn) int32, natural order
-        zg = z_ref[gi:gi + 1, :].astype(jnp.int32)  # (1, bn)
-        sg = s_ref[gi:gi + 1, :].astype(cdtype)
+        zg = z_ref[pl.ds(g0 + gi, 1), :].astype(jnp.int32)  # (1, bn)
+        sg = s_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
         wq = ((w4 - zg).astype(cdtype)) * sg  # (g, bn) dequantized
         xg = x_ref[:, gi * g:(gi + 1) * g]  # (bm, g)
         acc = acc + jnp.dot(xg, wq, preferred_element_type=jnp.float32)
@@ -112,7 +115,7 @@ def quant_matmul(
     x: jax.Array,          # (M, K) activations (bf16/f32)
     qweight: jax.Array,    # (K // vpw, N) int32 packed
     scales: jax.Array,     # (K // g, N)
-    zeros: jax.Array,      # (K // g, N) int8
+    zeros: jax.Array,      # (K // g, N) int32
     *,
     bits: int,
     group_size: int,
@@ -157,9 +160,9 @@ def quant_matmul(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk // vpw, bn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // g, bn), lambda i, j, kk: (kk, j),
+            pl.BlockSpec((k // g, bn), lambda i, j, kk: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // g, bn), lambda i, j, kk: (kk, j),
+            pl.BlockSpec((k // g, bn), lambda i, j, kk: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
@@ -203,7 +206,7 @@ def quantize_weights_to_packed(
     INT4/INT8) and by tests/benchmarks to fabricate quantized models.
 
     Returns (qweight (K/vpw, N) int32, scales (K/g, N) f32,
-             zeros (K/g, N) int8).
+             zeros (K/g, N) int32).
     """
     n, k = w.shape
     g = group_size
@@ -214,7 +217,7 @@ def quantize_weights_to_packed(
         zero = 2**(bits - 1)
         absmax = jnp.max(jnp.abs(wt), axis=1, keepdims=True)
         scale = absmax / (qmax - zero)
-        zeros_arr = jnp.full((k // g, n), zero, jnp.int8)
+        zeros_arr = jnp.full((k // g, n), zero, jnp.int32)
         q = jnp.clip(jnp.round(wt / jnp.maximum(scale, 1e-10)) + zero, 0,
                      qmax)
     else:
@@ -222,7 +225,7 @@ def quantize_weights_to_packed(
         wmax = jnp.max(wt, axis=1, keepdims=True)
         scale = (wmax - wmin) / qmax
         zero = jnp.clip(jnp.round(-wmin / jnp.maximum(scale, 1e-10)), 0, qmax)
-        zeros_arr = zero[:, 0, :].astype(jnp.int8)
+        zeros_arr = zero[:, 0, :].astype(jnp.int32)
         q = jnp.clip(jnp.round(wt / jnp.maximum(scale, 1e-10)) + zero, 0,
                      qmax)
     qweight = pack_weights(q.reshape(k, n).astype(jnp.int32), bits, g)

@@ -1,0 +1,78 @@
+"""Shared weight-only INT4/INT8 linear method (the Marlin-class path).
+
+All weight-only checkpoint formats (GPTQ, AWQ, compressed-tensors WNA16,
+Marlin) are repacked at load into ops/quant_matmul.py's canonical layout and
+served by the same fused dequant-GEMM Pallas kernel — the TPU analogue of
+the reference funnelling gptq/awq checkpoints into Marlin tiles
+(gptq_marlin.py:374 repack, SURVEY.md §7 decision 5).
+"""
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from nmvllm_tpu.parallel.mesh import TP_AXIS
+from nmvllm_tpu.quantization.base import LinearMethodBase
+from nmvllm_tpu.ops.quant_matmul import quant_matmul
+
+
+class WNA16LinearMethod(LinearMethodBase):
+
+    def __init__(self, bits: int, group_size: int, symmetric: bool = True):
+        assert bits in (4, 8), f"Unsupported weight bits: {bits}"
+        self.bits = bits
+        self.group_size = group_size
+        self.symmetric = symmetric
+
+    def _resolve_group(self, in_features: int) -> int:
+        g = self.group_size
+        if g in (-1, None):
+            g = in_features  # per-channel
+        return g
+
+    def create_weights(self, rng, in_features: int, out_features: int,
+                       params_dtype) -> Dict[str, Any]:
+        g = self._resolve_group(in_features)
+        assert in_features % g == 0, (in_features, g)
+        vpw = 32 // self.bits
+        k1, _ = jax.random.split(rng)
+        qweight = jax.random.randint(
+            k1, (in_features // vpw, out_features),
+            jnp.iinfo(jnp.int32).min, jnp.iinfo(jnp.int32).max, jnp.int32)
+        # Scale so dequantized variance ≈ 1/in_features (matches the
+        # unquantized random init statistics).
+        qmax_half = 2**(self.bits - 1)
+        scale_val = (in_features**-0.5) / (qmax_half * 0.58)
+        scales = jnp.full((in_features // g, out_features), scale_val,
+                          jnp.float32)
+        zeros = jnp.full((in_features // g, out_features), qmax_half,
+                         jnp.int32)
+        return {"qweight": qweight, "scales": scales, "zeros": zeros}
+
+    def apply(self, params: Dict[str, Any], x, bias=None):
+        orig_shape = x.shape
+        x2 = x.reshape(-1, orig_shape[-1])
+        g = self._resolve_group(orig_shape[-1])
+        y = quant_matmul(x2, params["qweight"], params["scales"],
+                         params["zeros"], bits=self.bits, group_size=g)
+        y = y.reshape(*orig_shape[:-1], y.shape[-1])
+        if bias is not None:
+            y = y + bias
+        return y
+
+    def param_specs(self, shard: str) -> Dict[str, P]:
+        if shard == "column":
+            spec = P(None, TP_AXIS)
+        elif shard == "row":
+            spec = P(TP_AXIS, None)
+        else:
+            spec = P()
+        return {"qweight": spec, "scales": spec, "zeros": spec}
+
+    def load_weight_shapes(self, in_features, out_features):
+        g = self._resolve_group(in_features)
+        vpw = 32 // self.bits
+        return {"qweight": (in_features // vpw, out_features),
+                "scales": (in_features // g, out_features),
+                "zeros": (in_features // g, out_features)}

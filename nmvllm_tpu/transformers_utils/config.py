@@ -30,20 +30,21 @@ def _llama_config(**kw):
 
 @register_preset("debug-llama")
 def _debug_llama():
-    # Tiny model for tests: fits CPU, exercises GQA.
-    return _llama_config(hidden_size=128, intermediate_size=256,
-                         num_hidden_layers=2, num_attention_heads=4,
-                         num_key_value_heads=2, vocab_size=512,
-                         max_position_embeddings=2048, head_dim=32)
+    # Tiny model for tests: exercises GQA; head_dim=128 keeps the Pallas
+    # paged-attention fast path (lane-aligned pages).
+    return _llama_config(hidden_size=256, intermediate_size=512,
+                         num_hidden_layers=2, num_attention_heads=2,
+                         num_key_value_heads=1, vocab_size=512,
+                         max_position_embeddings=2048, head_dim=128)
 
 
 @register_preset("debug-llama-tp")
 def _debug_llama_tp():
     # Tiny model shaped for 8-way tensor parallel dry runs.
-    return _llama_config(hidden_size=256, intermediate_size=512,
+    return _llama_config(hidden_size=1024, intermediate_size=1024,
                          num_hidden_layers=2, num_attention_heads=8,
                          num_key_value_heads=8, vocab_size=512,
-                         max_position_embeddings=2048, head_dim=32)
+                         max_position_embeddings=2048, head_dim=128)
 
 
 @register_preset("tinyllama-1.1b")

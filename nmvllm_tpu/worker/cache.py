@@ -1,0 +1,125 @@
+"""KV cache engine: allocation, sizing, swap, copy.
+
+Reference: vllm/worker/cache_engine.py:15 (_allocate_kv_cache:70, swap:91,
+copy:101, get_cache_block_size:105). TPU-native: per-layer (K, V) arrays of
+shape (num_kv_heads, num_blocks, block_size, head_dim) sharded over the tp
+mesh axis on kv heads; the host swap pool is pinned numpy; swap moves whole
+pages with jax.device_put / device_get.
+"""
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from nmvllm_tpu.config import CacheConfig, ModelConfig, ParallelConfig
+from nmvllm_tpu.logger import init_logger
+from nmvllm_tpu.ops.cache_ops import copy_blocks as _copy_blocks_op
+from nmvllm_tpu.parallel.mesh import TP_AXIS
+from nmvllm_tpu.utils import STR_DTYPE_TO_JNP, get_dtype_bytes
+
+logger = init_logger(__name__)
+
+KVCaches = List[Tuple[jax.Array, jax.Array]]
+
+
+class CacheEngine:
+
+    def __init__(self, cache_config: CacheConfig, model_config: ModelConfig,
+                 parallel_config: ParallelConfig, mesh) -> None:
+        self.cache_config = cache_config
+        self.model_config = model_config
+        self.mesh = mesh
+        self.num_layers = model_config.get_num_layers(parallel_config)
+        self.total_kv_heads = model_config.get_total_num_kv_heads()
+        self.head_dim = model_config.get_head_size()
+        self.block_size = cache_config.block_size
+        self.num_gpu_blocks = cache_config.num_gpu_blocks or 0
+        self.num_cpu_blocks = cache_config.num_cpu_blocks or 0
+        self.dtype_name = cache_config.kv_dtype_name(model_config.dtype)
+        self.dtype = jnp.dtype(STR_DTYPE_TO_JNP.get(self.dtype_name,
+                                                    self.dtype_name))
+        self.kv_caches: KVCaches = []
+        self.cpu_pool: Optional[np.ndarray] = None
+
+    @staticmethod
+    def get_cache_block_size(cache_config: CacheConfig,
+                             model_config: ModelConfig,
+                             parallel_config: ParallelConfig) -> int:
+        """Bytes of one KV page across all layers (both K and V)."""
+        head_dim = model_config.get_head_size()
+        num_kv = model_config.get_total_num_kv_heads()
+        num_layers = model_config.get_num_layers(parallel_config)
+        dtype_name = cache_config.kv_dtype_name(model_config.dtype)
+        itemsize = get_dtype_bytes(dtype_name)
+        return (2 * num_kv * cache_config.block_size * head_dim * itemsize *
+                num_layers)
+
+    def allocate(self) -> KVCaches:
+        shape = (self.total_kv_heads, self.num_gpu_blocks, self.block_size,
+                 self.head_dim)
+        sharding = NamedSharding(self.mesh, P(TP_AXIS, None, None, None))
+
+        @jax.jit
+        def _zeros():
+            return jnp.zeros(shape, self.dtype)
+
+        self.kv_caches = []
+        with self.mesh:
+            for _ in range(self.num_layers):
+                k = jax.jit(_zeros, out_shardings=sharding)()
+                v = jax.jit(_zeros, out_shardings=sharding)()
+                self.kv_caches.append((k, v))
+        if self.num_cpu_blocks > 0:
+            # Host swap pool: (layers, 2, H, cpu_blocks, bs, d) in numpy.
+            self.cpu_pool = np.zeros(
+                (self.num_layers, 2, self.total_kv_heads,
+                 self.num_cpu_blocks, self.block_size, self.head_dim),
+                dtype=np.float32 if self.dtype_name == "float32"
+                else np.float16 if "float8" not in self.dtype_name
+                else np.uint8)
+        return self.kv_caches
+
+    # ---- page maintenance -------------------------------------------------
+    def copy(self, src_to_dst: List[Tuple[int, int]]) -> None:
+        if not src_to_dst:
+            return
+        src = jnp.asarray([s for s, _ in src_to_dst], jnp.int32)
+        dst = jnp.asarray([d for _, d in src_to_dst], jnp.int32)
+        new_caches = []
+        for (k, v) in self.kv_caches:
+            k2, v2 = _copy_blocks_op([k, v], src, dst)
+            new_caches.append((k2, v2))
+        self.kv_caches = new_caches
+
+    def swap_out(self, src_to_dst: List[Tuple[int, int]]) -> None:
+        if not src_to_dst:
+            return
+        dev_ids = [s for s, _ in src_to_dst]
+        host_ids = [d for _, d in src_to_dst]
+        gather = jnp.asarray(dev_ids, jnp.int32)
+        for li, (k, v) in enumerate(self.kv_caches):
+            k_pages = np.asarray(k[:, gather])
+            v_pages = np.asarray(v[:, gather])
+            self.cpu_pool[li, 0][:, host_ids] = k_pages.astype(
+                self.cpu_pool.dtype)
+            self.cpu_pool[li, 1][:, host_ids] = v_pages.astype(
+                self.cpu_pool.dtype)
+
+    def swap_in(self, src_to_dst: List[Tuple[int, int]]) -> None:
+        if not src_to_dst:
+            return
+        host_ids = [s for s, _ in src_to_dst]
+        dev_ids = jnp.asarray([d for _, d in src_to_dst], jnp.int32)
+        new_caches = []
+        for li, (k, v) in enumerate(self.kv_caches):
+            k_pages = jnp.asarray(
+                self.cpu_pool[li, 0][:, host_ids]).astype(self.dtype)
+            v_pages = jnp.asarray(
+                self.cpu_pool[li, 1][:, host_ids]).astype(self.dtype)
+            k = k.at[:, dev_ids].set(k_pages)
+            v = v.at[:, dev_ids].set(v_pages)
+            new_caches.append((k, v))
+        self.kv_caches = new_caches

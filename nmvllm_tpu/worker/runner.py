@@ -1,0 +1,451 @@
+"""Model runner: batch assembly, shape bucketing, compiled step dispatch.
+
+Reference parity: vllm/worker/model_runner.py (GPUModelRunnerBase:158,
+_prepare_model_input_tensors:332, execute_model:1176) and the reference's own
+TPU path vllm/worker/tpu_model_runner.py (warmup buckets :159, ModelWrapper
+:503 fusing forward+logits+sample in one graph).
+
+TPU-native design decisions (SURVEY.md §7):
+  * One compiled step per (mode, bucket, sampling-variant): forward + logits
+    + in-graph sampling, KV buffers donated — no host↔device ping-pong per
+    token (the analogue of CUDA-graph capture is XLA compilation caching).
+  * Decode steps: batch padded to a bucket (multiples of 8); prefill steps:
+    one sequence padded to a power-of-two token bucket
+    (tpu_model_runner.py:591-610 pattern, made a scheduler contract).
+  * The whole step runs under shard_map over the (data, tp) mesh: weights
+    and KV arrive as local shards, TP collectives are explicit psums inside
+    the model, sampling is replicated in-graph
+    (model_runner.py:1259's driver-only sampling has no SPMD analogue).
+"""
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from nmvllm_tpu.config import EngineConfig
+from nmvllm_tpu.layers.sampler import (SamplerOutputArrays, SamplingTensors,
+                                       sample)
+from nmvllm_tpu.logger import init_logger
+from nmvllm_tpu.models import resolve_model_cls
+from nmvllm_tpu.models.base import AttentionMetadata
+from nmvllm_tpu.parallel.mesh import TP_AXIS
+from nmvllm_tpu.sampling_params import SamplingParams, SamplingType
+from nmvllm_tpu.sequence import (CompletionSequenceGroupOutput, Logprob,
+                                 SamplerOutput, SequenceGroupMetadata,
+                                 SequenceOutput)
+from nmvllm_tpu.utils import cdiv, next_power_of_2, pad_to, round_up
+
+logger = init_logger(__name__)
+
+_MAX_NUM_LOGPROBS = 20
+
+
+def shard_map_fn(f, mesh, in_specs, out_specs):
+    """Version-tolerant shard_map wrapper."""
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except TypeError:
+        from jax.experimental.shard_map import shard_map
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
+@dataclass
+class _PreparedDecode:
+    tokens: np.ndarray
+    positions: np.ndarray
+    slot_mapping: np.ndarray
+    block_tables: np.ndarray
+    context_lens: np.ndarray
+    rows: List[Tuple[SequenceGroupMetadata, int]]  # (group meta, seq_id)
+
+
+class ModelRunner:
+
+    def __init__(self, engine_config: EngineConfig, mesh) -> None:
+        self.config = engine_config
+        self.model_config = engine_config.model_config
+        self.cache_config = engine_config.cache_config
+        self.scheduler_config = engine_config.scheduler_config
+        self.parallel_config = engine_config.parallel_config
+        self.mesh = mesh
+        self.tp_size = engine_config.parallel_config.tensor_parallel_size
+        self.block_size = engine_config.cache_config.block_size
+        self.model = None
+        self.params = None
+        self._param_specs = None
+        self._kv_spec = P(TP_AXIS, None, None, None)
+        self._step_fns: Dict[Any, Any] = {}
+        self._rng = jax.random.PRNGKey(self.model_config.seed)
+        self.max_blocks_per_seq = cdiv(self.scheduler_config.max_model_len,
+                                       self.block_size)
+
+    # ------------------------------------------------------------------ load
+    def load_model(self) -> None:
+        from nmvllm_tpu.model_loader import get_model
+        self.model, self.params = get_model(self.config, self.mesh)
+        self._param_specs = self.model.specs()
+
+    @property
+    def vocab_size(self) -> int:
+        return self.model_config.get_vocab_size()
+
+    # -------------------------------------------------------------- buckets
+    def decode_batch_buckets(self) -> List[int]:
+        out = []
+        b = 8
+        cap = round_up(self.scheduler_config.max_num_seqs, 8)
+        while b < cap:
+            out.append(b)
+            b *= 2
+        out.append(cap)
+        return out
+
+    def pad_decode_batch(self, n: int) -> int:
+        for b in self.decode_batch_buckets():
+            if n <= b:
+                return b
+        return self.decode_batch_buckets()[-1]
+
+    def pad_prefill_len(self, n: int) -> int:
+        # Powers of two ≥ 16 (tpu_model_runner.py:591 pattern).
+        return max(16, next_power_of_2(n))
+
+    # ---------------------------------------------------------- input build
+    def prepare_decode(
+            self, metas: List[SequenceGroupMetadata]) -> _PreparedDecode:
+        rows = []
+        for meta in metas:
+            for seq_id in sorted(meta.seq_data.keys()):
+                rows.append((meta, seq_id))
+        n = len(rows)
+        b = self.pad_decode_batch(n)
+        tokens = np.zeros((b, 1), np.int32)
+        positions = np.zeros((b, 1), np.int32)
+        slots = np.full((b, 1), -1, np.int32)
+        block_tables = np.zeros((b, self.max_blocks_per_seq), np.int32)
+        ctx = np.zeros((b,), np.int32)
+        for i, (meta, seq_id) in enumerate(rows):
+            data = meta.seq_data[seq_id]
+            seq_len = data.get_len()
+            tokens[i, 0] = data.get_last_token_id()
+            positions[i, 0] = seq_len - 1
+            table = meta.block_tables[seq_id]
+            block_tables[i, :len(table)] = table
+            pos = seq_len - 1
+            slots[i, 0] = table[pos // self.block_size] * self.block_size + \
+                pos % self.block_size
+            ctx[i] = seq_len
+        return _PreparedDecode(tokens, positions, slots, block_tables, ctx,
+                               rows)
+
+    def build_sampling_tensors(
+        self, rows: List[Tuple[SequenceGroupMetadata, int]], batch_pad: int
+    ) -> Tuple[SamplingTensors, Dict[str, Any]]:
+        n = len(rows)
+        b = batch_pad
+        vocab = self.vocab_size
+        temperature = np.ones((b,), np.float32)
+        top_k = np.zeros((b,), np.int32)
+        top_p = np.ones((b,), np.float32)
+        min_p = np.zeros((b,), np.float32)
+        pres = np.zeros((b,), np.float32)
+        freq = np.zeros((b,), np.float32)
+        rep = np.ones((b,), np.float32)
+        key_data = np.zeros((b, 2), np.uint32)
+
+        do_penalties = False
+        do_min_tokens = False
+        do_top_k_top_p = False
+        do_min_p = False
+        do_guided = False
+        num_logprobs = 0
+        max_out = 1
+        max_prompt = 1
+        max_ban = 1
+        max_allow = 1
+        guided_sets: Dict[int, Any] = {}
+        for (meta, seq_id) in rows:
+            sp = meta.sampling_params or SamplingParams()
+            data = meta.seq_data[seq_id]
+            if (sp.presence_penalty != 0.0 or sp.frequency_penalty != 0.0
+                    or sp.repetition_penalty != 1.0):
+                do_penalties = True
+                max_out = max(max_out, data.get_output_len())
+                max_prompt = max(max_prompt, data.get_prompt_len())
+            if (sp.min_tokens > 0
+                    and data.get_output_len() < sp.min_tokens
+                    and sp.all_stop_token_ids):
+                do_min_tokens = True
+                max_ban = max(max_ban, len(sp.all_stop_token_ids))
+            if sp.top_k > 0 or sp.top_p < 1.0:
+                do_top_k_top_p = True
+            if sp.min_p > 0.0:
+                do_min_p = True
+            if sp.logprobs is not None:
+                num_logprobs = _MAX_NUM_LOGPROBS
+
+        for i, (meta, seq_id) in enumerate(rows):
+            sp = meta.sampling_params or SamplingParams()
+            for proc in sp.logits_processors:
+                if getattr(proc, "is_guided", False):
+                    allowed = proc.allowed_token_ids(
+                        meta.seq_data[seq_id].output_token_ids)
+                    if allowed is not None:
+                        allowed = {t for t in allowed if t is not None}
+                        guided_sets[i] = allowed
+                        do_guided = True
+                        max_allow = max(max_allow, len(allowed))
+
+        hist_out = max(8, next_power_of_2(max_out))
+        hist_prompt = max(8, next_power_of_2(max_prompt))
+        ban_pad = max(8, next_power_of_2(max_ban))
+        allow_pad = max(8, next_power_of_2(max_allow))
+        allowed_arr = np.full((b, allow_pad), vocab, np.int32)
+        for i, allowed in guided_sets.items():
+            ids = sorted(allowed)[:allow_pad]
+            allowed_arr[i, :len(ids)] = ids
+        out_tokens = np.full((b, hist_out if do_penalties else 8), vocab,
+                             np.int32)
+        prompt_tokens = np.full((b, hist_prompt if do_penalties else 8),
+                                vocab, np.int32)
+        banned = np.full((b, ban_pad), vocab, np.int32)
+
+        for i, (meta, seq_id) in enumerate(rows):
+            sp = meta.sampling_params or SamplingParams()
+            data = meta.seq_data[seq_id]
+            temperature[i] = sp.temperature
+            top_k[i] = sp.top_k if sp.top_k > 0 else 0
+            top_p[i] = sp.top_p
+            min_p[i] = sp.min_p
+            pres[i] = sp.presence_penalty
+            freq[i] = sp.frequency_penalty
+            rep[i] = sp.repetition_penalty
+            if sp.sampling_type == SamplingType.RANDOM_SEED:
+                base = jax.random.PRNGKey(sp.seed)
+            else:
+                base = jax.random.fold_in(
+                    self._rng, meta.state_seed
+                    if meta.state_seed is not None else abs(
+                        hash(meta.request_id)) % (2**31))
+            key = jax.random.fold_in(base,
+                                     data.get_output_len() * 1000 + seq_id)
+            key_data[i] = np.asarray(jax.random.key_data(key), np.uint32)
+            if do_penalties:
+                out_ids = data.output_token_ids[-hist_out:]
+                out_tokens[i, :len(out_ids)] = out_ids
+                p_ids = data.prompt_token_ids[:hist_prompt]
+                prompt_tokens[i, :len(p_ids)] = p_ids
+            if (sp.min_tokens > 0
+                    and data.get_output_len() < sp.min_tokens):
+                ids = list(sp.all_stop_token_ids)[:ban_pad]
+                banned[i, :len(ids)] = ids
+
+        tensors = SamplingTensors(
+            temperature=jnp.asarray(temperature),
+            top_k=jnp.asarray(top_k), top_p=jnp.asarray(top_p),
+            min_p=jnp.asarray(min_p),
+            presence_penalty=jnp.asarray(pres),
+            frequency_penalty=jnp.asarray(freq),
+            repetition_penalty=jnp.asarray(rep),
+            key_data=jnp.asarray(key_data),
+            output_tokens=jnp.asarray(out_tokens),
+            prompt_tokens=jnp.asarray(prompt_tokens),
+            banned_tokens=jnp.asarray(banned),
+            allowed_tokens=jnp.asarray(allowed_arr))
+        flags = dict(do_penalties=do_penalties, do_min_tokens=do_min_tokens,
+                     do_top_k_top_p=do_top_k_top_p, do_min_p=do_min_p,
+                     do_guided=do_guided, num_logprobs=num_logprobs)
+        return tensors, flags
+
+    # -------------------------------------------------------- compiled steps
+    def _specs_tuple(self):
+        kv_specs = [(self._kv_spec, self._kv_spec)
+                    for _ in range(len(self.model.layers))]
+        return self._param_specs, kv_specs
+
+    def _get_decode_fn(self, flags_key):
+        key = ("decode", flags_key)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        flags = dict(flags_key)
+        model = self.model
+        param_specs, kv_specs = self._specs_tuple()
+        mesh = self.mesh
+        vocab_size = self.vocab_size
+
+        def fwd(params, kv_caches, tokens, positions, slots, block_tables,
+                ctx):
+            meta = AttentionMetadata(
+                slot_mapping=slots, block_tables=block_tables,
+                context_lens=ctx, seq_lens=jnp.ones_like(ctx),
+                prefix_lens=jnp.zeros_like(ctx))
+            x, kv_caches = model.forward(params, tokens, positions,
+                                         kv_caches, meta, is_prefill=False)
+            logits = model.compute_logits(params, x[:, 0, :])
+            return logits, kv_caches
+
+        sharded_fwd = shard_map_fn(
+            fwd, mesh,
+            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P()),
+            out_specs=(P(), kv_specs))
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(params, kv_caches, tokens, positions, slots, block_tables,
+                 ctx, sampling_tensors):
+            logits, kv_caches = sharded_fwd(params, kv_caches, tokens,
+                                            positions, slots, block_tables,
+                                            ctx)
+            out = sample(logits, sampling_tensors, vocab_size=vocab_size,
+                         **flags)
+            return kv_caches, out
+
+        self._step_fns[key] = step
+        return step
+
+    def _get_prefill_fn(self, flags_key, has_prefix: bool, do_sample: bool):
+        key = ("prefill", flags_key, has_prefix, do_sample)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        flags = dict(flags_key)
+        model = self.model
+        param_specs, kv_specs = self._specs_tuple()
+        mesh = self.mesh
+        vocab_size = self.vocab_size
+
+        def fwd(params, kv_caches, tokens, positions, slots, block_tables,
+                ctx, seq_lens, prefix_lens):
+            meta = AttentionMetadata(
+                slot_mapping=slots, block_tables=block_tables,
+                context_lens=ctx, seq_lens=seq_lens,
+                prefix_lens=prefix_lens)
+            x, kv_caches = model.forward(params, tokens, positions,
+                                         kv_caches, meta, is_prefill=True,
+                                         has_prefix=has_prefix)
+            hidden = model.select_last_token(x, seq_lens)
+            if do_sample:
+                logits = model.compute_logits(params, hidden)
+            else:
+                logits = jnp.zeros((tokens.shape[0], 8), jnp.float32)
+            return logits, kv_caches
+
+        sharded_fwd = shard_map_fn(
+            fwd, mesh,
+            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),
+                      P()),
+            out_specs=(P(), kv_specs))
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(params, kv_caches, tokens, positions, slots, block_tables,
+                 ctx, seq_lens, prefix_lens, sampling_tensors):
+            logits, kv_caches = sharded_fwd(params, kv_caches, tokens,
+                                            positions, slots, block_tables,
+                                            ctx, seq_lens, prefix_lens)
+            if do_sample:
+                out = sample(logits, sampling_tensors,
+                             vocab_size=vocab_size, **flags)
+            else:
+                out = None
+            return kv_caches, out
+
+        self._step_fns[key] = step
+        return step
+
+    # ------------------------------------------------------------- execution
+    def execute_decode(self, metas: List[SequenceGroupMetadata],
+                       kv_caches) -> Tuple[Any, SamplerOutput]:
+        prep = self.prepare_decode(metas)
+        b = prep.tokens.shape[0]
+        tensors, flags = self.build_sampling_tensors(prep.rows, b)
+        flags_key = tuple(sorted(flags.items()))
+        step = self._get_decode_fn(flags_key)
+        kv_caches, out = step(self.params, kv_caches,
+                              jnp.asarray(prep.tokens),
+                              jnp.asarray(prep.positions),
+                              jnp.asarray(prep.slot_mapping),
+                              jnp.asarray(prep.block_tables),
+                              jnp.asarray(prep.context_lens), tensors)
+        sampler_output = self._to_sampler_output(out, prep.rows, metas)
+        return kv_caches, sampler_output
+
+    def execute_prefill(self, meta: SequenceGroupMetadata,
+                        kv_caches) -> Tuple[Any, Optional[SamplerOutput]]:
+        """Run one prompt (or prompt chunk): batch dim 1, padded length."""
+        seq_id = next(iter(meta.seq_data.keys()))
+        data = meta.seq_data[seq_id]
+        num_computed = data.get_num_computed_tokens()
+        chunk = meta.token_chunk_size
+        token_ids = data.get_token_ids()[num_computed:num_computed + chunk]
+        t = self.pad_prefill_len(chunk)
+        tokens = np.zeros((1, t), np.int32)
+        tokens[0, :chunk] = token_ids
+        positions = np.zeros((1, t), np.int32)
+        positions[0, :chunk] = np.arange(num_computed, num_computed + chunk)
+        table = meta.block_tables[seq_id]
+        block_tables = np.zeros((1, self.max_blocks_per_seq), np.int32)
+        block_tables[0, :len(table)] = table
+        slots = np.full((1, t), -1, np.int32)
+        for j in range(chunk):
+            pos = num_computed + j
+            slots[0, j] = table[pos // self.block_size] * self.block_size + \
+                pos % self.block_size
+        ctx = np.asarray([num_computed + chunk], np.int32)
+        seq_lens = np.asarray([chunk], np.int32)
+        prefix_lens = np.asarray([num_computed], np.int32)
+        has_prefix = num_computed > 0
+
+        rows = [(meta, seq_id)]
+        tensors, flags = self.build_sampling_tensors(rows, 1)
+        flags_key = tuple(sorted(flags.items()))
+        step = self._get_prefill_fn(flags_key, has_prefix, meta.do_sample)
+        kv_caches, out = step(self.params, kv_caches, jnp.asarray(tokens),
+                              jnp.asarray(positions), jnp.asarray(slots),
+                              jnp.asarray(block_tables), jnp.asarray(ctx),
+                              jnp.asarray(seq_lens),
+                              jnp.asarray(prefix_lens), tensors)
+        if out is None:
+            return kv_caches, None
+        return kv_caches, self._to_sampler_output(out, rows, [meta])
+
+    def _to_sampler_output(self, out: SamplerOutputArrays,
+                           rows: List[Tuple[SequenceGroupMetadata, int]],
+                           metas: List[SequenceGroupMetadata]
+                           ) -> SamplerOutput:
+        next_tokens = np.asarray(out.next_tokens)
+        chosen_lp = np.asarray(out.logprob)
+        topk_ids = (np.asarray(out.topk_ids)
+                    if out.topk_ids is not None else None)
+        topk_lp = (np.asarray(out.topk_logprobs)
+                   if out.topk_logprobs is not None else None)
+        per_group: Dict[str, List[SequenceOutput]] = {}
+        for i, (meta, seq_id) in enumerate(rows):
+            token = int(next_tokens[i])
+            lp = float(chosen_lp[i])
+            sp = meta.sampling_params
+            logprobs = {token: Logprob(lp)}
+            if (topk_ids is not None and sp is not None
+                    and sp.logprobs is not None):
+                want = min(sp.logprobs, topk_ids.shape[1])
+                for r in range(want):
+                    tid = int(topk_ids[i, r])
+                    logprobs.setdefault(
+                        tid, Logprob(float(topk_lp[i, r]), rank=r + 1))
+                if token in logprobs and logprobs[token].rank is None:
+                    ranks = np.where(topk_ids[i] == token)[0]
+                    logprobs[token].rank = (int(ranks[0]) + 1
+                                            if len(ranks) else None)
+            per_group.setdefault(meta.request_id, []).append(
+                SequenceOutput(parent_seq_id=seq_id, output_token=token,
+                               logprobs=logprobs))
+        outputs = []
+        for meta in metas:
+            outputs.append(
+                CompletionSequenceGroupOutput(
+                    samples=per_group.get(meta.request_id, [])))
+        return SamplerOutput(outputs=outputs, sampled_token_ids=next_tokens)
