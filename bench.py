@@ -1,0 +1,160 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): tokens/sec/chip, Llama-3-8B INT4 decode.
+`vs_baseline` is measured throughput / the HBM-bandwidth roofline for the
+INT4 dequant-GEMM decode step on this chip (the reference's own north-star
+framing: Marlin-class kernels are judged against the bandwidth roofline).
+
+Scales the model to the available HBM: full Llama-3-8B geometry on real
+TPU; a reduced-layer variant elsewhere. Selectable with --config.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def roofline_tokens_per_s(param_bytes: int, hbm_gbps: float,
+                          batch: int) -> float:
+    """Weight-bandwidth-bound decode: steps/s = BW / bytes; tok/s = B x."""
+    return batch * (hbm_gbps * 1e9) / param_bytes
+
+
+def detect_hbm_gbps() -> float:
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 819.0
+    if "v4" in kind:
+        return 1228.0
+    if "v5p" in kind or "v5" in kind:
+        return 2765.0
+    if "v6" in kind:
+        return 1640.0
+    return 819.0
+
+
+def count_quant_param_bytes(params) -> int:
+    import jax
+    total = 0
+    for leaf in jax.tree.leaves(params):
+        total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
+def run_decode_bench(model_name: str, quantization, batch: int,
+                     context_len: int, steps: int, block_size: int = 16,
+                     dtype: str = "bfloat16"):
+    import jax
+    import jax.numpy as jnp
+    from nmvllm_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
+                                   ModelConfig, ParallelConfig,
+                                   SchedulerConfig)
+    from nmvllm_tpu.model_loader import build_model, init_params_on_mesh
+    from nmvllm_tpu.models.base import AttentionMetadata
+    from nmvllm_tpu.parallel.mesh import build_mesh
+    from nmvllm_tpu.utils import cdiv
+
+    mesh = build_mesh(1, 1)
+    model_config = ModelConfig(model=model_name, quantization=quantization,
+                               dtype=dtype)
+    engine_config = EngineConfig(
+        model_config=model_config,
+        cache_config=CacheConfig(block_size=block_size),
+        parallel_config=ParallelConfig(),
+        scheduler_config=SchedulerConfig(max_model_len=context_len,
+                                         max_num_seqs=batch),
+        device_config=DeviceConfig())
+    model = build_model(engine_config)
+    params = init_params_on_mesh(model, mesh, 0)
+    params_bytes = count_quant_param_bytes(params)
+
+    num_layers = len(model.layers)
+    blocks_per_seq = cdiv(context_len, block_size)
+    num_blocks = batch * blocks_per_seq + 1
+    kv_caches = []
+    for _ in range(num_layers):
+        shape = (model.total_num_kv_heads, num_blocks, block_size,
+                 model.head_dim)
+        kv_caches.append((jnp.zeros(shape, jnp.bfloat16),
+                          jnp.zeros(shape, jnp.bfloat16)))
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def decode_step(params, kv_caches, tokens, positions, slots,
+                    block_tables, ctx):
+        meta = AttentionMetadata(
+            slot_mapping=slots, block_tables=block_tables,
+            context_lens=ctx, seq_lens=jnp.ones_like(ctx),
+            prefix_lens=jnp.zeros_like(ctx))
+        x, kv_caches = model.forward(params, tokens, positions, kv_caches,
+                                     meta, is_prefill=False)
+        logits = model.compute_logits(params, x[:, 0, :])
+        return jnp.argmax(logits, -1).astype(jnp.int32), kv_caches
+
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 256, (batch, 1)), jnp.int32)
+    positions = jnp.full((batch, 1), context_len - 1, jnp.int32)
+    block_tables = jnp.asarray(
+        np.arange(batch * blocks_per_seq).reshape(batch, blocks_per_seq),
+        jnp.int32)
+    slots = jnp.asarray(
+        (np.arange(batch) * blocks_per_seq + blocks_per_seq - 1) *
+        block_size + (context_len - 1) % block_size,
+        jnp.int32).reshape(batch, 1)
+    ctx = jnp.full((batch,), context_len, jnp.int32)
+
+    # Warmup/compile.
+    out, kv_caches = decode_step(params, kv_caches, tokens, positions,
+                                 slots, block_tables, ctx)
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out, kv_caches = decode_step(params, kv_caches, tokens, positions,
+                                     slots, block_tables, ctx)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    tokens_per_s = batch * steps / dt
+    return tokens_per_s, params_bytes
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="auto",
+                        choices=["auto", "llama3-8b-int4", "debug"])
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--context-len", type=int, default=1024)
+    parser.add_argument("--steps", type=int, default=20)
+    args = parser.parse_args()
+
+    import jax
+    on_tpu = jax.devices()[0].platform == "tpu"
+    config = args.config
+    if config == "auto":
+        config = "llama3-8b-int4" if on_tpu else "debug"
+
+    if config == "llama3-8b-int4":
+        model_name, quant = "llama-3-8b", "gptq"
+        batch, ctx, steps = args.batch, args.context_len, args.steps
+    else:
+        model_name, quant = "debug-llama", None
+        batch, ctx, steps = 8, 128, 5
+
+    tokens_per_s, params_bytes = run_decode_bench(
+        model_name, quant, batch, ctx, steps)
+    hbm = detect_hbm_gbps()
+    roof = roofline_tokens_per_s(params_bytes, hbm, batch)
+    print(json.dumps({
+        "metric": f"decode_tokens_per_s_per_chip[{model_name}"
+                  f"{'+' + quant if quant else ''},B={batch},ctx={ctx}]",
+        "value": round(tokens_per_s, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(tokens_per_s / roof, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

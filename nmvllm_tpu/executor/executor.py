@@ -63,8 +63,10 @@ class TPUExecutor:
         avail = int(total * cache_config.hbm_utilization) - used
         num_dev_blocks = max(avail // block_bytes_per_dev, 0)
         num_host_blocks = int(cache_config.swap_space_bytes // block_bytes)
-        # Cap the block count so block tables stay reasonable.
+        # Cap the block counts so block tables and the host pool stay sane.
         num_dev_blocks = min(num_dev_blocks, 512 * 1024)
+        num_host_blocks = min(num_host_blocks, 4 * max(num_dev_blocks, 1),
+                              32768)
         return num_dev_blocks, num_host_blocks
 
     def initialize_cache(self, num_gpu_blocks: int,

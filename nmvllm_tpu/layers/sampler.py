@@ -177,7 +177,17 @@ def sample(
 
 
 def make_key_data(seed: int, step: int) -> np.ndarray:
-    """Host-side counter-based key derivation (threefry key data)."""
-    key = jax.random.key_data(
-        jax.random.fold_in(jax.random.PRNGKey(seed), step))
-    return np.asarray(key, dtype=np.uint32)
+    """Host-side counter-based key derivation.
+
+    Pure numpy (no device dispatch — on TPU every eager op is a compile
+    round-trip): splitmix64 over (seed, step) yields 2 uint32 words, which
+    form a valid threefry2x32 key for jax.random.wrap_key_data.
+    """
+    mask = (1 << 64) - 1
+    z = ((seed & mask) * 0x9E3779B97F4A7C15 + step +
+         0x632BE59BD9B4E019) & mask
+    for _ in range(2):
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        z = z ^ (z >> 31)
+    return np.array([z >> 32, z & 0xFFFFFFFF], dtype=np.uint32)

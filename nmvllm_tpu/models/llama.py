@@ -58,6 +58,7 @@ class Attention:
         self.v_scale = v_scale
         prefix = f"model.layers.{layer_idx}.self_attn"
         attn_bias = getattr(cfg, "attention_bias", False)
+        out_bias = getattr(cfg, "attention_out_bias", attn_bias)
         qd = self.total_heads * self.head_dim
         kvd = self.total_kv_heads * self.head_dim
         self.q_proj = Linear(cfg.hidden_size, qd, bias=attn_bias,
@@ -72,7 +73,7 @@ class Attention:
                              shard="column",
                              method=method_factory(f"{prefix}.v_proj"),
                              params_dtype=dtype)
-        self.o_proj = Linear(qd, cfg.hidden_size, bias=attn_bias,
+        self.o_proj = Linear(qd, cfg.hidden_size, bias=out_bias,
                              shard="row",
                              method=method_factory(f"{prefix}.o_proj"),
                              params_dtype=dtype)

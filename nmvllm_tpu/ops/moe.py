@@ -1,0 +1,91 @@
+"""Fused MoE: routing + grouped expert GEMM.
+
+TPU-native replacement for the reference's Triton fused MoE
+(vllm/model_executor/layers/fused_moe/fused_moe.py:19 fused_moe_kernel,
+moe_align_block_size:166, csrc/moe_align_block_size_kernels.cu,
+csrc/moe/topk_softmax_kernels.cu).
+
+Design (SURVEY.md §A.2): tokens are sorted by expert (the alignment the
+CUDA kernel does with moe_align_block_size) and the expert GEMMs run as a
+single `jax.lax.ragged_dot` over stacked expert weights — XLA's grouped
+matmul hits the MXU with one kernel per projection, replacing the tuned
+Triton block configs.
+"""
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def topk_softmax(gate_logits: jax.Array, top_k: int,
+                 renormalize: bool = True) -> Tuple[jax.Array, jax.Array]:
+    """Routing: per-token top-k experts + weights (topk_softmax_kernels.cu).
+
+    gate_logits: (T, E) -> (weights (T, k) f32, ids (T, k) int32)
+    """
+    probs = jax.nn.softmax(gate_logits.astype(jnp.float32), axis=-1)
+    weights, ids = jax.lax.top_k(probs, top_k)
+    if renormalize:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    return weights, ids.astype(jnp.int32)
+
+
+def fused_moe(
+    x: jax.Array,            # (T, H) tokens
+    w1: jax.Array,           # (E, H, 2I) gate+up stacked per expert
+    w2: jax.Array,           # (E, I, H) down per expert
+    gate_logits: jax.Array,  # (T, E)
+    top_k: int,
+    *,
+    renormalize: bool = True,
+    activation: str = "silu",
+) -> jax.Array:
+    """Sorted ragged grouped-GEMM MoE (reference fused_experts:402)."""
+    t, h = x.shape
+    e = w1.shape[0]
+    weights, ids = topk_softmax(gate_logits, top_k, renormalize)
+
+    flat_ids = ids.reshape(-1)                       # (T*k,)
+    order = jnp.argsort(flat_ids)                    # stable sort by expert
+    token_idx = order // top_k                       # source token per row
+    x_sorted = x[token_idx]                          # (T*k, H)
+    group_sizes = jnp.bincount(flat_ids, length=e)   # (E,)
+
+    h1 = jax.lax.ragged_dot(x_sorted, w1, group_sizes)   # (T*k, 2I)
+    a, b = jnp.split(h1, 2, axis=-1)
+    if activation == "silu":
+        inter = jax.nn.silu(a) * b
+    elif activation.startswith("gelu"):
+        inter = jax.nn.gelu(a, approximate=True) * b
+    else:
+        raise ValueError(f"Unsupported MoE activation {activation}")
+    out_sorted = jax.lax.ragged_dot(inter.astype(x.dtype), w2, group_sizes)
+
+    # Unsort and apply routing weights; scatter-add rows back per token.
+    w_sorted = weights.reshape(-1)[order]
+    contrib = out_sorted.astype(jnp.float32) * w_sorted[:, None]
+    out = jnp.zeros((t, h), jnp.float32).at[token_idx].add(contrib)
+    return out.astype(x.dtype)
+
+
+def fused_moe_reference(x, w1, w2, gate_logits, top_k, *,
+                        renormalize: bool = True,
+                        activation: str = "silu") -> jax.Array:
+    """Dense one-hot reference: every expert computes every token."""
+    weights, ids = topk_softmax(gate_logits, top_k, renormalize)
+    t, h = x.shape
+    e = w1.shape[0]
+    # (T, E) combined routing weight.
+    combine = jnp.zeros((t, e), jnp.float32).at[
+        jnp.arange(t)[:, None], ids].add(weights)
+    h1 = jnp.einsum("th,ehi->tei", x.astype(jnp.float32),
+                    w1.astype(jnp.float32))
+    a, b = jnp.split(h1, 2, axis=-1)
+    if activation == "silu":
+        inter = jax.nn.silu(a) * b
+    else:
+        inter = jax.nn.gelu(a, approximate=True) * b
+    per_expert = jnp.einsum("tei,eih->teh", inter, w2.astype(jnp.float32))
+    out = jnp.einsum("teh,te->th", per_expert, combine)
+    return out.astype(x.dtype)

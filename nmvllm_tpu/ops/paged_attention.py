@@ -85,7 +85,12 @@ def _decode_kernel(
         for c in copies(sb, slot):
             c.wait()
 
-    start(0, 0)
+    # Padding rows have ctx == 0 (num_sb == 0): no DMA may start, or its
+    # semaphore would never be awaited and the program would fault.
+    @pl.when(num_sb > 0)
+    def _():
+        start(0, 0)
+
     q = q_ref[0, 0].astype(jnp.float32) * scale  # (G_pad, d)
 
     def body(sb, carry):

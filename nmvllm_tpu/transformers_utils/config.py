@@ -85,9 +85,9 @@ def _llama3_70b():
 def _debug_mixtral():
     from transformers import MixtralConfig
     return MixtralConfig(architectures=["MixtralForCausalLM"],
-                         hidden_size=128, intermediate_size=256,
-                         num_hidden_layers=2, num_attention_heads=4,
-                         num_key_value_heads=2, vocab_size=512,
+                         hidden_size=256, intermediate_size=256,
+                         num_hidden_layers=2, num_attention_heads=2,
+                         num_key_value_heads=1, vocab_size=512,
                          num_local_experts=4, num_experts_per_tok=2,
                          max_position_embeddings=2048)
 
@@ -107,9 +107,9 @@ def _mixtral_8x7b():
 def _debug_qwen2():
     from transformers import Qwen2Config
     return Qwen2Config(architectures=["Qwen2ForCausalLM"],
-                       hidden_size=128, intermediate_size=256,
-                       num_hidden_layers=2, num_attention_heads=4,
-                       num_key_value_heads=2, vocab_size=512,
+                       hidden_size=256, intermediate_size=256,
+                       num_hidden_layers=2, num_attention_heads=2,
+                       num_key_value_heads=1, vocab_size=512,
                        max_position_embeddings=2048)
 
 
@@ -127,9 +127,9 @@ def _qwen2_7b():
 def _debug_gemma():
     from transformers import GemmaConfig
     return GemmaConfig(architectures=["GemmaForCausalLM"],
-                       hidden_size=128, intermediate_size=256,
-                       num_hidden_layers=2, num_attention_heads=4,
-                       num_key_value_heads=1, head_dim=32, vocab_size=512,
+                       hidden_size=256, intermediate_size=256,
+                       num_hidden_layers=2, num_attention_heads=2,
+                       num_key_value_heads=1, head_dim=128, vocab_size=512,
                        max_position_embeddings=2048)
 
 
@@ -147,9 +147,9 @@ def _gemma_7b():
 def _debug_mistral():
     from transformers import MistralConfig
     return MistralConfig(architectures=["MistralForCausalLM"],
-                         hidden_size=128, intermediate_size=256,
-                         num_hidden_layers=2, num_attention_heads=4,
-                         num_key_value_heads=2, vocab_size=512,
+                         hidden_size=256, intermediate_size=256,
+                         num_hidden_layers=2, num_attention_heads=2,
+                         num_key_value_heads=1, vocab_size=512,
                          sliding_window=64, max_position_embeddings=2048)
 
 
@@ -167,9 +167,9 @@ def _mistral_7b():
 def _debug_phi3():
     from transformers import Phi3Config
     return Phi3Config(architectures=["Phi3ForCausalLM"],
-                      hidden_size=128, intermediate_size=256,
-                      num_hidden_layers=2, num_attention_heads=4,
-                      num_key_value_heads=2, vocab_size=512,
+                      hidden_size=256, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      num_key_value_heads=1, vocab_size=512,
                       max_position_embeddings=2048)
 
 

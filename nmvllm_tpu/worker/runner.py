@@ -228,15 +228,14 @@ class ModelRunner:
             freq[i] = sp.frequency_penalty
             rep[i] = sp.repetition_penalty
             if sp.sampling_type == SamplingType.RANDOM_SEED:
-                base = jax.random.PRNGKey(sp.seed)
+                base_seed = int(sp.seed)
             else:
-                base = jax.random.fold_in(
-                    self._rng, meta.state_seed
-                    if meta.state_seed is not None else abs(
-                        hash(meta.request_id)) % (2**31))
-            key = jax.random.fold_in(base,
-                                     data.get_output_len() * 1000 + seq_id)
-            key_data[i] = np.asarray(jax.random.key_data(key), np.uint32)
+                base_seed = self.model_config.seed * 1000003 + (
+                    meta.state_seed if meta.state_seed is not None
+                    else abs(hash(meta.request_id)) % (2**31))
+            from nmvllm_tpu.layers.sampler import make_key_data
+            key_data[i] = make_key_data(
+                base_seed, data.get_output_len() * 1009 + seq_id)
             if do_penalties:
                 out_ids = data.output_token_ids[-hist_out:]
                 out_tokens[i, :len(out_ids)] = out_ids
@@ -365,6 +364,8 @@ class ModelRunner:
         tensors, flags = self.build_sampling_tensors(prep.rows, b)
         flags_key = tuple(sorted(flags.items()))
         step = self._get_decode_fn(flags_key)
+        logger.debug("decode step: B=%d rows=%d flags=%s", b,
+                     len(prep.rows), flags)
         kv_caches, out = step(self.params, kv_caches,
                               jnp.asarray(prep.tokens),
                               jnp.asarray(prep.positions),
@@ -404,6 +405,8 @@ class ModelRunner:
         tensors, flags = self.build_sampling_tensors(rows, 1)
         flags_key = tuple(sorted(flags.items()))
         step = self._get_prefill_fn(flags_key, has_prefix, meta.do_sample)
+        logger.debug("prefill step: T=%d chunk=%d prefix=%s flags=%s", t,
+                     chunk, has_prefix, flags)
         kv_caches, out = step(self.params, kv_caches, jnp.asarray(tokens),
                               jnp.asarray(positions), jnp.asarray(slots),
                               jnp.asarray(block_tables), jnp.asarray(ctx),
