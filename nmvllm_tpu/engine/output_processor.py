@@ -50,25 +50,32 @@ def detokenize_incrementally(tokenizer, all_input_ids: List[int],
     """Incremental decode (reference detokenizer.py:
     detokenize_incrementally)."""
     new_token_id = all_input_ids[-1]
-    if prev_tokens is None:
-        new_tokens = tokenizer.convert_ids_to_tokens(
-            all_input_ids, skip_special_tokens=skip_special_tokens)
-        if isinstance(new_tokens, str):
-            new_tokens = [new_tokens]
-        output_tokens = new_tokens
+    first_call = prev_tokens is None
+    if first_call:
+        # Initialize offsets from the tokens BEFORE the new one, then treat
+        # the new token incrementally (reference detokenizer.py behavior).
+        prompt_tokens = tokenizer.convert_ids_to_tokens(
+            all_input_ids[:-1], skip_special_tokens=skip_special_tokens)
+        if isinstance(prompt_tokens, str):
+            prompt_tokens = [prompt_tokens]
+        prev_tokens = prompt_tokens
         prefix_offset = max(
-            len(output_tokens) - INITIAL_INCREMENTAL_DETOKENIZATION_OFFSET,
+            len(prompt_tokens) - INITIAL_INCREMENTAL_DETOKENIZATION_OFFSET,
             0)
-        read_offset = max(len(output_tokens), 0)
-    else:
-        if skip_special_tokens and new_token_id in getattr(
-                tokenizer, "all_special_ids", []):
-            return [], "", prefix_offset, read_offset
-        new_tokens = tokenizer.convert_ids_to_tokens(
-            [new_token_id], skip_special_tokens=skip_special_tokens)
-        if isinstance(new_tokens, str):
-            new_tokens = [new_tokens]
-        output_tokens = prev_tokens + new_tokens
+        read_offset = len(prompt_tokens)
+    if skip_special_tokens and new_token_id in getattr(
+            tokenizer, "all_special_ids", []):
+        return [], "", prefix_offset, read_offset
+    new_tokens = tokenizer.convert_ids_to_tokens(
+        [new_token_id], skip_special_tokens=skip_special_tokens)
+    if isinstance(new_tokens, str):
+        new_tokens = [new_tokens]
+    output_tokens = prev_tokens + new_tokens
+    if first_call:
+        # Caller stores the returned tokens as the sequence's token list;
+        # on the first call that must include the prompt tokens so offsets
+        # stay aligned.
+        new_tokens = output_tokens
 
     has_added = bool(tokenizer.get_added_vocab()) if hasattr(
         tokenizer, "get_added_vocab") else False

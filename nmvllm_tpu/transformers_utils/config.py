@@ -87,7 +87,7 @@ def _debug_mixtral():
     return MixtralConfig(architectures=["MixtralForCausalLM"],
                          hidden_size=256, intermediate_size=256,
                          num_hidden_layers=2, num_attention_heads=2,
-                         num_key_value_heads=1, vocab_size=512,
+                         num_key_value_heads=2, vocab_size=512,
                          num_local_experts=4, num_experts_per_tok=2,
                          max_position_embeddings=2048)
 
