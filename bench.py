@@ -71,7 +71,8 @@ def run_decode_bench(model_name: str, quantization, batch: int,
     params_bytes = count_quant_param_bytes(params)
 
     num_layers = len(model.layers)
-    blocks_per_seq = cdiv(context_len, block_size)
+    # Room for the scan-decoded continuation tokens past context_len.
+    blocks_per_seq = cdiv(context_len + steps + 8, block_size)
     num_blocks = batch * blocks_per_seq + 1
     kv_caches = []
     for _ in range(num_layers):
@@ -81,10 +82,13 @@ def run_decode_bench(model_name: str, quantization, batch: int,
                           jnp.zeros(shape, jnp.bfloat16)))
 
     import functools
+    from jax.sharding import PartitionSpec as P
+    from nmvllm_tpu.worker.runner import shard_map_fn
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def decode_step(params, kv_caches, tokens, positions, slots,
-                    block_tables, ctx):
+    param_specs = model.specs()
+    kv_specs = [(P("tp"), P("tp")) for _ in range(num_layers)]
+
+    def fwd(params, kv_caches, tokens, positions, slots, block_tables, ctx):
         meta = AttentionMetadata(
             slot_mapping=slots, block_tables=block_tables,
             context_lens=ctx, seq_lens=jnp.ones_like(ctx),
@@ -93,6 +97,17 @@ def run_decode_bench(model_name: str, quantization, batch: int,
                                      meta, is_prefill=False)
         logits = model.compute_logits(params, x[:, 0, :])
         return jnp.argmax(logits, -1).astype(jnp.int32), kv_caches
+
+    sharded = shard_map_fn(
+        fwd, mesh,
+        in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P()),
+        out_specs=(P(), kv_specs))
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def decode_step(params, kv_caches, tokens, positions, slots,
+                    block_tables, ctx):
+        return sharded(params, kv_caches, tokens, positions, slots,
+                       block_tables, ctx)
 
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, 256, (batch, 1)), jnp.int32)
@@ -106,16 +121,41 @@ def run_decode_bench(model_name: str, quantization, batch: int,
         jnp.int32).reshape(batch, 1)
     ctx = jnp.full((batch,), context_len, jnp.int32)
 
+    # Multi-step autoregressive decode fully on device (lax.scan): the
+    # sampled token feeds the next step, positions/slots advance in-graph.
+    # This measures the compiled decode path without host-dispatch latency —
+    # the single-step path (decode_step above) stays for latency checks.
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(1,))
+    def decode_many(params, kv_caches, tokens, positions, block_tables,
+                    n_steps):
+        def body(carry, _):
+            kv_caches, tokens, positions = carry
+            pos = positions[:, 0]
+            slots = (jnp.take_along_axis(
+                block_tables, (pos // block_size)[:, None], axis=1)[:, 0] *
+                block_size + pos % block_size)[:, None]
+            ctx_now = pos + 1
+            next_tok, kv_caches = sharded(params, kv_caches, tokens,
+                                          positions, slots, block_tables,
+                                          ctx_now)
+            return (kv_caches, next_tok[:, None], positions + 1), next_tok
+
+        (kv_caches, tokens, positions), toks = jax.lax.scan(
+            body, (kv_caches, tokens, positions), None, length=n_steps)
+        return toks, kv_caches, tokens, positions
+
     # Warmup/compile.
-    out, kv_caches = decode_step(params, kv_caches, tokens, positions,
-                                 slots, block_tables, ctx)
-    out.block_until_ready()
+    toks, kv_caches, _, _ = decode_many(params, kv_caches, tokens,
+                                        positions, block_tables, n_steps=2)
+    toks.block_until_ready()
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out, kv_caches = decode_step(params, kv_caches, tokens, positions,
-                                     slots, block_tables, ctx)
-    out.block_until_ready()
+    toks, kv_caches, _, _ = decode_many(params, kv_caches, tokens,
+                                        positions, block_tables,
+                                        n_steps=steps)
+    toks.block_until_ready()
     dt = time.perf_counter() - t0
     tokens_per_s = batch * steps / dt
     return tokens_per_s, params_bytes
@@ -141,7 +181,7 @@ def main():
         batch, ctx, steps = args.batch, args.context_len, args.steps
     else:
         model_name, quant = "debug-llama", None
-        batch, ctx, steps = 8, 128, 5
+        batch, ctx, steps = 8, 128, args.steps
 
     tokens_per_s, params_bytes = run_decode_bench(
         model_name, quant, batch, ctx, steps)

@@ -322,6 +322,19 @@ class Scheduler:
                 break
             waiting.popleft()
             self._allocate_and_set_running(seq_group)
+            # Prefix-cache credit: tokens whose blocks are already computed
+            # are skipped; the runner attends to them as a paged prefix
+            # (reference: computed_block_nums flowing into the Triton
+            # prefix-prefill path).
+            if self.block_manager.enable_caching:
+                seq = seqs[0]
+                computed = self.block_manager.get_all_computed_blocks(seq)
+                cached_tokens = min(
+                    len(computed) * self.cache_config.block_size,
+                    seq.get_len() - 1)
+                if cached_tokens > 0:
+                    seq.data.update_num_computed_tokens(cached_tokens)
+                    num_new_tokens -= cached_tokens
             prefills.append(
                 ScheduledSequenceGroup(seq_group, num_new_tokens))
             budget.add_num_batched_tokens(seq_group.request_id,

@@ -130,16 +130,16 @@ class LLMEngine:
                                            self.model_config.max_logprobs)
 
         block_size = self.cache_config.block_size
-        n_seqs = (sampling_params.best_of
-                  if not sampling_params.use_beam_search else 1)
         if sampling_params.use_beam_search:
             raise NotImplementedError(
                 "Beam search is not yet supported in nmvllm_tpu.")
-        seqs = []
-        for _ in range(n_seqs):
-            seq_id = next(self.seq_counter)
-            seqs.append(Sequence(seq_id, prompt, prompt_token_ids,
-                                 block_size, eos, lora_request))
+        if sampling_params.best_of > 1:
+            raise NotImplementedError(
+                "Parallel sampling (n/best_of > 1) lands with the "
+                "fork-on-first-token output processor.")
+        seq_id = next(self.seq_counter)
+        seqs = [Sequence(seq_id, prompt, prompt_token_ids, block_size, eos,
+                         lora_request)]
         group = SequenceGroup(request_id=request_id, seqs=seqs,
                               arrival_time=arrival_time,
                               sampling_params=sampling_params,
