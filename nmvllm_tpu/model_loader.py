@@ -107,9 +107,19 @@ def _set_in(tree, path, value):
     node[path[-1]] = value
 
 
+_QUANT_SUFFIXES = (".qweight", ".qzeros", ".scales", ".g_idx",
+                   ".weight_scale", ".input_scale")
+
+
 def load_safetensors_weights(model, params, model_dir: str, mesh,
-                             dtype) -> Any:
-    """Stream a local safetensors/pt checkpoint into the params tree."""
+                             dtype, quant_name: Optional[str] = None) -> Any:
+    """Stream a local safetensors checkpoint into the params tree.
+
+    Handles: plain weights (transposed to K-major), vocab padding, fused
+    qkv/gate_up splits (Phi-3), Mixtral per-expert w1/w2/w3 stacking, and
+    GPTQ/AWQ quantized tensor groups (repacked eagerly to the canonical
+    Pallas layout — the reference repacks lazily, gptq_marlin.py:374).
+    """
     from safetensors import safe_open
     name_map = model.hf_name_map()
     files = sorted(f for f in os.listdir(model_dir)
@@ -117,9 +127,34 @@ def load_safetensors_weights(model, params, model_dir: str, mesh,
     if not files:
         raise FileNotFoundError(f"No safetensors files in {model_dir}")
     loaded = 0
+    quant_groups: Dict[str, Dict[str, np.ndarray]] = {}
+    expert_groups: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def put(path, arr, cast=True):
+        nonlocal loaded
+        target = _get_in(params, path)
+        arr = jnp.asarray(arr)
+        if cast:
+            arr = arr.astype(target.dtype)
+        arr = jax.device_put(arr, target.sharding)
+        _set_in(params, path, arr)
+        loaded += 1
+
     for fname in files:
         with safe_open(os.path.join(model_dir, fname), framework="np") as f:
             for tensor_name in f.keys():
+                # Quantized-layer tensors: buffer by layer prefix.
+                if tensor_name.endswith(_QUANT_SUFFIXES):
+                    prefix, suffix = tensor_name.rsplit(".", 1)
+                    quant_groups.setdefault(prefix, {})[suffix] = \
+                        f.get_tensor(tensor_name)
+                    continue
+                # Mixtral experts: model.layers.N...experts.E.w{1,2,3}...
+                if ".experts." in tensor_name:
+                    layer_prefix, rest = tensor_name.split(".experts.", 1)
+                    expert_groups.setdefault(layer_prefix, {})[rest] = \
+                        f.get_tensor(tensor_name)
+                    continue
                 if tensor_name not in name_map:
                     continue
                 path, transform = name_map[tensor_name]
@@ -131,13 +166,95 @@ def load_safetensors_weights(model, params, model_dir: str, mesh,
                     pad = target.shape[0] - arr.shape[0]
                     if pad > 0:
                         arr = np.pad(arr, ((0, pad), (0, 0)))
-                target = _get_in(params, path)
-                arr = jnp.asarray(arr).astype(target.dtype)
-                arr = jax.device_put(arr, target.sharding)
-                _set_in(params, path, arr)
-                loaded += 1
+                elif transform == "split_qkv":
+                    _load_split_qkv(model, params, path, arr, put)
+                    continue
+                elif transform == "split_gate_up":
+                    a, b = np.split(arr, 2, axis=0)
+                    put(path + ("gate_proj", "weight"),
+                        np.ascontiguousarray(a.T))
+                    put(path + ("up_proj", "weight"),
+                        np.ascontiguousarray(b.T))
+                    continue
+                put(path, arr)
+
+    _load_quant_groups(model, params, name_map, quant_groups, quant_name,
+                       put)
+    _load_expert_groups(model, params, expert_groups, put)
     logger.info("Loaded %d tensors from %s", loaded, model_dir)
     return params
+
+
+def _load_split_qkv(model, params, path, arr, put):
+    """Phi-3 fused qkv_proj (qd+2*kvd, H) -> separate projections."""
+    attn = model.layers[path[1]].self_attn
+    qd = attn.total_heads * attn.head_dim
+    kvd = attn.total_kv_heads * attn.head_dim
+    q, k, v = np.split(arr, [qd, qd + kvd], axis=0)
+    put(path + ("q_proj", "weight"), np.ascontiguousarray(q.T))
+    put(path + ("k_proj", "weight"), np.ascontiguousarray(k.T))
+    put(path + ("v_proj", "weight"), np.ascontiguousarray(v.T))
+
+
+def _load_quant_groups(model, params, name_map, quant_groups, quant_name,
+                       put):
+    """Repack buffered GPTQ/AWQ/FP8 layer tensors into canonical layout."""
+    if not quant_groups:
+        return
+    from nmvllm_tpu.quantization.awq import awq_to_canonical
+    from nmvllm_tpu.quantization.gptq import gptq_to_canonical
+    hf_quant = getattr(model.cfg, "quantization_config", None) or {}
+    if hasattr(hf_quant, "to_dict"):
+        hf_quant = hf_quant.to_dict()
+    bits = int(hf_quant.get("bits", hf_quant.get("w_bit", 4)))
+    group_size = int(hf_quant.get("group_size",
+                                  hf_quant.get("q_group_size", 128)))
+    for prefix, tensors in quant_groups.items():
+        weight_key = prefix + ".weight"
+        if weight_key not in name_map:
+            logger.warning("Skipping unknown quantized layer %s", prefix)
+            continue
+        path, _ = name_map[weight_key]
+        layer_path = path[:-1]
+        if "weight_scale" in tensors:  # FP8-serialized checkpoint
+            put(layer_path + ("weight",), tensors.get("weight"), cast=True)
+            put(layer_path + ("weight_scale",), tensors["weight_scale"])
+            continue
+        if quant_name == "awq":
+            qw, scales, zeros = awq_to_canonical(
+                tensors["qweight"], tensors["qzeros"], tensors["scales"],
+                bits, group_size)
+        else:
+            qw, scales, zeros = gptq_to_canonical(
+                tensors["qweight"], tensors["qzeros"], tensors["scales"],
+                tensors.get("g_idx"), bits, group_size)
+        put(layer_path + ("qweight",), qw, cast=False)
+        put(layer_path + ("scales",), scales)
+        put(layer_path + ("zeros",), zeros, cast=False)
+
+
+def _load_expert_groups(model, params, expert_groups, put):
+    """Stack Mixtral per-expert w1/w3 (gate/up) and w2 (down) tensors."""
+    for layer_prefix, tensors in expert_groups.items():
+        # layer_prefix like "model.layers.3.block_sparse_moe"
+        parts = layer_prefix.split(".")
+        layer_idx = int(parts[2])
+        moe = model.layers[layer_idx].block_sparse_moe
+        e, h, i = moe.num_experts, moe.hidden_size, moe.intermediate_size
+        w1 = np.zeros((e, h, 2 * i), np.float32)
+        w2 = np.zeros((e, i, h), np.float32)
+        for name, arr in tensors.items():
+            eid_s, kind, _ = name.split(".", 2)
+            eid = int(eid_s)
+            if kind == "w1":      # gate (I, H)
+                w1[eid, :, :i] = arr.T
+            elif kind == "w3":    # up (I, H)
+                w1[eid, :, i:] = arr.T
+            elif kind == "w2":    # down (H, I)
+                w2[eid] = arr.T
+        path = ("layers", layer_idx, "block_sparse_moe")
+        put(path + ("w1",), w1)
+        put(path + ("w2",), w2)
 
 
 def _get_in(tree, path):
@@ -162,7 +279,9 @@ def get_model(engine_config: EngineConfig, mesh):
         return model, params
     if is_local_ckpt:
         params = load_safetensors_weights(model, params, model_config.model,
-                                          mesh, model_config.dtype)
+                                          mesh, model_config.dtype,
+                                          quant_name=model_config.
+                                          quantization)
         if hasattr(model, "post_process_weights"):
             params = model.post_process_weights(params)
         return model, params

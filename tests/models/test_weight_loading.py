@@ -1,0 +1,153 @@
+"""Checkpoint ingestion tests: dense HF safetensors and GPTQ quantized
+tensors land correctly in the params tree
+(reference tests for model_loader / weight_utils)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nmvllm_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
+                               LoadConfig, ModelConfig, ParallelConfig,
+                               SchedulerConfig)
+from nmvllm_tpu.model_loader import get_model
+from nmvllm_tpu.transformers_utils.config import get_hf_config
+
+
+def _write_config(tmp_path, quant=None):
+    cfg = get_hf_config("debug-llama")
+    d = cfg.to_dict()
+    d["architectures"] = ["LlamaForCausalLM"]
+    if quant:
+        d["quantization_config"] = quant
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(d, f)
+    return cfg
+
+
+def _engine_config(model_dir, quantization=None):
+    model_config = ModelConfig(model=str(model_dir),
+                               quantization=quantization)
+    return EngineConfig(
+        model_config=model_config, cache_config=CacheConfig(),
+        parallel_config=ParallelConfig(),
+        scheduler_config=SchedulerConfig(max_model_len=256),
+        device_config=DeviceConfig(device="cpu"),
+        load_config=LoadConfig())
+
+
+def test_dense_checkpoint_roundtrip(tmp_path):
+    from safetensors.numpy import save_file
+    cfg = _write_config(tmp_path)
+    rng = np.random.default_rng(0)
+    h, inter, vocab = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    head = 128
+    tensors = {
+        "model.embed_tokens.weight":
+            rng.normal(size=(vocab, h)).astype(np.float32),
+        "model.norm.weight": np.ones((h,), np.float32),
+        "lm_head.weight": rng.normal(size=(vocab, h)).astype(np.float32),
+    }
+    for i in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{i}."
+        qd = cfg.num_attention_heads * head
+        kvd = cfg.num_key_value_heads * head
+        tensors.update({
+            pre + "self_attn.q_proj.weight":
+                rng.normal(size=(qd, h)).astype(np.float32),
+            pre + "self_attn.k_proj.weight":
+                rng.normal(size=(kvd, h)).astype(np.float32),
+            pre + "self_attn.v_proj.weight":
+                rng.normal(size=(kvd, h)).astype(np.float32),
+            pre + "self_attn.o_proj.weight":
+                rng.normal(size=(h, qd)).astype(np.float32),
+            pre + "mlp.gate_proj.weight":
+                rng.normal(size=(inter, h)).astype(np.float32),
+            pre + "mlp.up_proj.weight":
+                rng.normal(size=(inter, h)).astype(np.float32),
+            pre + "mlp.down_proj.weight":
+                rng.normal(size=(h, inter)).astype(np.float32),
+            pre + "input_layernorm.weight": np.ones((h,), np.float32),
+            pre + "post_attention_layernorm.weight":
+                np.ones((h,), np.float32),
+        })
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+
+    from nmvllm_tpu.parallel.mesh import build_mesh
+    model, params = get_model(_engine_config(tmp_path), build_mesh(1, 1))
+    got = np.asarray(params["layers"][0]["mlp"]["gate_proj"]["weight"],
+                     dtype=np.float32)
+    want = tensors["model.layers.0.mlp.gate_proj.weight"].T
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+    # Vocab padding applied on embeddings.
+    assert params["embed_tokens"]["weight"].shape[0] >= vocab
+
+
+def test_gptq_checkpoint_ingestion(tmp_path):
+    from safetensors.numpy import save_file
+    from nmvllm_tpu.ops.quant_matmul import (quant_matmul_reference,
+                                             quantize_weights_to_packed,
+                                             unpack_weights)
+    quant_cfg = {"quant_method": "gptq", "bits": 4, "group_size": 128,
+                 "desc_act": False, "sym": True}
+    cfg = _write_config(tmp_path, quant=quant_cfg)
+    h = cfg.hidden_size
+    rng = np.random.default_rng(1)
+
+    # Build GPTQ-format tensors for one layer shape (h -> h) and fill all
+    # linears with the same pattern for simplicity.
+    def make_gptq(k, n):
+        w_int = rng.integers(0, 16, (k, n)).astype(np.int32)
+        # GPTQ qweight packs 8 sequential k per int32.
+        qweight = np.zeros((k // 8, n), np.uint32)
+        for i in range(8):
+            qweight |= w_int[i::8].astype(np.uint32) << (4 * i)
+        g = 128
+        zeros_val = 8
+        qzeros = np.full((k // g, n // 8), 0, np.uint32)
+        for i in range(8):
+            qzeros |= np.uint32(zeros_val - 1) << (4 * i)
+        scales = rng.uniform(0.01, 0.02, (k // g, n)).astype(np.float16)
+        return (qweight.astype(np.int32).view(np.int32),
+                qzeros.view(np.int32), scales, w_int)
+
+    tensors = {
+        "model.embed_tokens.weight":
+            rng.normal(size=(cfg.vocab_size, h)).astype(np.float32),
+        "model.norm.weight": np.ones((h,), np.float32),
+        "lm_head.weight":
+            rng.normal(size=(cfg.vocab_size, h)).astype(np.float32),
+    }
+    expected = {}
+    head = 128
+    for i in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{i}."
+        qd = cfg.num_attention_heads * head
+        kvd = cfg.num_key_value_heads * head
+        inter = cfg.intermediate_size
+        for name, (k, n) in {
+                "self_attn.q_proj": (h, qd), "self_attn.k_proj": (h, kvd),
+                "self_attn.v_proj": (h, kvd), "self_attn.o_proj": (qd, h),
+                "mlp.gate_proj": (h, inter), "mlp.up_proj": (h, inter),
+                "mlp.down_proj": (inter, h)}.items():
+            qw, qz, sc, w_int = make_gptq(k, n)
+            tensors[pre + name + ".qweight"] = qw
+            tensors[pre + name + ".qzeros"] = qz
+            tensors[pre + name + ".scales"] = sc
+            if i == 0 and name == "mlp.gate_proj":
+                expected["w_int"] = w_int
+        tensors[pre + "input_layernorm.weight"] = np.ones((h,), np.float32)
+        tensors[pre + "post_attention_layernorm.weight"] = \
+            np.ones((h,), np.float32)
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+
+    from nmvllm_tpu.parallel.mesh import build_mesh
+    model, params = get_model(_engine_config(tmp_path, quantization="gptq"),
+                              build_mesh(1, 1))
+    layer = params["layers"][0]["mlp"]["gate_proj"]
+    assert "qweight" in layer
+    got_int = np.asarray(unpack_weights(layer["qweight"], 4, 128, h))
+    np.testing.assert_array_equal(got_int, expected["w_int"])
