@@ -16,9 +16,11 @@ import numpy as np
 
 
 def roofline_tokens_per_s(param_bytes: int, hbm_gbps: float,
-                          batch: int) -> float:
-    """Weight-bandwidth-bound decode: steps/s = BW / bytes; tok/s = B x."""
-    return batch * (hbm_gbps * 1e9) / param_bytes
+                          batch: int, kv_bytes_per_step: float = 0.0
+                          ) -> float:
+    """Bandwidth-bound decode roofline: every step must read all weights
+    plus each sequence's KV context; tok/s = batch * BW / bytes_per_step."""
+    return batch * (hbm_gbps * 1e9) / (param_bytes + kv_bytes_per_step)
 
 
 def detect_hbm_gbps() -> float:
@@ -158,7 +160,9 @@ def run_decode_bench(model_name: str, quantization, batch: int,
     toks.block_until_ready()
     dt = time.perf_counter() - t0
     tokens_per_s = batch * steps / dt
-    return tokens_per_s, params_bytes
+    kv_bytes_per_step = (num_layers * 2 * model.total_num_kv_heads *
+                         model.head_dim * context_len * 2 * batch)
+    return tokens_per_s, params_bytes, kv_bytes_per_step
 
 
 def main():
@@ -183,10 +187,10 @@ def main():
         model_name, quant = "debug-llama", None
         batch, ctx, steps = 8, 128, args.steps
 
-    tokens_per_s, params_bytes = run_decode_bench(
+    tokens_per_s, params_bytes, kv_bytes = run_decode_bench(
         model_name, quant, batch, ctx, steps)
     hbm = detect_hbm_gbps()
-    roof = roofline_tokens_per_s(params_bytes, hbm, batch)
+    roof = roofline_tokens_per_s(params_bytes, hbm, batch, kv_bytes)
     print(json.dumps({
         "metric": f"decode_tokens_per_s_per_chip[{model_name}"
                   f"{'+' + quant if quant else ''},B={batch},ctx={ctx}]",

@@ -1,0 +1,16 @@
+"""Offline batch inference (reference: examples/offline_inference.py)."""
+from nmvllm_tpu import LLM, SamplingParams
+
+prompts = [
+    "Hello, my name is",
+    "The president of the United States is",
+    "The capital of France is",
+    "The future of AI is",
+]
+sampling_params = SamplingParams(temperature=0.8, top_p=0.95, max_tokens=32)
+
+llm = LLM(model="debug-llama")
+outputs = llm.generate(prompts, sampling_params)
+for output in outputs:
+    print(f"Prompt: {output.prompt!r}, "
+          f"Generated: {output.outputs[0].text!r}")

@@ -142,12 +142,20 @@ def quant_matmul(
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     if block_k <= 0:
-        # Whole-K strips up to 4096: fewer accumulator round trips.
-        block_k = min(k, 4096)
-    bk = min(block_k, k)
+        # K strips up to 4096: fewer accumulator round trips.
+        block_k = 4096
+    # Largest divisor of k that's ≤ block_k and a multiple of g.
+    bk = g
+    d = g
+    while d <= min(block_k, k):
+        if k % d == 0:
+            bk = d
+        d += g
     assert k % bk == 0 and bk % g == 0, (k, bk, g)
     bn = min(block_n, n)
-    assert n % bn == 0, (n, bn)
+    while n % bn != 0:
+        bn //= 2
+    assert n % bn == 0 and bn >= 128, (n, bn)
 
     grid = (m_pad // bm, n // bn, k // bk)
     kernel = functools.partial(_quant_matmul_kernel, bits=bits,
