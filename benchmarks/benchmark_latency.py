@@ -1,6 +1,10 @@
 """Batch end-to-end latency benchmark
 (reference: benchmarks/benchmark_latency.py)."""
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), *([".."] * (1))))
 import json
 import time
 

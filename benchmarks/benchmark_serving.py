@@ -5,6 +5,10 @@ computed :205-252) — same metric definitions, implemented with stdlib
 asyncio HTTP against the OpenAI-compatible server.
 """
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), *([".."] * (1))))
 import asyncio
 import json
 import random

@@ -3,6 +3,10 @@
 neuralmagic/benchmarks/scripts/benchmark_throughput.py with
 prefill/decode-isolating configs)."""
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), *([".."] * (1))))
 import json
 import random
 import time

@@ -6,6 +6,10 @@ on-device repeat loops (lax.scan / fori) so tunnel dispatch overhead is
 amortized, and reports achieved HBM bandwidth vs peak.
 """
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), *([".."] * (2))))
 import json
 import time
 
