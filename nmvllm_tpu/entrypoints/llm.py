@@ -102,6 +102,40 @@ class LLM:
                                   if prompt_token_ids is not None else None))
         return self._run_engine(use_tqdm)
 
+    def encode(self, prompts: Union[str, List[str]],
+               pooling_params=None) -> List["EmbeddingRequestOutput"]:
+        """Pooled embeddings for embedding-architecture models
+        (reference LLM.encode / EmbeddingRequestOutput)."""
+        from nmvllm_tpu.outputs import (EmbeddingOutput,
+                                        EmbeddingRequestOutput)
+        from nmvllm_tpu.sequence import SequenceData, SequenceGroupMetadata
+        engine = self.llm_engine
+        model = engine.executor.runner.model
+        if not getattr(model, "is_embedding_model", False):
+            raise ValueError(
+                f"Model {engine.model_config.model} is not an embedding "
+                "model; use generate().")
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        bs = engine.cache_config.block_size
+        outputs = []
+        for i, prompt in enumerate(prompts):
+            ids = engine.tokenizer.encode(prompt)
+            nblocks = -(-len(ids) // bs)
+            table = list(range(nblocks))  # scratch blocks
+            meta = SequenceGroupMetadata(
+                request_id=str(i), is_prompt=True,
+                seq_data={0: SequenceData(ids)}, sampling_params=None,
+                block_tables={0: table})
+            kv, pooled = engine.executor.runner.execute_embedding(
+                meta, engine.executor.cache_engine.kv_caches)
+            engine.executor.cache_engine.kv_caches = kv
+            outputs.append(EmbeddingRequestOutput(
+                request_id=str(i),
+                outputs=EmbeddingOutput(embedding=pooled.tolist()),
+                prompt_token_ids=ids, finished=True))
+        return outputs
+
     def _run_engine(self, use_tqdm: bool) -> List[RequestOutput]:
         outputs: List[RequestOutput] = []
         while self.llm_engine.has_unfinished_requests():

@@ -12,6 +12,11 @@ _GENERATION_MODELS: Dict[str, str] = {
     "Phi3ForCausalLM": "nmvllm_tpu.models.phi3:Phi3ForCausalLM",
 }
 
+_EMBEDDING_MODELS: Dict[str, str] = {
+    "LlamaModel": "nmvllm_tpu.models.llama_embedding:LlamaEmbeddingModel",
+    "MistralModel": "nmvllm_tpu.models.llama_embedding:LlamaEmbeddingModel",
+}
+
 _OOT_MODELS: Dict[str, Type] = {}
 
 
@@ -21,16 +26,19 @@ class ModelRegistry:
     def load_model_cls(arch: str) -> Optional[Type]:
         if arch in _OOT_MODELS:
             return _OOT_MODELS[arch]
-        if arch not in _GENERATION_MODELS:
+        table = (_GENERATION_MODELS if arch in _GENERATION_MODELS
+                 else _EMBEDDING_MODELS)
+        if arch not in table:
             return None
-        module_name, cls_name = _GENERATION_MODELS[arch].split(":")
+        module_name, cls_name = table[arch].split(":")
         import importlib
         mod = importlib.import_module(module_name)
         return getattr(mod, cls_name)
 
     @staticmethod
     def get_supported_archs() -> List[str]:
-        return list(_GENERATION_MODELS) + list(_OOT_MODELS)
+        return (list(_GENERATION_MODELS) + list(_EMBEDDING_MODELS) +
+                list(_OOT_MODELS))
 
     @staticmethod
     def register_model(arch: str, model_cls: Type) -> None:

@@ -8,21 +8,23 @@ scales (+ optional asymmetric zero points) are dequantized in VMEM and fed to
 the MXU, so HBM traffic is the *packed* weight size — the kernel targets the
 HBM-bandwidth roofline the way Marlin does on GPU.
 
-Canonical packed layout (produced at load time by ``pack_weights`` — the
-analogue of ``gptq_marlin_repack``; all checkpoint formats are converted to
-it once):
-  * weights stored K-major as ``(K // vals_per_word, N) int32``; packing is
-    *local to each scale group*: within group ``gi`` (natural k rows
-    ``[gi*g, (gi+1)*g)``), packed row ``gi*(g//vpw) + j`` holds nibbles
-    ``i`` ↦ natural k ``gi*g + i*(g//vpw) + j``. Unpacking a group is then
-    ``vpw`` shift/mask ops + one sublane concat — no cross-lane shuffles.
-  * ``scales_t``: ``(K // group_size, N)``, float32.
-  * ``zeros_t``: ``(K // group_size, N)`` int32 — value subtracted before
-    scaling (symmetric quant stores ``2^(bits-1)``).
+Canonical packed layout (the analogue of ``gptq_marlin_repack``; every
+checkpoint format is converted to it once at load):
+  * K-major words ``(K // vals_per_word, N) int32``; word ``j`` holds k-rows
+    ``j*vpw .. j*vpw+vpw-1`` LSB-first — exactly the order Mosaic's
+    ``pltpu.bitcast(int32 → int4/int8)`` expands to, so in-kernel unpacking
+    is ONE hardware bitcast + dtype convert (no shift/mask chains).
+  * values are stored *bias-signed*: the two's-complement nibble/byte equals
+    ``v - 2^(bits-1)``. For 4-bit this is a nibble-wise XOR 0x8 of the raw
+    GPTQ encoding, so GPTQ qweight ingestion is ``qweight ^ 0x88888888``.
+  * ``scales``: ``(K // group_size, N) float32``; ``zeros``:
+    ``(K // group_size, N) int32`` (raw unsigned zero points; symmetric
+    checkpoints store ``2^(bits-1)`` and the kernel skips the correction).
 
-Grid ``(M/bm, N/bn, K/bk)`` with a float32 VMEM accumulator across the
-sequential k dimension (classic Pallas matmul accumulation); dequant of each
-``(g, bn)`` group tile happens right before its MXU dot.
+Kernel: grid ``(M/bm, N/bn, K/bk)``; a rolled ``fori_loop`` bitcasts +
+scales each group into a VMEM dequant scratch (≈3 VPU ops/element), then a
+single full-depth MXU dot per k-block accumulates into f32 scratch.
+Asymmetric zeros add ``(2^(b-1) - z) * s`` per group row-block.
 """
 import functools
 from typing import Optional, Tuple
@@ -37,30 +39,63 @@ from nmvllm_tpu.utils import round_up
 
 
 def pack_weights(w_int: jax.Array, bits: int,
-                 group_size: int) -> jax.Array:
-    """Pack integer weights (values in [0, 2^bits)) into int32 words.
+                 group_size: int = 0) -> jax.Array:
+    """Pack unsigned integer weights (values in [0, 2^bits)) into the
+    canonical bias-signed sequential layout.
 
     Args:
-      w_int: (K, N) integer array (weight already transposed to K-major).
-      bits: 4 or 8.
-      group_size: scale group size g along K; packing is group-local.
+      w_int: (K, N) integer array (K-major weight).
+      bits: 4 or 8. group_size is accepted for API stability (layout is
+        group-independent).
     Returns: (K // (32//bits), N) int32.
     """
     k, n = w_int.shape
     vpw = 32 // bits
-    g = group_size
-    assert k % g == 0, (k, g)
-    assert g % vpw == 0, (g, vpw)
-    spw = g // vpw  # packed sub-rows per group
-    w = w_int.astype(jnp.uint32).reshape(k // g, vpw, spw, n)
-    shifts = (jnp.arange(vpw, dtype=jnp.uint32) * bits)[None, :, None, None]
-    packed = jnp.sum(w << shifts, axis=1, dtype=jnp.uint32)  # (K/g, spw, N)
-    return packed.reshape(k // vpw, n).astype(jnp.int32)
+    assert k % vpw == 0, (k, vpw)
+    half = 1 << (bits - 1)
+    mask = (1 << bits) - 1
+    w = (w_int.astype(jnp.int32) - half) & mask  # bias-signed bit pattern
+    w = w.astype(jnp.uint32).reshape(k // vpw, vpw, n)
+    shifts = (jnp.arange(vpw, dtype=jnp.uint32) * bits)[None, :, None]
+    packed = jnp.sum(w << shifts, axis=1, dtype=jnp.uint32)
+    return packed.astype(jnp.int32)
 
 
 def unpack_weights(packed: jax.Array, bits: int, group_size: int,
                    k: int) -> jax.Array:
-    """Inverse of pack_weights → (K, N) int32 values in [0, 2^bits)."""
+    """Inverse of pack_weights → (K, N) int32 unsigned values."""
+    vpw = 32 // bits
+    half = 1 << (bits - 1)
+    mask = (1 << bits) - 1
+    n = packed.shape[1]
+    p = packed.astype(jnp.uint32)
+    shifts = (jnp.arange(vpw, dtype=jnp.uint32) * bits)[:, None, None]
+    vals = ((p[None, :, :] >> shifts) & mask).astype(jnp.int32)
+    # Undo bias-signing: stored bits are (v - half) mod 2^bits.
+    vals = (vals + half) & mask
+    # (vpw, K/vpw, N) -> natural (K, N): row k = j*vpw + i.
+    return vals.transpose(1, 0, 2).reshape(k, n)
+
+
+def pack_fields(fields: jax.Array, bits: int, group_size: int) -> jax.Array:
+    """Group-local packing for small metadata fields (used by the 2:4
+    sparse kernel's shift/mask unpack path): within each group of
+    ``group_size`` rows, packed row ``gi*spw + j`` holds field ``i`` of
+    natural row ``gi*g + i*spw + j``."""
+    k, n = fields.shape
+    vpw = 32 // bits
+    g = group_size
+    assert k % g == 0 and g % vpw == 0, (k, g, vpw)
+    spw = g // vpw
+    w = fields.astype(jnp.uint32).reshape(k // g, vpw, spw, n)
+    shifts = (jnp.arange(vpw, dtype=jnp.uint32) * bits)[None, :, None, None]
+    packed = jnp.sum(w << shifts, axis=1, dtype=jnp.uint32)
+    return packed.reshape(k // vpw, n).astype(jnp.int32)
+
+
+def unpack_fields(packed: jax.Array, bits: int, group_size: int,
+                  k: int) -> jax.Array:
+    """Inverse of pack_fields → (K, N) int32."""
     vpw = 32 // bits
     g = group_size
     spw = g // vpw
@@ -71,37 +106,38 @@ def unpack_weights(packed: jax.Array, bits: int, group_size: int,
     return vals.reshape(k, n).astype(jnp.int32)
 
 
-def _quant_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
-                         bits: int, group_size: int, bk: int,
-                         out_dtype):
+def _quant_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
+                         deq_ref, *, bits: int, group_size: int, bk: int,
+                         symmetric: bool, out_dtype):
     vpw = 32 // bits
-    mask = (1 << bits) - 1
     g = group_size
-    spw = g // vpw
-    gpb = bk // g  # groups per k-block
+    spw = g // vpw          # packed word-rows per scale group
+    gpb = bk // g           # groups per k-block
+    half = 1 << (bits - 1)
+    target = jnp.int4 if bits == 4 else jnp.int8
 
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     cdtype = x_ref.dtype
-    # scales/zeros refs hold the FULL K extent (their sublane dim is too
-    # small to tile per-k-block); index groups globally.
-    g0 = pl.program_id(2) * gpb
-    acc = acc_ref[:]
-    for gi in range(gpb):
-        rows = w_ref[gi * spw:(gi + 1) * spw, :]  # (spw, bn) int32
-        parts = [
-            jax.lax.shift_right_logical(rows, bits * i) & mask
-            for i in range(vpw)
-        ]
-        w4 = jnp.concatenate(parts, axis=0)  # (g, bn) int32, natural order
-        zg = z_ref[pl.ds(g0 + gi, 1), :].astype(jnp.int32)  # (1, bn)
-        sg = s_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
-        wq = ((w4 - zg).astype(cdtype)) * sg  # (g, bn) dequantized
-        xg = x_ref[:, gi * g:(gi + 1) * g]  # (bm, g)
-        acc = acc + jnp.dot(xg, wq, preferred_element_type=jnp.float32)
-    acc_ref[:] = acc
+    g0 = pl.program_id(2) * gpb  # global group offset (scales are full-K)
+
+    def dequant_group(gi, _):
+        r0 = pl.multiple_of(gi * spw, spw)
+        words = w_ref[pl.ds(r0, spw), :]            # (spw, bn) int32
+        w4 = pltpu.bitcast(words, target)           # (g, bn) bias-signed
+        sg = s_ref[pl.ds(g0 + gi, 1), :].astype(jnp.float32)
+        wq = w4.astype(jnp.float32) * sg
+        if not symmetric:
+            zg = z_ref[pl.ds(g0 + gi, 1), :]
+            wq = wq + (half - zg).astype(jnp.float32) * sg
+        deq_ref[pl.ds(pl.multiple_of(gi * g, g), g), :] = wq.astype(cdtype)
+        return 0
+
+    jax.lax.fori_loop(0, gpb, dequant_group, 0, unroll=False)
+    acc_ref[:] += jnp.dot(x_ref[:], deq_ref[:],
+                          preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
@@ -109,16 +145,17 @@ def _quant_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bits", "group_size", "block_m",
-                                    "block_n", "block_k"))
+                   static_argnames=("bits", "group_size", "symmetric",
+                                    "block_m", "block_n", "block_k"))
 def quant_matmul(
     x: jax.Array,          # (M, K) activations (bf16/f32)
-    qweight: jax.Array,    # (K // vpw, N) int32 packed
+    qweight: jax.Array,    # (K // vpw, N) int32 packed (bias-signed)
     scales: jax.Array,     # (K // g, N)
-    zeros: jax.Array,      # (K // g, N) int32
+    zeros: jax.Array,      # (K // g, N) int32 (raw zero points)
     *,
     bits: int,
     group_size: int,
+    symmetric: bool = False,
     block_m: int = 0,
     block_n: int = 512,
     block_k: int = 0,
@@ -142,8 +179,8 @@ def quant_matmul(
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     if block_k <= 0:
-        # K strips up to 4096: fewer accumulator round trips.
-        block_k = 4096
+        # K blocks sized so the dequant scratch stays VMEM-friendly.
+        block_k = 2048
     # Largest divisor of k that's ≤ block_k and a multiple of g.
     bk = g
     d = g
@@ -159,7 +196,8 @@ def quant_matmul(
 
     grid = (m_pad // bm, n // bn, k // bk)
     kernel = functools.partial(_quant_matmul_kernel, bits=bits,
-                               group_size=g, bk=bk, out_dtype=x.dtype)
+                               group_size=g, bk=bk, symmetric=symmetric,
+                               out_dtype=x.dtype)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -176,7 +214,8 @@ def quant_matmul(
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
+                        pltpu.VMEM((bk, bn), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -194,7 +233,7 @@ def quant_matmul_reference(x: jax.Array, qweight: jax.Array,
                            bits: int, group_size: int) -> jax.Array:
     """jnp reference: unpack → dequant → dense matmul."""
     m, k = x.shape
-    w_int = unpack_weights(qweight, bits, group_size, k)  # (K, N)
+    w_int = unpack_weights(qweight, bits, group_size, k)  # (K, N) unsigned
     g = group_size
     z = jnp.repeat(zeros.astype(jnp.int32), g, axis=0)
     s = jnp.repeat(scales.astype(jnp.float32), g, axis=0)
@@ -236,5 +275,5 @@ def quantize_weights_to_packed(
         zeros_arr = zero[:, 0, :].astype(jnp.int32)
         q = jnp.clip(jnp.round(wt / jnp.maximum(scale, 1e-10)) + zero, 0,
                      qmax)
-    qweight = pack_weights(q.reshape(k, n).astype(jnp.int32), bits, g)
+    qweight = pack_weights(q.reshape(k, n).astype(jnp.int32), bits)
     return qweight, scale[:, 0, :].astype(jnp.float32), zeros_arr

@@ -56,17 +56,17 @@ def compress_24(w_t: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     v0 = jnp.take_along_axis(g, p0[:, None, :], axis=1)[:, 0]
     v1 = jnp.take_along_axis(g, p1[:, None, :], axis=1)[:, 0]
     fields = (p0 | (p1 << 2)).astype(jnp.int32)      # (k/4, n) 4-bit
-    from nmvllm_tpu.ops.quant_matmul import pack_weights
-    meta = pack_weights(fields, bits=4, group_size=_PACK_BLOCK)
+    from nmvllm_tpu.ops.quant_matmul import pack_fields
+    meta = pack_fields(fields, bits=4, group_size=_PACK_BLOCK)
     return v0.astype(w_t.dtype), v1.astype(w_t.dtype), meta
 
 
 def decompress_24(v0: jax.Array, v1: jax.Array, meta: jax.Array,
                   k: int) -> jax.Array:
     """Inverse of compress_24 → dense (K, N)."""
-    from nmvllm_tpu.ops.quant_matmul import unpack_weights
+    from nmvllm_tpu.ops.quant_matmul import unpack_fields
     n = v0.shape[1]
-    fields = unpack_weights(meta, 4, _PACK_BLOCK, k // 4)
+    fields = unpack_fields(meta, 4, _PACK_BLOCK, k // 4)
     p0 = fields & 3
     p1 = fields >> 2
     r = jnp.arange(4)[None, :, None]
@@ -176,7 +176,8 @@ def sparse24_matmul(x: jax.Array, v0: jax.Array, v1: jax.Array,
             flops=2 * m_pad * n * k,
             bytes_accessed=(m_pad * k * x.dtype.itemsize +
                             k * n * x.dtype.itemsize * 9 // 16 +
-                            m_pad * n * x.dtype.itemsize)),
+                            m_pad * n * x.dtype.itemsize),
+            transcendentals=0),
         interpret=pallas_interpret(),
     )(x3, v0, v1, meta)
     return out[:m]

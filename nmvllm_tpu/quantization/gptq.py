@@ -45,38 +45,39 @@ def unpack_gptq_qzeros(qzeros: np.ndarray, bits: int) -> np.ndarray:
     return out + 1
 
 
+_XOR_BIAS = {4: 0x88888888, 8: 0x80808080, 2: 0xAAAAAAAA}
+
+
 def gptq_to_canonical(qweight: np.ndarray, qzeros: np.ndarray,
                       scales: np.ndarray, g_idx, bits: int,
                       group_size: int):
     """Repack a GPTQ checkpoint layer to the canonical kernel layout.
-    Handles act-order (g_idx) by materializing the permuted weight and
-    re-sorting rows to natural order with per-row group scales."""
+
+    GPTQ's sequential LSB-first nibble packing is already the canonical
+    word order; converting unsigned nibbles to the bias-signed encoding is
+    a single XOR with 2^(bits-1) replicated per field. Act-order (g_idx)
+    checkpoints are dequantized and re-quantized group-contiguous (a pure
+    load-time transform, replacing the runtime activation permutation the
+    reference's exllama kernel does).
+    """
     import jax.numpy as jnp
-    from nmvllm_tpu.ops.quant_matmul import pack_weights
-    w_int = unpack_gptq_qweight(qweight, bits)  # (K, N)
-    zeros = unpack_gptq_qzeros(qzeros, bits)    # (K/g, N)
-    k, n = w_int.shape
+    zeros = unpack_gptq_qzeros(qzeros, bits)    # (K/g, N) unsigned
+    k = qweight.shape[0] * (32 // bits)
     g = group_size if group_size > 0 else k
     if g_idx is not None and len(g_idx) and not np.array_equal(
-            np.asarray(g_idx),
-            np.arange(k) // g):
-        # Act-order: row k belongs to group g_idx[k]. The canonical kernel
-        # wants contiguous groups, so sort rows by group (a static
-        # permutation folded into the weight; activations must be permuted
-        # identically, which is equivalent to permuting x's columns — we
-        # instead permute BOTH the weight rows and record nothing because
-        # y = x @ W = x[:, perm] @ W[perm]; to avoid runtime permutation of
-        # x we dequantize to dense and requantize group-contiguous.
-        perm = np.argsort(np.asarray(g_idx), kind="stable")
-        w_dense = (w_int - zeros[np.asarray(g_idx), :]).astype(np.float32) \
-            * scales[np.asarray(g_idx), :].astype(np.float32)
+            np.asarray(g_idx), np.arange(k) // g):
+        w_int = unpack_gptq_qweight(qweight, bits)  # (K, N)
+        gi = np.asarray(g_idx)
+        w_dense = (w_int - zeros[gi, :]).astype(np.float32) \
+            * scales[gi, :].astype(np.float32)
         from nmvllm_tpu.ops.quant_matmul import quantize_weights_to_packed
         qw, s, z = quantize_weights_to_packed(
             jnp.asarray(w_dense.T), bits, g, symmetric=False)
         return qw, s, z
-    packed = pack_weights(jnp.asarray(w_int), bits, g)
-    return (packed, jnp.asarray(scales.astype(np.float32)),
-            jnp.asarray(zeros.astype(np.int8)))
+    packed = (qweight.view(np.uint32) ^
+              np.uint32(_XOR_BIAS[bits])).view(np.int32)
+    return (jnp.asarray(packed), jnp.asarray(scales.astype(np.float32)),
+            jnp.asarray(zeros.astype(np.int32)))
 
 
 @register_quantization("gptq")

@@ -55,7 +55,8 @@ class WNA16LinearMethod(LinearMethodBase):
         x2 = x.reshape(-1, orig_shape[-1])
         g = self._resolve_group(orig_shape[-1])
         y = quant_matmul(x2, params["qweight"], params["scales"],
-                         params["zeros"], bits=self.bits, group_size=g)
+                         params["zeros"], bits=self.bits, group_size=g,
+                         symmetric=self.symmetric)
         y = y.reshape(*orig_shape[:-1], y.shape[-1])
         if bias is not None:
             y = y + bias

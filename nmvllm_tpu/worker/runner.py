@@ -416,6 +416,57 @@ class ModelRunner:
             return kv_caches, None
         return kv_caches, self._to_sampler_output(out, rows, [meta])
 
+    def execute_embedding(self, meta: SequenceGroupMetadata, kv_caches):
+        """Pooled-embedding forward for embedding models: prefill the
+        prompt, pool hidden states (reference llama_embedding.py +
+        pooler.py); KV writes land in scratch blocks."""
+        seq_id = next(iter(meta.seq_data.keys()))
+        data = meta.seq_data[seq_id]
+        token_ids = data.get_token_ids()
+        chunk = len(token_ids)
+        t = self.pad_prefill_len(chunk)
+        tokens = np.zeros((1, t), np.int32)
+        tokens[0, :chunk] = token_ids
+        positions = np.zeros((1, t), np.int32)
+        positions[0, :chunk] = np.arange(chunk)
+        table = meta.block_tables[seq_id]
+        block_tables = np.zeros((1, self.max_blocks_per_seq), np.int32)
+        block_tables[0, :len(table)] = table
+        slots = np.full((1, t), -1, np.int32)
+        for j in range(chunk):
+            slots[0, j] = table[j // self.block_size] * self.block_size + \
+                j % self.block_size
+        key = ("embed", t)
+        if key not in self._step_fns:
+            model = self.model
+            param_specs, kv_specs = self._specs_tuple()
+
+            def fwd(params, kv_caches, tokens, positions, slots,
+                    block_tables, ctx, seq_lens):
+                meta_d = AttentionMetadata(
+                    slot_mapping=slots, block_tables=block_tables,
+                    context_lens=ctx, seq_lens=seq_lens,
+                    prefix_lens=jnp.zeros_like(ctx))
+                x, kv_caches = model.forward(params, tokens, positions,
+                                             kv_caches, meta_d,
+                                             is_prefill=True)
+                pooled = model.pool(x, seq_lens)
+                return pooled, kv_caches
+
+            sharded = shard_map_fn(
+                fwd, self.mesh,
+                in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(),
+                          P()),
+                out_specs=(P(), kv_specs))
+            self._step_fns[key] = jax.jit(sharded, donate_argnums=(1,))
+        step = self._step_fns[key]
+        pooled, kv_caches = step(
+            self.params, kv_caches, jnp.asarray(tokens),
+            jnp.asarray(positions), jnp.asarray(slots),
+            jnp.asarray(block_tables),
+            jnp.asarray([chunk], np.int32), jnp.asarray([chunk], np.int32))
+        return kv_caches, np.asarray(pooled[0])
+
     def _to_sampler_output(self, out: SamplerOutputArrays,
                            rows: List[Tuple[SequenceGroupMetadata, int]],
                            metas: List[SequenceGroupMetadata]

