@@ -74,6 +74,13 @@ def gptq_to_canonical(qweight: np.ndarray, qzeros: np.ndarray,
         qw, s, z = quantize_weights_to_packed(
             jnp.asarray(w_dense.T), bits, g, symmetric=False)
         return qw, s, z
+    if bits == 8:
+        # 8-bit layers are served unpacked (bias-signed int8) by the XLA
+        # fused-dequant path (quantization/wNa16.py).
+        w_int = unpack_gptq_qweight(qweight, bits)
+        w8 = (w_int - 128).astype(np.int8)
+        return (jnp.asarray(w8), jnp.asarray(scales.astype(np.float32)),
+                jnp.asarray(zeros.astype(np.int32)))
     packed = (qweight.view(np.uint32) ^
               np.uint32(_XOR_BIAS[bits])).view(np.int32)
     return (jnp.asarray(packed), jnp.asarray(scales.astype(np.float32)),

@@ -35,28 +35,45 @@ class WNA16LinearMethod(LinearMethodBase):
                        params_dtype) -> Dict[str, Any]:
         g = self._resolve_group(in_features)
         assert in_features % g == 0, (in_features, g)
-        vpw = 32 // self.bits
         k1, _ = jax.random.split(rng)
-        qweight = jax.random.randint(
-            k1, (in_features // vpw, out_features),
-            jnp.iinfo(jnp.int32).min, jnp.iinfo(jnp.int32).max, jnp.int32)
+        qmax_half = 2**(self.bits - 1)
         # Scale so dequantized variance ≈ 1/in_features (matches the
         # unquantized random init statistics).
-        qmax_half = 2**(self.bits - 1)
         scale_val = (in_features**-0.5) / (qmax_half * 0.58)
         scales = jnp.full((in_features // g, out_features), scale_val,
                           jnp.float32)
         zeros = jnp.full((in_features // g, out_features), qmax_half,
                          jnp.int32)
+        if self.bits == 8:
+            # 8-bit weights stay as plain bias-signed int8 (K, N): XLA's
+            # fused dequant+matmul beats the Pallas kernel at this width
+            # (docs/PERF_NOTES.md).
+            w8 = jax.random.randint(k1, (in_features, out_features),
+                                    -128, 128, jnp.int32).astype(jnp.int8)
+            return {"qweight": w8, "scales": scales, "zeros": zeros}
+        vpw = 32 // self.bits
+        qweight = jax.random.randint(
+            k1, (in_features // vpw, out_features),
+            jnp.iinfo(jnp.int32).min, jnp.iinfo(jnp.int32).max, jnp.int32)
         return {"qweight": qweight, "scales": scales, "zeros": zeros}
 
     def apply(self, params: Dict[str, Any], x, bias=None):
         orig_shape = x.shape
         x2 = x.reshape(-1, orig_shape[-1])
         g = self._resolve_group(orig_shape[-1])
-        y = quant_matmul(x2, params["qweight"], params["scales"],
-                         params["zeros"], bits=self.bits, group_size=g,
-                         symmetric=self.symmetric)
+        if self.bits == 8:
+            w8 = params["qweight"]            # (K, N) bias-signed int8
+            s = jnp.repeat(params["scales"].astype(jnp.float32), g, axis=0)
+            w = w8.astype(jnp.float32) * s
+            if not self.symmetric:
+                z = jnp.repeat(params["zeros"], g, axis=0)
+                w = w + (128 - z).astype(jnp.float32) * s
+            y = jnp.dot(x2, w.astype(x.dtype),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        else:
+            y = quant_matmul(x2, params["qweight"], params["scales"],
+                             params["zeros"], bits=self.bits, group_size=g,
+                             symmetric=self.symmetric)
         y = y.reshape(*orig_shape[:-1], y.shape[-1])
         if bias is not None:
             y = y + bias
@@ -73,6 +90,10 @@ class WNA16LinearMethod(LinearMethodBase):
 
     def load_weight_shapes(self, in_features, out_features):
         g = self._resolve_group(in_features)
+        if self.bits == 8:
+            return {"qweight": (in_features, out_features),
+                    "scales": (in_features // g, out_features),
+                    "zeros": (in_features // g, out_features)}
         vpw = 32 // self.bits
         return {"qweight": (in_features // vpw, out_features),
                 "scales": (in_features // g, out_features),
