@@ -65,13 +65,14 @@ def test_top_p_excludes_tail(rng):
 
 
 def test_seeded_sampling_is_deterministic(rng):
-    logits = jax.random.normal(rng, (4, VOCAB))
+    row = jax.random.normal(rng, (1, VOCAB))
+    logits = jnp.tile(row, (4, 1))
     t = make_tensors(4, temperature=1.0, seeds=[7, 7, 8, 9])
     out1 = sample(logits, t, vocab_size=VOCAB)
     out2 = sample(logits, t, vocab_size=VOCAB)
     np.testing.assert_array_equal(np.asarray(out1.next_tokens),
                                   np.asarray(out2.next_tokens))
-    # Same seed, same logits -> same sample across rows 0,1.
+    # Same seed + same logits -> same sample across rows 0,1.
     assert out1.next_tokens[0] == out1.next_tokens[1]
 
 
