@@ -283,11 +283,12 @@ class Scheduler:
         while waiting:
             seq_group = waiting[0]
             seqs = seq_group.get_seqs(status=SequenceStatus.WAITING)
-            assert len(seqs) == 1, (
-                "Waiting sequence group should have only one prompt seq.")
-            num_new_tokens = self._get_num_new_tokens(
-                seq_group, SequenceStatus.WAITING,
-                enable_chunking=enable_chunking, budget=budget)
+            # best_of siblings share the prompt: prefill compute is counted
+            # once (the runner writes shared KV pages a single time).
+            num_new_tokens = seqs[0].data.get_num_uncomputed_tokens()
+            if enable_chunking:
+                num_new_tokens = min(num_new_tokens,
+                                     budget.remaining_token_budget())
             prompt_len = seqs[0].get_len()
             max_prompt = self.scheduler_config.max_model_len
             if not self.scheduler_config.chunked_prefill_enabled:

@@ -133,13 +133,13 @@ class LLMEngine:
         if sampling_params.use_beam_search:
             raise NotImplementedError(
                 "Beam search is not yet supported in nmvllm_tpu.")
-        if sampling_params.best_of > 1:
-            raise NotImplementedError(
-                "Parallel sampling (n/best_of > 1) lands with the "
-                "fork-on-first-token output processor.")
-        seq_id = next(self.seq_counter)
-        seqs = [Sequence(seq_id, prompt, prompt_token_ids, block_size, eos,
-                         lora_request)]
+        # Parallel sampling: best_of sibling sequences share the prompt's
+        # KV pages (block manager ref-counts them; decode growth CoWs).
+        seqs = []
+        for _ in range(sampling_params.best_of):
+            seq_id = next(self.seq_counter)
+            seqs.append(Sequence(seq_id, prompt, prompt_token_ids,
+                                 block_size, eos, lora_request))
         group = SequenceGroup(request_id=request_id, seqs=seqs,
                               arrival_time=arrival_time,
                               sampling_params=sampling_params,

@@ -308,8 +308,9 @@ class ModelRunner:
         self._step_fns[key] = step
         return step
 
-    def _get_prefill_fn(self, flags_key, has_prefix: bool, do_sample: bool):
-        key = ("prefill", flags_key, has_prefix, do_sample)
+    def _get_prefill_fn(self, flags_key, has_prefix: bool, do_sample: bool,
+                        n_samples: int = 1):
+        key = ("prefill", flags_key, has_prefix, do_sample, n_samples)
         if key in self._step_fns:
             return self._step_fns[key]
         flags = dict(flags_key)
@@ -329,6 +330,9 @@ class ModelRunner:
                                          has_prefix=has_prefix)
             hidden = model.select_last_token(x, seq_lens)
             if do_sample:
+                if n_samples > 1:
+                    # best_of siblings: same prompt logits, distinct keys.
+                    hidden = jnp.tile(hidden, (n_samples, 1))
                 logits = model.compute_logits(params, hidden)
             else:
                 logits = jnp.zeros((tokens.shape[0], 8), jnp.float32)
@@ -377,8 +381,13 @@ class ModelRunner:
 
     def execute_prefill(self, meta: SequenceGroupMetadata,
                         kv_caches) -> Tuple[Any, Optional[SamplerOutput]]:
-        """Run one prompt (or prompt chunk): batch dim 1, padded length."""
-        seq_id = next(iter(meta.seq_data.keys()))
+        """Run one prompt (or prompt chunk): batch dim 1, padded length.
+
+        best_of>1 groups prefill once over shared pages; the sampler runs
+        over best_of replicated logit rows with per-sibling keys so every
+        branch draws its own first token."""
+        seq_ids = sorted(meta.seq_data.keys())
+        seq_id = seq_ids[0]
         data = meta.seq_data[seq_id]
         num_computed = data.get_num_computed_tokens()
         chunk = meta.token_chunk_size
@@ -401,10 +410,11 @@ class ModelRunner:
         prefix_lens = np.asarray([num_computed], np.int32)
         has_prefix = num_computed > 0
 
-        rows = [(meta, seq_id)]
-        tensors, flags = self.build_sampling_tensors(rows, 1)
+        rows = [(meta, sid) for sid in seq_ids]
+        tensors, flags = self.build_sampling_tensors(rows, len(rows))
         flags_key = tuple(sorted(flags.items()))
-        step = self._get_prefill_fn(flags_key, has_prefix, meta.do_sample)
+        step = self._get_prefill_fn(flags_key, has_prefix, meta.do_sample,
+                                    n_samples=len(rows))
         logger.debug("prefill step: T=%d chunk=%d prefix=%s flags=%s", t,
                      chunk, has_prefix, flags)
         kv_caches, out = step(self.params, kv_caches, jnp.asarray(tokens),
