@@ -383,8 +383,12 @@ class Scheduler:
                     break
             if not preempted_now:
                 self._append_slots(seq_group, blocks_to_copy)
+                # token_chunk_size is PER SEQUENCE (decode advances each
+                # sibling by one token); the budget charges the group total.
+                chunk = (num_running_tokens if seq_group.is_prefill()
+                         else 1)
                 scheduled.append(
-                    ScheduledSequenceGroup(seq_group, num_running_tokens))
+                    ScheduledSequenceGroup(seq_group, chunk))
                 self.running.append(seq_group)
                 budget.add_num_batched_tokens(seq_group.request_id,
                                               num_running_tokens)

@@ -30,6 +30,11 @@ def write_to_kv_cache(k_cache: jax.Array, v_cache: jax.Array, key: jax.Array,
     num_kv_heads, num_blocks, block_size, head_dim = k_cache.shape
     kc = k_cache.reshape(num_kv_heads, num_blocks * block_size, head_dim)
     vc = v_cache.reshape(num_kv_heads, num_blocks * block_size, head_dim)
+    # Negative sentinel slots (padding rows) must be remapped to a value
+    # PAST the end: JAX scatter `mode="drop"` only drops out-of-bounds
+    # indices, while negative indices WRAP to the end of the cache.
+    slot_mapping = jnp.where(slot_mapping < 0, jnp.iinfo(jnp.int32).max,
+                             slot_mapping)
     # (T, H, d) -> (H, T, d)
     k_new = key.swapaxes(0, 1).astype(k_cache.dtype)
     v_new = value.swapaxes(0, 1).astype(v_cache.dtype)

@@ -241,5 +241,8 @@ def paged_attention_reference(
     mask = (jnp.arange(t)[None, :] < context_lens[:, None])
     s = jnp.where(mask[:, None, None, :], s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
+    # Padding rows (context_len == 0) are fully masked -> softmax NaN;
+    # zero them (the Pallas kernel's zero-trip loop does the same).
+    p = jnp.where(mask[:, None, None, :], p, 0.0)
     o = jnp.einsum("bhgt,bhtd->bhgd", p, v)
     return o.reshape(batch, num_q_heads, head_dim).astype(q.dtype)

@@ -48,7 +48,7 @@ class RequestOutput:
     def from_seq_group(cls, seq_group: SequenceGroup) -> "RequestOutput":
         seqs = seq_group.get_seqs()
         sampling_params = seq_group.sampling_params
-        if sampling_params is not None and sampling_params.n > 1:
+        if sampling_params is not None and len(seqs) > sampling_params.n:
             if sampling_params.use_beam_search:
                 def key(seq):
                     return seq.get_beam_search_score(
@@ -58,6 +58,10 @@ class RequestOutput:
                     return seq.get_cumulative_logprob()
             top_n_seqs = sorted(seqs, key=key, reverse=True)
             top_n_seqs = top_n_seqs[:sampling_params.n]
+        elif sampling_params is not None and sampling_params.n > 1:
+            top_n_seqs = sorted(
+                seqs, key=lambda s: s.get_cumulative_logprob(),
+                reverse=True)[:sampling_params.n]
         else:
             top_n_seqs = seqs
 
