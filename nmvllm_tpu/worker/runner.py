@@ -234,8 +234,11 @@ class ModelRunner:
                     meta.state_seed if meta.state_seed is not None
                     else abs(hash(meta.request_id)) % (2**31))
             from nmvllm_tpu.layers.sampler import make_key_data
+            # Fold the sibling INDEX within the group (not the global
+            # seq_id) so user-seeded requests reproduce across engine runs.
+            sibling = sorted(meta.seq_data.keys()).index(seq_id)
             key_data[i] = make_key_data(
-                base_seed, data.get_output_len() * 1009 + seq_id)
+                base_seed, data.get_output_len() * 1009 + sibling)
             if do_penalties:
                 out_ids = data.output_token_ids[-hist_out:]
                 out_tokens[i, :len(out_ids)] = out_ids
