@@ -20,9 +20,11 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "NMVLLM_HBM_UTILIZATION": lambda: float(os.getenv("NMVLLM_HBM_UTILIZATION", "0.9")),
     # Host swap space for swapped-out KV blocks, GiB.
     "NMVLLM_SWAP_SPACE_GB": lambda: float(os.getenv("NMVLLM_SWAP_SPACE_GB", "4")),
-    # Engine iteration watchdog, seconds (async engine).
+    # Engine iteration watchdog, seconds (async engine). Generous default:
+    # a step that hits a fresh bucket pays XLA compilation (minutes on a
+    # cold cache), unlike the reference's eager CUDA path (envs.py:15).
     "NMVLLM_ENGINE_ITERATION_TIMEOUT_S": lambda: int(
-        os.getenv("NMVLLM_ENGINE_ITERATION_TIMEOUT_S", "60")),
+        os.getenv("NMVLLM_ENGINE_ITERATION_TIMEOUT_S", "600")),
     # Persistent XLA compile-cache directory ("" disables).
     "NMVLLM_XLA_CACHE_PATH": lambda: os.getenv(
         "NMVLLM_XLA_CACHE_PATH", os.path.expanduser("~/.cache/nmvllm_tpu/xla")),

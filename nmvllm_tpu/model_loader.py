@@ -264,13 +264,50 @@ def _get_in(tree, path):
     return node
 
 
+def save_sharded_state(params, path: str) -> None:
+    """Persist the (sharded) params pytree for fast restart.
+
+    Reference: ShardedStateLoader / Worker.save_sharded_state
+    (model_loader/loader.py:446, worker.py:135) — pre-sharded per-rank
+    checkpoints. TPU-native: one orbax checkpoint of the global pytree;
+    restore re-shards onto whatever mesh is active.
+    """
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_sharded_state(model, mesh, path: str):
+    """Restore params saved by save_sharded_state onto `mesh`."""
+    import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding, PartitionSpec
+    specs = model.specs()
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, PartitionSpec))
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+    target = jax.tree.map(
+        lambda sd, sh: jax.ShapeDtypeStruct(sd.shape, sd.dtype, sharding=sh),
+        shapes, shardings)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target)
+
+
 def get_model(engine_config: EngineConfig, mesh):
     """Build the model and its (sharded) params per LoadConfig."""
     model = build_model(engine_config)
     model_config = engine_config.model_config
     load_config = engine_config.load_config
-    params = init_params_on_mesh(model, mesh, model_config.seed)
     fmt = load_config.load_format if load_config else "auto"
+    if fmt == "orbax" or (os.path.isdir(model_config.model) and os.path.
+                          exists(os.path.join(model_config.model,
+                                              "_CHECKPOINT_METADATA"))):
+        params = load_sharded_state(model, mesh, model_config.model)
+        if hasattr(model, "post_process_weights"):
+            params = model.post_process_weights(params)
+        return model, params
+    params = init_params_on_mesh(model, mesh, model_config.seed)
     is_local_ckpt = os.path.isdir(model_config.model)
     if fmt == "dummy" or (fmt == "auto" and not is_local_ckpt):
         # Presets / benchmarks: random weights (DummyModelLoader:309).
