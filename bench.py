@@ -46,7 +46,7 @@ def count_quant_param_bytes(params) -> int:
 
 
 def run_decode_bench(model_name: str, quantization, batch: int,
-                     context_len: int, steps: int, block_size: int = 16,
+                     context_len: int, steps: int, block_size: int = 32,
                      dtype: str = "bfloat16"):
     import jax
     import jax.numpy as jnp

@@ -155,9 +155,6 @@ class LLMEngine:
     def step(self) -> List[RequestOutput]:
         seq_group_metadata_list, scheduler_outputs = \
             self.scheduler.schedule()
-        # Propagate the engine's per-request seed to the runner.
-        for meta in seq_group_metadata_list:
-            pass
         if not scheduler_outputs.is_empty():
             execute_model_req = ExecuteModelRequest(
                 seq_group_metadata_list=seq_group_metadata_list,

@@ -21,8 +21,7 @@ Design (see SURVEY.md §A.2):
     inline ``convert_fp8`` in the CUDA kernel).
 """
 import functools
-import math
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

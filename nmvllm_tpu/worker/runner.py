@@ -24,21 +24,19 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from nmvllm_tpu.config import EngineConfig
 from nmvllm_tpu.layers.sampler import (SamplerOutputArrays, SamplingTensors,
                                        sample)
 from nmvllm_tpu.logger import init_logger
-from nmvllm_tpu.models import resolve_model_cls
 from nmvllm_tpu.models.base import AttentionMetadata
 from nmvllm_tpu.parallel.mesh import TP_AXIS
 from nmvllm_tpu.sampling_params import SamplingParams, SamplingType
 from nmvllm_tpu.sequence import (CompletionSequenceGroupOutput, Logprob,
                                  SamplerOutput, SequenceGroupMetadata,
                                  SequenceOutput)
-from nmvllm_tpu.utils import cdiv, next_power_of_2, pad_to, round_up
+from nmvllm_tpu.utils import cdiv, next_power_of_2, round_up
 
 logger = init_logger(__name__)
 
