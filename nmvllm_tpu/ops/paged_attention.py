@@ -109,7 +109,8 @@ def _decode_kernel(
             v = v * v_scale
         # scores: (G_pad, SB)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
         col = jax.lax.broadcasted_iota(
             jnp.int32, (g_pad, sb_tokens), 1) + sb * sb_tokens
         s = jnp.where(col < ctx, s, _NEG_INF)
@@ -118,7 +119,8 @@ def _decode_kernel(
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * alpha + jnp.dot(p.astype(v.dtype), v,
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=jnp.float32,
+                                        precision=jax.lax.Precision.DEFAULT)
         return m_new, l_new, acc_new
 
     m0 = jnp.full((g_pad, 1), _NEG_INF, jnp.float32)

@@ -136,8 +136,11 @@ def _quant_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
         return 0
 
     jax.lax.fori_loop(0, gpb, dequant_group, 0, unroll=False)
+    # Pin precision: the global jax_default_matmul_precision must not leak
+    # into Mosaic (bf16 dots reject HIGHEST).
     acc_ref[:] += jnp.dot(x_ref[:], deq_ref[:],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():

@@ -112,7 +112,8 @@ def _sparse24_kernel(x3_ref, v0_ref, v1_ref, m_ref, o_ref, acc_ref, *,
         dense_r = (jnp.where(p0 == r, v0, zero) +
                    jnp.where(p1 == r, v1, zero))  # (bk4, bn)
         acc = acc + jnp.dot(x3_ref[r], dense_r,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
     acc_ref[:] = acc
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
