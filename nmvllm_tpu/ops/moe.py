@@ -52,7 +52,12 @@ def fused_moe(
     x_sorted = x[token_idx]                          # (T*k, H)
     group_sizes = jnp.bincount(flat_ids, length=e)   # (E,)
 
-    h1 = jax.lax.ragged_dot(x_sorted, w1, group_sizes)   # (T*k, 2I)
+    # HIGHEST precision for f32 (true-f32 grouped matmul); DEFAULT for
+    # bf16 (Mosaic's ragged_dot lowering rejects bf16+HIGHEST).
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    h1 = jax.lax.ragged_dot(x_sorted, w1, group_sizes,
+                            precision=prec)  # (T*k, 2I)
     a, b = jnp.split(h1, 2, axis=-1)
     if activation == "silu":
         inter = jax.nn.silu(a) * b
@@ -60,7 +65,8 @@ def fused_moe(
         inter = jax.nn.gelu(a, approximate=True) * b
     else:
         raise ValueError(f"Unsupported MoE activation {activation}")
-    out_sorted = jax.lax.ragged_dot(inter.astype(x.dtype), w2, group_sizes)
+    out_sorted = jax.lax.ragged_dot(inter.astype(x.dtype), w2, group_sizes,
+                                    precision=prec)
 
     # Unsort and apply routing weights; scatter-add rows back per token.
     w_sorted = weights.reshape(-1)[order]
@@ -80,12 +86,14 @@ def fused_moe_reference(x, w1, w2, gate_logits, top_k, *,
     combine = jnp.zeros((t, e), jnp.float32).at[
         jnp.arange(t)[:, None], ids].add(weights)
     h1 = jnp.einsum("th,ehi->tei", x.astype(jnp.float32),
-                    w1.astype(jnp.float32))
+                    w1.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
     a, b = jnp.split(h1, 2, axis=-1)
     if activation == "silu":
         inter = jax.nn.silu(a) * b
     else:
         inter = jax.nn.gelu(a, approximate=True) * b
-    per_expert = jnp.einsum("tei,eih->teh", inter, w2.astype(jnp.float32))
+    per_expert = jnp.einsum("tei,eih->teh", inter, w2.astype(jnp.float32),
+                            precision=jax.lax.Precision.HIGHEST)
     out = jnp.einsum("teh,te->th", per_expert, combine)
     return out.astype(x.dtype)

@@ -238,12 +238,14 @@ def paged_attention_reference(
     v = v * v_scale
 
     q_r = q.reshape(batch, num_kv_heads, group, head_dim).astype(jnp.float32)
-    s = jnp.einsum("bhgd,bhtd->bhgt", q_r, k) * scale
+    s = jnp.einsum("bhgd,bhtd->bhgt", q_r, k,
+                   precision=jax.lax.Precision.HIGHEST) * scale
     mask = (jnp.arange(t)[None, :] < context_lens[:, None])
     s = jnp.where(mask[:, None, None, :], s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     # Padding rows (context_len == 0) are fully masked -> softmax NaN;
     # zero them (the Pallas kernel's zero-trip loop does the same).
     p = jnp.where(mask[:, None, None, :], p, 0.0)
-    o = jnp.einsum("bhgt,bhtd->bhgd", p, v)
+    o = jnp.einsum("bhgt,bhtd->bhgd", p, v,
+                   precision=jax.lax.Precision.HIGHEST)
     return o.reshape(batch, num_q_heads, head_dim).astype(q.dtype)

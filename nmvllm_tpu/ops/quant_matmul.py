@@ -241,7 +241,10 @@ def quant_matmul_reference(x: jax.Array, qweight: jax.Array,
     z = jnp.repeat(zeros.astype(jnp.int32), g, axis=0)
     s = jnp.repeat(scales.astype(jnp.float32), g, axis=0)
     w = (w_int - z).astype(jnp.float32) * s
-    y = jnp.dot(x.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+    # True-f32 ground truth (TPU default matmul precision truncates to
+    # bf16, which would make the reference the imprecise side).
+    y = jnp.dot(x.astype(jnp.float32), w, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     return y.astype(x.dtype)
 
 

@@ -132,8 +132,8 @@ def sparse24_matmul(x: jax.Array, v0: jax.Array, v1: jax.Array,
     assert k4 * 4 == k, (k, v0.shape)
     if not use_pallas():
         dense = decompress_24(v0, v1, meta, k).astype(x.dtype)
-        return jnp.dot(x, dense,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        return jnp.dot(x, dense, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
 
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     if block_m <= 0:

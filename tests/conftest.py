@@ -15,12 +15,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest  # noqa: E402
 
-import jax  # noqa: E402
-
-# On TPU the default f32 matmul precision is bf16-truncated; reference
-# implementations must compute in true f32 to serve as ground truth.
-jax.config.update("jax_default_matmul_precision", "highest")
-
 
 @pytest.fixture(scope="session")
 def rng():

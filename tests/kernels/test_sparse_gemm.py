@@ -38,7 +38,7 @@ def test_sparse24_matmul_matches_dense(rng):
     w = _prune_24(jax.random.normal(kw, (k, n), jnp.float32))
     v0, v1, meta = compress_24(w)
     x = jax.random.normal(kx, (m, k), jnp.float32)
-    ref = jnp.dot(x, w)
+    ref = jnp.dot(x, w, precision=jax.lax.Precision.HIGHEST)
     out = sparse24_matmul(x, v0, v1, meta, block_n=128, block_k4=64)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3,
                                rtol=1e-3)
