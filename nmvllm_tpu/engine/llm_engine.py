@@ -133,6 +133,8 @@ class LLMEngine:
         if sampling_params.use_beam_search:
             raise NotImplementedError(
                 "Beam search is not yet supported in nmvllm_tpu.")
+        if lora_request is not None:
+            self.executor.runner.add_lora(lora_request)
         # Parallel sampling: best_of sibling sequences share the prompt's
         # KV pages (block manager ref-counts them; decode growth CoWs).
         seqs = []

@@ -63,7 +63,7 @@ class Linear(Module):
     def __init__(self, in_features: int, out_features: int,
                  bias: bool = False, *, shard: str = "none",
                  method: Optional[LinearMethodBase] = None,
-                 params_dtype=jnp.bfloat16):
+                 params_dtype=jnp.bfloat16, name: str = ""):
         assert shard in ("none", "column", "row")
         self.in_features = in_features
         self.out_features = out_features
@@ -71,6 +71,8 @@ class Linear(Module):
         self.shard = shard
         self.method = method or UnquantizedLinearMethod()
         self.params_dtype = params_dtype
+        # Fully-qualified layer name; keys LoRA adapter stacks.
+        self.name = name
 
     def init(self, rng) -> Dict[str, Any]:
         params = self.method.create_weights(rng, self.in_features,
@@ -90,13 +92,16 @@ class Linear(Module):
 
     def __call__(self, params: Dict[str, Any], x, *,
                  inside_shard_map: bool = True):
+        from nmvllm_tpu.lora.context import maybe_apply_lora
         bias = params.get("bias")
         if self.shard == "row":
             # Bias must be added once, after the cross-shard reduction.
             y = self.method.apply(params, x, None)
+            y = maybe_apply_lora(self.name, x, y)
             if inside_shard_map:
                 y = jax.lax.psum(y, TP_AXIS)
             if bias is not None:
                 y = y + bias
             return y
-        return self.method.apply(params, x, bias)
+        y = self.method.apply(params, x, bias)
+        return maybe_apply_lora(self.name, x, y)

@@ -64,19 +64,23 @@ class Attention:
         self.q_proj = Linear(cfg.hidden_size, qd, bias=attn_bias,
                              shard="column",
                              method=method_factory(f"{prefix}.q_proj"),
-                             params_dtype=dtype)
+                             params_dtype=dtype,
+                             name=f"{prefix}.q_proj")
         self.k_proj = Linear(cfg.hidden_size, kvd, bias=attn_bias,
                              shard="column",
                              method=method_factory(f"{prefix}.k_proj"),
-                             params_dtype=dtype)
+                             params_dtype=dtype,
+                             name=f"{prefix}.k_proj")
         self.v_proj = Linear(cfg.hidden_size, kvd, bias=attn_bias,
                              shard="column",
                              method=method_factory(f"{prefix}.v_proj"),
-                             params_dtype=dtype)
+                             params_dtype=dtype,
+                             name=f"{prefix}.v_proj")
         self.o_proj = Linear(qd, cfg.hidden_size, bias=out_bias,
                              shard="row",
                              method=method_factory(f"{prefix}.o_proj"),
-                             params_dtype=dtype)
+                             params_dtype=dtype,
+                             name=f"{prefix}.o_proj")
 
     def init(self, rng):
         ks = jax.random.split(rng, 4)
@@ -143,13 +147,16 @@ class LlamaMLP:
         bias = getattr(cfg, "mlp_bias", False)
         self.gate_proj = Linear(hidden, inter, bias=bias, shard="column",
                                 method=method_factory(f"{prefix}.gate_proj"),
-                                params_dtype=dtype)
+                                params_dtype=dtype,
+                                name=f"{prefix}.gate_proj")
         self.up_proj = Linear(hidden, inter, bias=bias, shard="column",
                               method=method_factory(f"{prefix}.up_proj"),
-                              params_dtype=dtype)
+                              params_dtype=dtype,
+                              name=f"{prefix}.up_proj")
         self.down_proj = Linear(inter, hidden, bias=bias, shard="row",
                                 method=method_factory(f"{prefix}.down_proj"),
-                                params_dtype=dtype)
+                                params_dtype=dtype,
+                                name=f"{prefix}.down_proj")
         act = getattr(cfg, "hidden_act", "silu")
         self.act_fn = get_act_fn(act)
 

@@ -17,6 +17,7 @@ TPU-native design decisions (SURVEY.md §7):
     the model, sampling is replicated in-graph
     (model_runner.py:1259's driver-only sampling has no SPMD analogue).
 """
+import contextlib
 import functools
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
@@ -54,6 +55,56 @@ def shard_map_fn(f, mesh, in_specs, out_specs):
                          out_specs=out_specs, check_rep=False)
 
 
+class LoRAState:
+    """Device-resident multi-LoRA state (reference: WorkerLoRAManager,
+    vllm/lora/worker_manager.py): per-target-layer adapter slot stacks +
+    an LRU slot manager. Stacks are jit inputs, so swapping adapters never
+    recompiles the step."""
+
+    def __init__(self, model, lora_config):
+        from nmvllm_tpu.lora.layers import LoRAConfig as LC, make_lora_stacks
+        from nmvllm_tpu.lora.models import LoRAModelManager
+        self.config = LC(max_loras=lora_config.max_loras,
+                         max_lora_rank=lora_config.max_lora_rank)
+        self.manager = LoRAModelManager(self.config)
+        self.manager.install_fn = self._install
+        self.stacks = {}
+        for name, linear in _named_linears(model):
+            self.stacks[name] = make_lora_stacks(
+                self.config.max_loras, linear.in_features,
+                linear.out_features, self.config.max_lora_rank)
+
+    def _install(self, slot, lora_model):
+        from nmvllm_tpu.lora.layers import clear_lora_slot, set_lora_slot
+        for name in self.stacks:
+            a, b = self.stacks[name]
+            if lora_model is not None and name in lora_model.loras:
+                a, b = set_lora_slot(a, b, slot, lora_model.loras[name])
+            else:
+                a, b = clear_lora_slot(a, b, slot)
+            self.stacks[name] = (a, b)
+
+    def slots_for_rows(self, rows) -> np.ndarray:
+        out = np.zeros((len(rows),), np.int32)
+        for i, (meta, _) in enumerate(rows):
+            if meta.lora_request is not None:
+                out[i] = self.manager.activate(
+                    meta.lora_request.lora_int_id)
+        return out
+
+
+def _named_linears(model):
+    from nmvllm_tpu.layers.linear import Linear
+    for layer in model.layers:
+        for block_name in ("self_attn", "mlp", "block_sparse_moe"):
+            block = getattr(layer, block_name, None)
+            if block is None:
+                continue
+            for attr, val in vars(block).items():
+                if isinstance(val, Linear) and val.name:
+                    yield val.name, val
+
+
 @dataclass
 class _PreparedDecode:
     tokens: np.ndarray
@@ -89,6 +140,29 @@ class ModelRunner:
         from nmvllm_tpu.model_loader import get_model
         self.model, self.params = get_model(self.config, self.mesh)
         self._param_specs = self.model.specs()
+        self.lora_state = None
+        if self.config.lora_config is not None:
+            self.lora_state = LoRAState(self.model,
+                                        self.config.lora_config)
+
+    # -------------------------------------------------------------- lora api
+    def add_lora(self, lora_request) -> None:
+        """Register (and load) an adapter (reference WorkerBase.add_lora)."""
+        assert self.lora_state is not None, "engine built without LoRA"
+        from nmvllm_tpu.lora.models import LoRAModel
+        if lora_request.lora_int_id not in self.lora_state.manager.\
+                list_loras():
+            model = LoRAModel.from_local_checkpoint(
+                lora_request.lora_local_path, lora_request.lora_int_id)
+            self.lora_state.manager.register(model)
+
+    def remove_lora(self, lora_id: int) -> None:
+        assert self.lora_state is not None
+        self.lora_state.manager.deregister(lora_id)
+
+    def list_loras(self):
+        return (self.lora_state.manager.list_loras()
+                if self.lora_state else [])
 
     @property
     def vocab_size(self) -> int:
@@ -270,8 +344,8 @@ class ModelRunner:
                     for _ in range(len(self.model.layers))]
         return self._param_specs, kv_specs
 
-    def _get_decode_fn(self, flags_key):
-        key = ("decode", flags_key)
+    def _get_decode_fn(self, flags_key, use_lora: bool = False):
+        key = ("decode", flags_key, use_lora)
         if key in self._step_fns:
             return self._step_fns[key]
         flags = dict(flags_key)
@@ -281,27 +355,35 @@ class ModelRunner:
         vocab_size = self.vocab_size
 
         def fwd(params, kv_caches, tokens, positions, slots, block_tables,
-                ctx):
+                ctx, lora_indices, lora_stacks):
+            from nmvllm_tpu.lora.context import lora_scope
             meta = AttentionMetadata(
                 slot_mapping=slots, block_tables=block_tables,
                 context_lens=ctx, seq_lens=jnp.ones_like(ctx),
                 prefix_lens=jnp.zeros_like(ctx))
-            x, kv_caches = model.forward(params, tokens, positions,
-                                         kv_caches, meta, is_prefill=False)
+            scope = (lora_scope(lora_indices, lora_stacks) if use_lora
+                     else contextlib.nullcontext())
+            with scope:
+                x, kv_caches = model.forward(params, tokens, positions,
+                                             kv_caches, meta,
+                                             is_prefill=False)
             logits = model.compute_logits(params, x[:, 0, :])
             return logits, kv_caches
 
+        lora_specs = (P(), jax.tree.map(lambda _: P(),
+                                        self._lora_stack_template()))
         sharded_fwd = shard_map_fn(
             fwd, mesh,
-            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P()),
+            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(),
+                      *lora_specs),
             out_specs=(P(), kv_specs))
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
-                 ctx, sampling_tensors):
+                 ctx, sampling_tensors, lora_indices, lora_stacks):
             logits, kv_caches = sharded_fwd(params, kv_caches, tokens,
                                             positions, slots, block_tables,
-                                            ctx)
+                                            ctx, lora_indices, lora_stacks)
             out = sample(logits, sampling_tensors, vocab_size=vocab_size,
                          **flags)
             return kv_caches, out
@@ -309,9 +391,22 @@ class ModelRunner:
         self._step_fns[key] = step
         return step
 
+    def _lora_stack_template(self):
+        return (self.lora_state.stacks
+                if getattr(self, "lora_state", None) else {})
+
+    def _lora_args(self, rows, batch_pad: int):
+        if getattr(self, "lora_state", None) is None:
+            return False, jnp.zeros((batch_pad,), jnp.int32), {}
+        idx = np.zeros((batch_pad,), np.int32)
+        idx[:len(rows)] = self.lora_state.slots_for_rows(rows)
+        use = bool(idx.any())
+        return use, jnp.asarray(idx), self.lora_state.stacks
+
     def _get_prefill_fn(self, flags_key, has_prefix: bool, do_sample: bool,
-                        n_samples: int = 1):
-        key = ("prefill", flags_key, has_prefix, do_sample, n_samples)
+                        n_samples: int = 1, use_lora: bool = False):
+        key = ("prefill", flags_key, has_prefix, do_sample, n_samples,
+               use_lora)
         if key in self._step_fns:
             return self._step_fns[key]
         flags = dict(flags_key)
@@ -321,14 +416,19 @@ class ModelRunner:
         vocab_size = self.vocab_size
 
         def fwd(params, kv_caches, tokens, positions, slots, block_tables,
-                ctx, seq_lens, prefix_lens):
+                ctx, seq_lens, prefix_lens, lora_indices, lora_stacks):
+            from nmvllm_tpu.lora.context import lora_scope
             meta = AttentionMetadata(
                 slot_mapping=slots, block_tables=block_tables,
                 context_lens=ctx, seq_lens=seq_lens,
                 prefix_lens=prefix_lens)
-            x, kv_caches = model.forward(params, tokens, positions,
-                                         kv_caches, meta, is_prefill=True,
-                                         has_prefix=has_prefix)
+            scope = (lora_scope(lora_indices, lora_stacks) if use_lora
+                     else contextlib.nullcontext())
+            with scope:
+                x, kv_caches = model.forward(params, tokens, positions,
+                                             kv_caches, meta,
+                                             is_prefill=True,
+                                             has_prefix=has_prefix)
             hidden = model.select_last_token(x, seq_lens)
             if do_sample:
                 if n_samples > 1:
@@ -339,18 +439,22 @@ class ModelRunner:
                 logits = jnp.zeros((tokens.shape[0], 8), jnp.float32)
             return logits, kv_caches
 
+        lora_specs = (P(), jax.tree.map(lambda _: P(),
+                                        self._lora_stack_template()))
         sharded_fwd = shard_map_fn(
             fwd, mesh,
             in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),
-                      P()),
+                      P(), *lora_specs),
             out_specs=(P(), kv_specs))
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
-                 ctx, seq_lens, prefix_lens, sampling_tensors):
+                 ctx, seq_lens, prefix_lens, sampling_tensors,
+                 lora_indices, lora_stacks):
             logits, kv_caches = sharded_fwd(params, kv_caches, tokens,
                                             positions, slots, block_tables,
-                                            ctx, seq_lens, prefix_lens)
+                                            ctx, seq_lens, prefix_lens,
+                                            lora_indices, lora_stacks)
             if do_sample:
                 out = sample(logits, sampling_tensors,
                              vocab_size=vocab_size, **flags)
@@ -368,15 +472,17 @@ class ModelRunner:
         b = prep.tokens.shape[0]
         tensors, flags = self.build_sampling_tensors(prep.rows, b)
         flags_key = tuple(sorted(flags.items()))
-        step = self._get_decode_fn(flags_key)
-        logger.debug("decode step: B=%d rows=%d flags=%s", b,
-                     len(prep.rows), flags)
+        use_lora, lora_idx, lora_stacks = self._lora_args(prep.rows, b)
+        step = self._get_decode_fn(flags_key, use_lora)
+        logger.debug("decode step: B=%d rows=%d flags=%s lora=%s", b,
+                     len(prep.rows), flags, use_lora)
         kv_caches, out = step(self.params, kv_caches,
                               jnp.asarray(prep.tokens),
                               jnp.asarray(prep.positions),
                               jnp.asarray(prep.slot_mapping),
                               jnp.asarray(prep.block_tables),
-                              jnp.asarray(prep.context_lens), tensors)
+                              jnp.asarray(prep.context_lens), tensors,
+                              lora_idx, lora_stacks)
         sampler_output = self._to_sampler_output(out, prep.rows, metas)
         return kv_caches, sampler_output
 
@@ -414,15 +520,17 @@ class ModelRunner:
         rows = [(meta, sid) for sid in seq_ids]
         tensors, flags = self.build_sampling_tensors(rows, len(rows))
         flags_key = tuple(sorted(flags.items()))
+        use_lora, lora_idx, lora_stacks = self._lora_args([rows[0]], 1)
         step = self._get_prefill_fn(flags_key, has_prefix, meta.do_sample,
-                                    n_samples=len(rows))
-        logger.debug("prefill step: T=%d chunk=%d prefix=%s flags=%s", t,
-                     chunk, has_prefix, flags)
+                                    n_samples=len(rows), use_lora=use_lora)
+        logger.debug("prefill step: T=%d chunk=%d prefix=%s flags=%s "
+                     "lora=%s", t, chunk, has_prefix, flags, use_lora)
         kv_caches, out = step(self.params, kv_caches, jnp.asarray(tokens),
                               jnp.asarray(positions), jnp.asarray(slots),
                               jnp.asarray(block_tables), jnp.asarray(ctx),
                               jnp.asarray(seq_lens),
-                              jnp.asarray(prefix_lens), tensors)
+                              jnp.asarray(prefix_lens), tensors, lora_idx,
+                              lora_stacks)
         if out is None:
             return kv_caches, None
         return kv_caches, self._to_sampler_output(out, rows, [meta])
