@@ -74,6 +74,8 @@ def lora_apply(x: jax.Array, a_stack: jax.Array, b_stack: jax.Array,
     a = a_stack[indices]                        # (T, K, r)
     b = b_stack[indices]                        # (T, r, N)
     xa = jnp.einsum("tk,tkr->tr", x.astype(jnp.float32),
-                    a.astype(jnp.float32))
-    delta = jnp.einsum("tr,trn->tn", xa, b.astype(jnp.float32))
+                    a.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
+    delta = jnp.einsum("tr,trn->tn", xa, b.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
     return delta.astype(x.dtype)

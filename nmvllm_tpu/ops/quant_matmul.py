@@ -136,11 +136,13 @@ def _quant_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
         return 0
 
     jax.lax.fori_loop(0, gpb, dequant_group, 0, unroll=False)
-    # Pin precision: the global jax_default_matmul_precision must not leak
-    # into Mosaic (bf16 dots reject HIGHEST).
+    # f32 activations use a true-f32 MXU contract; bf16 stays DEFAULT
+    # (Mosaic rejects bf16 + HIGHEST).
+    prec = (jax.lax.Precision.HIGHEST if cdtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     acc_ref[:] += jnp.dot(x_ref[:], deq_ref[:],
                           preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.DEFAULT)
+                          precision=prec)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():

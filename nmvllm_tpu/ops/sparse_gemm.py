@@ -106,6 +106,8 @@ def _sparse24_kernel(x3_ref, v0_ref, v1_ref, m_ref, o_ref, acc_ref, *,
     v0 = v0_ref[:]
     v1 = v1_ref[:]
     cdtype = v0.dtype
+    prec = (jax.lax.Precision.HIGHEST if cdtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     zero = jnp.zeros((), cdtype)
     acc = acc_ref[:]
     for r in range(4):
@@ -113,7 +115,7 @@ def _sparse24_kernel(x3_ref, v0_ref, v1_ref, m_ref, o_ref, acc_ref, *,
                    jnp.where(p1 == r, v1, zero))  # (bk4, bn)
         acc = acc + jnp.dot(x3_ref[r], dense_r,
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.DEFAULT)
+                            precision=prec)
     acc_ref[:] = acc
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
