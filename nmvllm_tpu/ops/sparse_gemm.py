@@ -146,8 +146,18 @@ def sparse24_matmul(x: jax.Array, v0: jax.Array, v1: jax.Array,
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     if block_k4 <= 0:
         block_k4 = min(k4, 1024)
-    bk4 = min(block_k4, k4)
-    assert k4 % bk4 == 0 and bk4 % _PACK_BLOCK == 0, (k4, bk4)
+    # x3's lane dim is k4: blocks must be 128-aligned (or the full dim).
+    if block_k4 >= k4 or k4 < 128:
+        bk4 = k4
+    else:
+        bk4 = 128
+        d = 128
+        while d <= min(block_k4, k4):
+            if k4 % d == 0:
+                bk4 = d
+            d += 128
+    assert (k4 % bk4 == 0 and bk4 % _PACK_BLOCK == 0
+            and (bk4 % 128 == 0 or bk4 == k4)), (k4, bk4)
     bn = min(block_n, n)
     assert n % bn == 0, (n, bn)
 

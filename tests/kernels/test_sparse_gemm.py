@@ -39,6 +39,6 @@ def test_sparse24_matmul_matches_dense(rng):
     v0, v1, meta = compress_24(w)
     x = jax.random.normal(kx, (m, k), jnp.float32)
     ref = jnp.dot(x, w, precision=jax.lax.Precision.HIGHEST)
-    out = sparse24_matmul(x, v0, v1, meta, block_n=128, block_k4=64)
+    out = sparse24_matmul(x, v0, v1, meta, block_n=128, block_k4=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3,
                                rtol=1e-3)
