@@ -22,11 +22,14 @@ def test_lora_apply_matches_dense(rng):
     a_stack, b_stack = set_lora_slot(a_stack, b_stack, 1, lora)
     idx = jnp.asarray([1, 0, 1, 1, 0, 1], jnp.int32)
     delta = lora_apply(x, a_stack, b_stack, idx)
-    want = (x @ a) * lora.scaling @ b
+    # Reference in numpy f64 — `x @ a` under jnp would itself run at TPU
+    # default (bf16 MXU) precision and be less accurate than lora_apply.
+    want = (np.asarray(x, np.float64) @ np.asarray(a, np.float64)
+            ) * lora.scaling @ np.asarray(b, np.float64)
     got = np.asarray(delta)
     for i in range(t):
         if int(idx[i]) == 1:
-            np.testing.assert_allclose(got[i], np.asarray(want)[i],
+            np.testing.assert_allclose(got[i], want[i],
                                        atol=1e-3, rtol=1e-3)
         else:
             np.testing.assert_allclose(got[i], 0.0, atol=1e-6)
