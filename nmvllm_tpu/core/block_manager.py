@@ -16,7 +16,7 @@ from nmvllm_tpu.core.block import PhysicalTokenBlock
 from nmvllm_tpu.core.evictor import LRUEvictor
 from nmvllm_tpu.logger import init_logger
 from nmvllm_tpu.sequence import Sequence, SequenceGroup, SequenceStatus
-from nmvllm_tpu.utils import Counter, now
+from nmvllm_tpu.utils import Counter, cdiv, now
 
 logger = init_logger(__name__)
 
@@ -281,19 +281,27 @@ class BlockSpaceManager:
 
     def append_slots(self, seq: Sequence, num_lookahead_slots: int = 0
                      ) -> List[Tuple[int, int]]:
-        """Grow the block table for one new token; returns CoW copies
-        (src, dst) (reference append_slots:425)."""
-        n_blocks = seq.n_blocks()
+        """Grow the block table for one new token plus ``num_lookahead_slots``
+        speculative slots; returns CoW copies (src, dst) (reference
+        append_slots:425 + lookahead-slot reservation for spec decode)."""
+        # Lookahead slots: spec-decode verification writes KV for draft
+        # tokens at positions [len, len+lookahead); the table must span them.
+        n_blocks = cdiv(seq.get_len() + num_lookahead_slots, self.block_size)
         block_table = self.block_tables[seq.seq_id]
         if len(block_table) < n_blocks:
-            assert len(block_table) == n_blocks - 1
-            if (self.block_sliding_window
-                    and len(block_table) >= self.block_sliding_window):
-                block_table.append(
-                    block_table[len(block_table) % self.block_sliding_window])
-            else:
-                block_table.append(self._allocate_last_physical_block(seq))
-            return []
+            grew = False
+            while len(block_table) < n_blocks:
+                if (self.block_sliding_window
+                        and len(block_table) >= self.block_sliding_window):
+                    block_table.append(
+                        block_table[len(block_table) %
+                                    self.block_sliding_window])
+                else:
+                    block_table.append(
+                        self._allocate_last_physical_block(seq))
+                grew = True
+            if grew:
+                return []
         last_block = block_table[-1]
         assert last_block.device == "device"
         if last_block.ref_count == 1:

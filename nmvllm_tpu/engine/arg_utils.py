@@ -128,12 +128,22 @@ class EngineArgs:
             data_parallel_size=self.data_parallel_size,
             expert_parallel_size=self.expert_parallel_size,
             disable_custom_all_reduce=self.disable_custom_all_reduce)
+        # Spec decode reserves lookahead KV slots for draft-token writes
+        # (reference: SpeculativeConfig -> num_lookahead_slots plumbing).
+        num_lookahead_slots = self.num_lookahead_slots
+        if self.speculative_model or self.ngram_prompt_lookup_max:
+            if self.enable_prefix_caching:
+                raise ValueError(
+                    "Speculative decoding is not compatible with prefix "
+                    "caching (draft KV writes would dirty hashed blocks).")
+            num_lookahead_slots = max(num_lookahead_slots,
+                                      self.num_speculative_tokens)
         scheduler_config = SchedulerConfig(
             max_num_batched_tokens=self.max_num_batched_tokens,
             max_num_seqs=self.max_num_seqs,
             max_model_len=model_config.max_model_len,
             use_v2_block_manager=self.use_v2_block_manager,
-            num_lookahead_slots=self.num_lookahead_slots,
+            num_lookahead_slots=num_lookahead_slots,
             delay_factor=self.scheduler_delay_factor,
             enable_chunked_prefill=self.enable_chunked_prefill,
             preemption_mode=self.preemption_mode)

@@ -63,11 +63,27 @@ class LLMEngine:
                                    engine_config.lora_config)
         self.stop_checker = StopChecker(self.scheduler_config.max_model_len)
         self.output_processor = SingleStepOutputProcessor(
-            self.detokenizer, self.stop_checker, self.scheduler)
+            self.detokenizer, self.stop_checker, self.scheduler,
+            seq_counter=self.seq_counter)
         self.stat_logger = StatLogger(
             local_interval=5.0,
             labels=dict(model_name=self.model_config.served_model_name)
         ) if log_stats else None
+        # Speculative decoding (reference SpecDecodeWorker,
+        # spec_decode/spec_decode_worker.py:73): ngram prompt-lookup drafts
+        # verified by one multi-query decode step with greedy acceptance.
+        self.spec_config = engine_config.speculative_config
+        self.spec_proposer = None
+        self.spec_stats = {"num_drafted": 0, "num_accepted": 0,
+                           "num_emitted": 0, "num_spec_steps": 0}
+        if self.spec_config is not None and self.spec_config.method == \
+                "ngram":
+            from nmvllm_tpu.spec_decode.ngram_proposer import NGramProposer
+            self.spec_proposer = NGramProposer(
+                ngram_min=max(1, self.spec_config.ngram_prompt_lookup_min),
+                ngram_max=self.spec_config.ngram_prompt_lookup_max,
+                num_speculative_tokens=(
+                    self.spec_config.num_speculative_tokens))
         self.tracer = None
         if (engine_config.observability_config and
                 engine_config.observability_config.otlp_traces_endpoint):
@@ -130,18 +146,29 @@ class LLMEngine:
                                            self.model_config.max_logprobs)
 
         block_size = self.cache_config.block_size
-        if sampling_params.use_beam_search:
-            raise NotImplementedError(
-                "Beam search is not yet supported in nmvllm_tpu.")
         if lora_request is not None:
             self.executor.runner.add_lora(lora_request)
-        # Parallel sampling: best_of sibling sequences share the prompt's
-        # KV pages (block manager ref-counts them; decode growth CoWs).
-        seqs = []
-        for _ in range(sampling_params.best_of):
-            seq_id = next(self.seq_counter)
-            seqs.append(Sequence(seq_id, prompt, prompt_token_ids,
-                                 block_size, eos, lora_request))
+        if sampling_params.use_beam_search:
+            # Beam search starts from ONE sequence; beams fork in output
+            # processing (reference single_step.py beam branch). Width is
+            # bounded by the in-graph top-k logprob capture.
+            from nmvllm_tpu.worker.runner import _MAX_NUM_LOGPROBS
+            if 2 * sampling_params.best_of > _MAX_NUM_LOGPROBS:
+                raise ValueError(
+                    f"beam width (best_of) must be <= "
+                    f"{_MAX_NUM_LOGPROBS // 2}.")
+            seqs = [Sequence(next(self.seq_counter), prompt,
+                             prompt_token_ids, block_size, eos,
+                             lora_request)]
+        else:
+            # Parallel sampling: best_of sibling sequences share the
+            # prompt's KV pages (block manager ref-counts them; decode
+            # growth CoWs).
+            seqs = []
+            for _ in range(sampling_params.best_of):
+                seq_id = next(self.seq_counter)
+                seqs.append(Sequence(seq_id, prompt, prompt_token_ids,
+                                     block_size, eos, lora_request))
         group = SequenceGroup(request_id=request_id, seqs=seqs,
                               arrival_time=arrival_time,
                               sampling_params=sampling_params,
@@ -165,10 +192,58 @@ class LLMEngine:
                 blocks_to_copy=scheduler_outputs.blocks_to_copy,
                 num_lookahead_slots=scheduler_outputs.num_lookahead_slots,
                 running_queue_size=scheduler_outputs.running_queue_size)
-            outputs = self.executor.execute_model(execute_model_req)
+            proposals = self._maybe_propose_drafts(seq_group_metadata_list,
+                                                   scheduler_outputs)
+            if proposals is not None:
+                outputs = self.executor.execute_spec_decode(
+                    execute_model_req, proposals,
+                    self.spec_config.num_speculative_tokens)
+            else:
+                outputs = self.executor.execute_model(execute_model_req)
         else:
             outputs = []
         return self._process_model_outputs(outputs, scheduler_outputs)
+
+    def _maybe_propose_drafts(self, metas, scheduler_outputs):
+        """Build per-row ngram drafts, or None to run a normal step.
+
+        Spec steps run only on all-decode batches of single-sequence greedy
+        groups; rows with sampling features the in-graph greedy verifier
+        cannot honor (non-zero temperature, penalties, logprobs, guided
+        masks, active min_tokens) get an empty draft and decode normally
+        inside the same compiled step (reference: dynamic spec-decode
+        disable, speculative_disable_by_batch_size).
+        """
+        if self.spec_proposer is None:
+            return None
+        if scheduler_outputs.num_prefill_groups > 0 or not metas:
+            return None
+        disable_bs = self.spec_config.speculative_disable_by_batch_size
+        if disable_bs is not None and len(metas) > disable_bs:
+            return None
+        proposals = []
+        any_draft = False
+        for meta in metas:
+            if len(meta.seq_data) != 1:
+                return None  # parallel-sampling groups: no spec
+            (seq_id, data), = meta.seq_data.items()
+            sp = meta.sampling_params
+            if sp is not None and sp.use_beam_search:
+                return None  # beam batches need beam candidate assembly
+            eligible = (sp is not None and sp.temperature == 0.0
+                        and sp.presence_penalty == 0.0
+                        and sp.frequency_penalty == 0.0
+                        and sp.repetition_penalty == 1.0
+                        and not sp.logits_processors
+                        and data.get_output_len() >= sp.min_tokens)
+            prop = None
+            if eligible:
+                prop = self.spec_proposer.propose(data.get_token_ids())
+            proposals.append(prop or [])
+            any_draft = any_draft or bool(prop)
+        if not any_draft:
+            return None
+        return proposals
 
     def _process_model_outputs(
             self, outputs: List[SamplerOutput],
@@ -178,17 +253,32 @@ class LLMEngine:
         scheduled = scheduler_outputs.scheduled_seq_groups
         if outputs:
             output = outputs[0]
+            is_spec = output.spec_decode_worker_metrics is not None
+            if is_spec:
+                m = output.spec_decode_worker_metrics
+                self.spec_stats["num_drafted"] += m["num_drafted"]
+                self.spec_stats["num_accepted"] += m["num_accepted"]
+                self.spec_stats["num_emitted"] += m["num_emitted"]
+                self.spec_stats["num_spec_steps"] += 1
             idx = 0
             for sched_group in scheduled:
                 seq_group = sched_group.seq_group
-                seq_group.update_num_computed_tokens(
-                    sched_group.token_chunk_size)
+                if not is_spec:
+                    seq_group.update_num_computed_tokens(
+                        sched_group.token_chunk_size)
                 if idx < len(output.outputs):
                     group_output = output.outputs[idx]
                     idx += 1
                     if group_output is not None and group_output.samples:
-                        self.output_processor.process_outputs(
+                        num_appended = self.output_processor.process_outputs(
                             seq_group, group_output)
+                        if is_spec:
+                            # KV for the accepted prefix was written by the
+                            # verification step; advance computed tokens by
+                            # what was actually appended so exactly one
+                            # uncomputed token remains.
+                            seq_group.update_num_computed_tokens(
+                                num_appended)
                 seq_group.maybe_set_first_token_time(now)
         self.scheduler.free_finished_seq_groups()
 

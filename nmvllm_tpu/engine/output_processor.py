@@ -198,29 +198,176 @@ class SingleStepOutputProcessor:
     (reference output_processor/single_step.py:18)."""
 
     def __init__(self, detokenizer: Optional[Detokenizer],
-                 stop_checker: StopChecker, scheduler):
+                 stop_checker: StopChecker, scheduler, seq_counter=None):
         self.detokenizer = detokenizer
         self.stop_checker = stop_checker
         self.scheduler = scheduler
+        self.seq_counter = seq_counter
 
     def process_outputs(self, seq_group: SequenceGroup,
-                        output: CompletionSequenceGroupOutput) -> None:
+                        output: CompletionSequenceGroupOutput) -> int:
+        if (seq_group.sampling_params is not None
+                and seq_group.sampling_params.use_beam_search):
+            return self._process_beam_search(seq_group, output)
+        return self._process_samples(seq_group, output)
+
+    def _process_samples(self, seq_group: SequenceGroup,
+                         output: CompletionSequenceGroupOutput) -> int:
+        """Append sampled tokens; returns the number appended.
+
+        A parent seq with multiple samples receives them in order with a
+        stop check after each (the reference's MultiStepOutputProcessor,
+        output_processor/multi_step.py:20 — used by spec decode); stopping
+        early discards the rest.
+        """
         samples_by_parent: Dict[int, list] = {}
         for sample in output.samples:
             samples_by_parent.setdefault(sample.parent_seq_id,
                                          []).append(sample)
+        num_appended = 0
         for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
             samples = samples_by_parent.get(seq.seq_id, [])
-            if not samples:
-                continue
-            sample = samples[0]
-            seq.append_token_id(sample.output_token, sample.logprobs)
             sampling_params = seq_group.sampling_params
+            for sample in samples:
+                seq.append_token_id(sample.output_token, sample.logprobs)
+                num_appended += 1
+                new_char_count = 0
+                if sampling_params.detokenize and \
+                        self.detokenizer is not None:
+                    new_char_count = \
+                        self.detokenizer.decode_sequence_inplace(
+                            seq, sampling_params)
+                self.stop_checker.maybe_stop_sequence(seq, new_char_count,
+                                                      sampling_params)
+                if seq.is_finished():
+                    break
+            if seq.is_finished():
+                self.scheduler.free_seq(seq)
+        return num_appended
+
+    def _process_beam_search(self, seq_group: SequenceGroup,
+                             output: CompletionSequenceGroupOutput) -> int:
+        """Beam-search step: fork parents into candidate children, keep the
+        top ``beam_width`` running beams and the best finished beams
+        (behavior parity with reference single_step.py:113-249; candidates
+        arrive pre-scored from the runner's top-k capture)."""
+        sampling_params = seq_group.sampling_params
+        beam_width = sampling_params.best_of
+        length_penalty = sampling_params.length_penalty
+        parent_seqs = seq_group.get_seqs(status=SequenceStatus.RUNNING)
+        existing_finished = seq_group.get_finished_seqs()
+        by_parent: Dict[int, list] = {p.seq_id: [] for p in parent_seqs}
+        for sample in output.samples:
+            by_parent[sample.parent_seq_id].append(sample)
+
+        child_seqs = []  # (child, parent)
+        for parent in parent_seqs:
+            samples = by_parent[parent.seq_id]
+            if not samples:
+                # Unselected parent: drop it entirely.
+                parent.status = SequenceStatus.FINISHED_ABORTED
+                seq_group.remove(parent.seq_id)
+                self.scheduler.free_seq(parent)
+                continue
+            # Fork a child per extra candidate; the parent continues with
+            # the last one (reference ordering: forks happen pre-append).
+            for sample in samples[:-1]:
+                child = parent.fork(next(self.seq_counter))
+                child.append_token_id(sample.output_token, sample.logprobs)
+                child_seqs.append((child, parent))
+            last = samples[-1]
+            parent.append_token_id(last.output_token, last.logprobs)
+            child_seqs.append((parent, parent))
+
+        for seq, _ in child_seqs:
             new_char_count = 0
             if sampling_params.detokenize and self.detokenizer is not None:
                 new_char_count = self.detokenizer.decode_sequence_inplace(
                     seq, sampling_params)
             self.stop_checker.maybe_stop_sequence(seq, new_char_count,
                                                   sampling_params)
-            if seq.is_finished():
+
+        # ---- beam selection ----
+        selected = []    # (seq, parent)
+        unselected = []  # (seq, parent)
+        existing_finished = [(s, None, False) for s in existing_finished]
+        new_finished = [(s, p, True) for s, p in child_seqs
+                        if s.is_finished()]
+        all_finished = existing_finished + new_finished
+        all_finished.sort(
+            key=lambda x: x[0].get_beam_search_score(
+                length_penalty=length_penalty,
+                eos_token_id=x[0].eos_token_id),
+            reverse=True)
+        for seq, parent, is_new in all_finished[:beam_width]:
+            if is_new:
+                selected.append((seq, parent))
+        for seq, parent, is_new in all_finished[beam_width:]:
+            if is_new:
+                unselected.append((seq, parent))
+            else:
+                seq_group.remove(seq.seq_id)
+
+        running = [(s, p) for s, p in child_seqs if not s.is_finished()]
+        running.sort(
+            key=lambda x: x[0].get_beam_search_score(
+                length_penalty=length_penalty,
+                eos_token_id=x[0].eos_token_id),
+            reverse=True)
+        if not running:
+            stop_beam = True
+        elif len(all_finished) < beam_width:
+            stop_beam = False
+        else:
+            stop_beam = self._beam_early_stop(
+                sampling_params, running[0][0],
+                all_finished[beam_width - 1][0])
+        if stop_beam:
+            unselected.extend(running)
+        else:
+            selected.extend(running[:beam_width])
+            unselected.extend(running[beam_width:])
+
+        for seq, parent in selected:
+            if seq is not parent:
+                seq_group.add(seq)
+                if not seq.is_finished():
+                    self.scheduler.fork_seq(parent, seq)
+        for seq, parent in selected:
+            if seq is parent and seq.is_finished():
                 self.scheduler.free_seq(seq)
+        for seq, parent in unselected:
+            if seq is parent:
+                seq_group.remove(seq.seq_id)
+                self.scheduler.free_seq(seq)
+        return 1
+
+    def _beam_early_stop(self, sampling_params: SamplingParams,
+                         best_running: Sequence,
+                         current_worst: Sequence) -> bool:
+        """Early-stop criteria (reference single_step.py:251+)."""
+        early_stopping = sampling_params.early_stopping
+        length_penalty = sampling_params.length_penalty
+        if early_stopping is True:
+            return True
+        worst_score = current_worst.get_beam_search_score(
+            length_penalty=length_penalty,
+            eos_token_id=current_worst.eos_token_id)
+        if early_stopping is False:
+            best_attainable = best_running.get_beam_search_score(
+                length_penalty=length_penalty,
+                eos_token_id=best_running.eos_token_id)
+        else:  # "never"
+            if length_penalty > 0.0:
+                max_len = (best_running.get_prompt_len() +
+                           (sampling_params.max_tokens or
+                            self.stop_checker.max_model_len))
+                max_len = max(max_len, self.stop_checker.max_model_len)
+                best_attainable = best_running.get_beam_search_score(
+                    length_penalty=length_penalty, seq_len=max_len,
+                    eos_token_id=best_running.eos_token_id)
+            else:
+                best_attainable = best_running.get_beam_search_score(
+                    length_penalty=length_penalty,
+                    eos_token_id=best_running.eos_token_id)
+        return worst_score >= best_attainable

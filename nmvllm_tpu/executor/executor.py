@@ -115,5 +115,18 @@ class TPUExecutor:
         ])
         return [merged]
 
+    def execute_spec_decode(self, execute_model_req: ExecuteModelRequest,
+                            proposals, num_spec: int) -> List[SamplerOutput]:
+        """Spec-decode verification step (all-decode batch only)."""
+        assert self.cache_engine is not None
+        self.cache_engine.swap_out(execute_model_req.blocks_to_swap_out)
+        self.cache_engine.swap_in(execute_model_req.blocks_to_swap_in)
+        self.cache_engine.copy(execute_model_req.blocks_to_copy)
+        metas = execute_model_req.seq_group_metadata_list
+        kv, out = self.runner.execute_spec_decode(
+            metas, self.cache_engine.kv_caches, proposals, num_spec)
+        self.cache_engine.kv_caches = kv
+        return [out]
+
     def check_health(self) -> None:
         return

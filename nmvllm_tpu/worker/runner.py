@@ -260,7 +260,9 @@ class ModelRunner:
                 do_top_k_top_p = True
             if sp.min_p > 0.0:
                 do_min_p = True
-            if sp.logprobs is not None:
+            if sp.logprobs is not None or sp.use_beam_search:
+                # Beam search consumes the top-k capture host-side
+                # (2*beam_width candidates per parent).
                 num_logprobs = _MAX_NUM_LOGPROBS
 
         for i, (meta, seq_id) in enumerate(rows):
@@ -465,6 +467,99 @@ class ModelRunner:
         self._step_fns[key] = step
         return step
 
+    def _get_spec_decode_fn(self, num_spec: int, flags_key,
+                            use_lora: bool = False):
+        """Verification step for speculative decoding.
+
+        Reference: vllm/spec_decode/spec_decode_worker.py:73 (score + accept)
+        rebuilt TPU-native: one compiled multi-query decode — each sequence
+        feeds [last_token, draft_0..draft_{k-1}] through the chunked-prefill
+        attention path (queries attend to the paged context plus each other
+        causally), logits are computed at ALL k+1 positions, and greedy
+        acceptance (rejection_sampler.py analogue) runs in-graph. Position 0
+        runs the full sampler so non-greedy/penalized rows (draft_len=0)
+        still sample correctly in the same step.
+        """
+        key = ("spec", num_spec, flags_key, use_lora)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        flags = dict(flags_key)
+        model = self.model
+        param_specs, kv_specs = self._specs_tuple()
+        mesh = self.mesh
+        vocab_size = self.vocab_size
+        s = num_spec + 1
+
+        def fwd(params, kv_caches, tokens, positions, slots, block_tables,
+                ctx, seq_lens, prefix_lens, lora_indices, lora_stacks):
+            from nmvllm_tpu.lora.context import lora_scope
+            meta = AttentionMetadata(
+                slot_mapping=slots, block_tables=block_tables,
+                context_lens=ctx, seq_lens=seq_lens,
+                prefix_lens=prefix_lens)
+            scope = (lora_scope(lora_indices, lora_stacks) if use_lora
+                     else contextlib.nullcontext())
+            with scope:
+                x, kv_caches = model.forward(params, tokens, positions,
+                                             kv_caches, meta,
+                                             is_prefill=True,
+                                             has_prefix=True)
+            b = x.shape[0]
+            logits = model.compute_logits(
+                params, x.reshape(b * s, x.shape[-1]))
+            return logits.reshape(b, s, -1), kv_caches
+
+        lora_specs = (P(), jax.tree.map(lambda _: P(),
+                                        self._lora_stack_template()))
+        sharded_fwd = shard_map_fn(
+            fwd, mesh,
+            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),
+                      P(), *lora_specs),
+            out_specs=(P(), kv_specs))
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(params, kv_caches, tokens, positions, slots, block_tables,
+                 ctx, seq_lens, prefix_lens, drafts, draft_lens,
+                 sampling_tensors, lora_indices, lora_stacks):
+            logits, kv_caches = sharded_fwd(params, kv_caches, tokens,
+                                            positions, slots, block_tables,
+                                            ctx, seq_lens, prefix_lens,
+                                            lora_indices, lora_stacks)
+            logits = logits.astype(jnp.float32)
+            v_pad = logits.shape[-1]
+            if v_pad > vocab_size:
+                logits = jnp.where(
+                    jnp.arange(v_pad)[None, None, :] < vocab_size, logits,
+                    float("-inf"))
+            # Full sampler on position 0 (greedy rows: identical to argmax).
+            out0 = sample(logits[:, 0, :], sampling_tensors,
+                          vocab_size=vocab_size, **flags)
+            targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            targets = targets.at[:, 0].set(out0.next_tokens)
+            # Greedy acceptance with per-row valid draft count.
+            k = num_spec
+            match = (drafts == targets[:, :k]) & (
+                jnp.arange(k)[None, :] < draft_lens[:, None])
+            acc = jnp.cumprod(match.astype(jnp.int32), axis=1)
+            n_acc = jnp.sum(acc, axis=1)
+            pos = jnp.arange(s)[None, :]
+            out_tokens = jnp.where(pos <= n_acc[:, None], targets, -1)
+            lp_all = jax.nn.log_softmax(logits, axis=-1)
+            lp = jnp.take_along_axis(
+                lp_all, jnp.maximum(out_tokens, 0)[..., None],
+                axis=-1)[..., 0]
+            lp = lp.at[:, 0].set(out0.logprob)
+            if flags.get("num_logprobs", 0) > 0:
+                topk_lp, topk_ids = jax.lax.top_k(
+                    lp_all, flags["num_logprobs"])
+            else:
+                topk_lp = topk_ids = None
+            return kv_caches, (out_tokens, n_acc.astype(jnp.int32), lp,
+                               topk_ids, topk_lp)
+
+        self._step_fns[key] = step
+        return step
+
     # ------------------------------------------------------------- execution
     def execute_decode(self, metas: List[SequenceGroupMetadata],
                        kv_caches) -> Tuple[Any, SamplerOutput]:
@@ -485,6 +580,97 @@ class ModelRunner:
                               lora_idx, lora_stacks)
         sampler_output = self._to_sampler_output(out, prep.rows, metas)
         return kv_caches, sampler_output
+
+    def execute_spec_decode(
+        self, metas: List[SequenceGroupMetadata], kv_caches,
+        proposals: List[List[int]], num_spec: int,
+    ) -> Tuple[Any, SamplerOutput]:
+        """One spec-decode step over an all-decode batch.
+
+        ``proposals[i]`` is the (possibly empty) draft-token list for the
+        i-th sequence row. Emits 1..num_spec+1 tokens per row.
+        """
+        prep = self.prepare_decode(metas)
+        b = prep.tokens.shape[0]
+        s = num_spec + 1
+        tokens = np.zeros((b, s), np.int32)
+        positions = np.zeros((b, s), np.int32)
+        slots = np.full((b, s), -1, np.int32)
+        drafts = np.zeros((b, num_spec), np.int32)
+        draft_lens = np.zeros((b,), np.int32)
+        seq_lens = np.zeros((b,), np.int32)
+        prefix_lens = np.zeros((b,), np.int32)
+        ctx = np.zeros((b,), np.int32)
+        for i, (meta, seq_id) in enumerate(prep.rows):
+            data = meta.seq_data[seq_id]
+            seq_len = data.get_len()
+            prop = proposals[i]
+            tokens[i, 0] = data.get_last_token_id()
+            tokens[i, 1:1 + len(prop)] = prop
+            drafts[i, :len(prop)] = prop
+            draft_lens[i] = len(prop)
+            table = meta.block_tables[seq_id]
+            for j in range(s):
+                pos = seq_len - 1 + j
+                slots[i, j] = (table[pos // self.block_size] *
+                               self.block_size + pos % self.block_size)
+                positions[i, j] = pos
+            seq_lens[i] = s
+            prefix_lens[i] = seq_len - 1
+            ctx[i] = seq_len - 1 + s
+        tensors, flags = self.build_sampling_tensors(prep.rows, b)
+        flags_key = tuple(sorted(flags.items()))
+        use_lora, lora_idx, lora_stacks = self._lora_args(prep.rows, b)
+        step = self._get_spec_decode_fn(num_spec, flags_key, use_lora)
+        kv_caches, (out_tokens, n_acc, lp, topk_ids, topk_lp) = step(
+            self.params, kv_caches, jnp.asarray(tokens),
+            jnp.asarray(positions), jnp.asarray(slots),
+            jnp.asarray(prep.block_tables), jnp.asarray(ctx),
+            jnp.asarray(seq_lens), jnp.asarray(prefix_lens),
+            jnp.asarray(drafts), jnp.asarray(draft_lens), tensors,
+            lora_idx, lora_stacks)
+        out_tokens = np.asarray(out_tokens)
+        n_acc = np.asarray(n_acc)
+        lp = np.asarray(lp)
+        if topk_ids is not None:
+            topk_ids = np.asarray(topk_ids)
+            topk_lp = np.asarray(topk_lp)
+
+        per_group: Dict[str, List[SequenceOutput]] = {}
+        total_emitted = 0
+        total_accepted = 0
+        for i, (meta, seq_id) in enumerate(prep.rows):
+            emitted = int(n_acc[i]) + 1
+            total_emitted += emitted
+            total_accepted += int(n_acc[i])
+            outs = per_group.setdefault(meta.request_id, [])
+            sp = meta.sampling_params
+            for j in range(emitted):
+                token = int(out_tokens[i, j])
+                logprobs = {token: Logprob(float(lp[i, j]))}
+                if (topk_ids is not None and sp is not None
+                        and sp.logprobs is not None):
+                    want = min(sp.logprobs, topk_ids.shape[2])
+                    for r in range(want):
+                        tid = int(topk_ids[i, j, r])
+                        logprobs.setdefault(
+                            tid, Logprob(float(topk_lp[i, j, r]),
+                                         rank=r + 1))
+                    if token in logprobs and logprobs[token].rank is None:
+                        ranks = np.where(topk_ids[i, j] == token)[0]
+                        logprobs[token].rank = (int(ranks[0]) + 1
+                                                if len(ranks) else None)
+                outs.append(SequenceOutput(
+                    parent_seq_id=seq_id, output_token=token,
+                    logprobs=logprobs))
+        outputs = [CompletionSequenceGroupOutput(
+            samples=per_group.get(m.request_id, [])) for m in metas]
+        metrics = dict(num_spec_tokens=num_spec,
+                       num_drafted=int(draft_lens[:len(prep.rows)].sum()),
+                       num_accepted=total_accepted,
+                       num_emitted=total_emitted)
+        return kv_caches, SamplerOutput(
+            outputs=outputs, spec_decode_worker_metrics=metrics)
 
     def execute_prefill(self, meta: SequenceGroupMetadata,
                         kv_caches) -> Tuple[Any, Optional[SamplerOutput]]:
@@ -597,10 +783,19 @@ class ModelRunner:
         topk_lp = (np.asarray(out.topk_logprobs)
                    if out.topk_logprobs is not None else None)
         per_group: Dict[str, List[SequenceOutput]] = {}
+        group_rows: Dict[str, List[Tuple[int, Any, int]]] = {}
         for i, (meta, seq_id) in enumerate(rows):
+            sp = meta.sampling_params
+            if sp is not None and sp.use_beam_search:
+                # Beam candidates are selected host-side from the in-graph
+                # top-k capture (reference sampler.py _beam_search_sample):
+                # collected per group below, not per row.
+                group_rows.setdefault(meta.request_id, []).append(
+                    (i, meta, seq_id))
+                per_group.setdefault(meta.request_id, [])
+                continue
             token = int(next_tokens[i])
             lp = float(chosen_lp[i])
-            sp = meta.sampling_params
             logprobs = {token: Logprob(lp)}
             if (topk_ids is not None and sp is not None
                     and sp.logprobs is not None):
@@ -616,6 +811,27 @@ class ModelRunner:
             per_group.setdefault(meta.request_id, []).append(
                 SequenceOutput(parent_seq_id=seq_id, output_token=token,
                                logprobs=logprobs))
+        for request_id, rws in group_rows.items():
+            meta = rws[0][1]
+            sp = meta.sampling_params
+            num_cand = 2 * sp.best_of
+            is_prompt = meta.is_prompt
+            # (cum_logprob, parent_seq_id, token, token_logprob) candidates
+            # across all parent rows; prompt groups have a single parent.
+            cands = []
+            for (i, _, seq_id) in rws:
+                base = (0.0 if is_prompt else
+                        meta.seq_data[seq_id].cumulative_logprob)
+                for r in range(topk_ids.shape[1]):
+                    lp = float(topk_lp[i, r])
+                    cands.append((base + lp, seq_id, int(topk_ids[i, r]),
+                                  lp))
+            cands.sort(key=lambda c: c[0], reverse=True)
+            for cum, seq_id, token, lp in cands[:num_cand]:
+                per_group[request_id].append(
+                    SequenceOutput(parent_seq_id=seq_id,
+                                   output_token=token,
+                                   logprobs={token: Logprob(lp)}))
         outputs = []
         for meta in metas:
             outputs.append(

@@ -1,0 +1,79 @@
+"""Spec-decode e2e: ngram speculation must not change greedy output
+(reference tests/spec_decode/e2e greedy-equality tier)."""
+import pytest
+
+from nmvllm_tpu import LLM, SamplingParams
+
+pytestmark = pytest.mark.e2e
+
+
+@pytest.fixture(scope="module")
+def baseline_llm():
+    return LLM(model="debug-llama", num_gpu_blocks_override=64,
+               max_num_seqs=8, max_model_len=256)
+
+
+@pytest.fixture(scope="module")
+def spec_llm():
+    return LLM(model="debug-llama", num_gpu_blocks_override=64,
+               max_num_seqs=8, max_model_len=256,
+               ngram_prompt_lookup_max=3, ngram_prompt_lookup_min=1,
+               num_speculative_tokens=4)
+
+
+# Repetitive prompts give the ngram proposer matches; varied ones force
+# empty proposals and correction paths.
+PROMPTS = [
+    "the cat sat on the mat the cat sat on the",
+    "one two three one two three one two",
+    "Hello world",
+    "a b c d a b c d a b",
+]
+
+
+def test_greedy_equality(baseline_llm, spec_llm):
+    # Logprob-closeness, not bitwise equality: the verification step's
+    # chunked-prefill attention and the baseline decode kernel reduce in
+    # different orders, so near-tie argmaxes may differ on the
+    # random-weight debug model (same policy as the reference's
+    # check_logprobs_close, tests/models/utils.py).
+    from tests.models.utils import check_logprobs_close
+    sp = SamplingParams(temperature=0.0, max_tokens=16, logprobs=5)
+    base = baseline_llm.generate(PROMPTS, sp)
+    spec = spec_llm.generate(PROMPTS, sp)
+    check_logprobs_close(base, spec, "baseline", "spec")
+
+
+def test_spec_steps_actually_ran(spec_llm):
+    engine = spec_llm.llm_engine
+    sp = SamplingParams(temperature=0.0, max_tokens=16)
+    before = dict(engine.spec_stats)
+    spec_llm.generate(["x y z x y z x y z x y"], sp)
+    after = engine.spec_stats
+    assert after["num_spec_steps"] > before["num_spec_steps"]
+    assert after["num_drafted"] > before["num_drafted"]
+
+
+def test_sampling_rows_fall_back(spec_llm):
+    # Non-greedy rows must still generate (empty drafts, sampler path).
+    sp = SamplingParams(temperature=0.8, seed=7, max_tokens=8)
+    out = spec_llm.generate(["one two three one two three one"], sp)
+    assert len(out[0].outputs[0].token_ids) == 8
+
+
+def test_stop_inside_accepted_run(spec_llm):
+    # A stop token that lands inside an accepted draft run must truncate
+    # the emitted run at that token (multi-step stop checking).
+    prompt = "p q r p q r p q"
+    probe = spec_llm.generate(
+        [prompt], SamplingParams(temperature=0.0, max_tokens=8))
+    toks = probe[0].outputs[0].token_ids
+    if len(toks) < 3:
+        pytest.skip("no tokens generated")
+    stop_tok = toks[2]
+    sp = SamplingParams(temperature=0.0, max_tokens=16,
+                        stop_token_ids=[stop_tok])
+    out = spec_llm.generate([prompt], sp)
+    got = out[0].outputs[0].token_ids
+    assert out[0].outputs[0].finish_reason == "stop"
+    assert got == toks[:3], (got, toks)
