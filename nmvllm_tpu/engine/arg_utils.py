@@ -83,15 +83,20 @@ class EngineArgs:
     @staticmethod
     def add_cli_args(parser: argparse.ArgumentParser
                      ) -> argparse.ArgumentParser:
+        import re as _re
         for f in dataclasses.fields(EngineArgs):
             name = "--" + f.name.replace("_", "-")
             default = f.default
+            ann = str(f.type)
+            # Optional[int]/Optional[float] fields default to None; parse
+            # them by annotation, not by the default's type.
             if f.type in ("bool", bool) or isinstance(default, bool):
                 parser.add_argument(name, action="store_true",
                                     default=default)
-            elif isinstance(default, int) and not isinstance(default, bool):
+            elif (isinstance(default, int) and not isinstance(default, bool)
+                  ) or _re.search(r"\bint\b", ann):
                 parser.add_argument(name, type=int, default=default)
-            elif isinstance(default, float):
+            elif isinstance(default, float) or _re.search(r"\bfloat\b", ann):
                 parser.add_argument(name, type=float, default=default)
             else:
                 parser.add_argument(name, type=str, default=default)

@@ -128,7 +128,7 @@ def make_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--port", type=int, default=envs.NMVLLM_PORT)
     parser.add_argument("--api-key", type=str,
                         default=envs.NMVLLM_API_KEY)
-    parser.add_argument("--served-model-name", type=str, default=None)
+    # --served-model-name is registered by EngineArgs.add_cli_args below.
     parser.add_argument("--response-role", type=str, default="assistant")
     parser.add_argument("--chat-template", type=str, default=None)
     AsyncEngineArgs.add_cli_args(parser)

@@ -7,13 +7,15 @@ TPU design: constraints compile to a per-request token-level automaton on
 the host; each step the automaton's allowed-token mask for every guided row
 is shipped with the sampling tensors and applied in-graph (the
 ``banned_tokens`` mechanism generalized to an allow-list mask). The native
-backend implements `choice` via a token trie; `json`/`regex`/`grammar` are
-staged for a later round.
+backend implements `choice` via a token trie and `json`/`regex` via a
+dependency-free regex->DFA compiler (regex_fsm.py); `grammar` is staged
+for a later round.
 """
 import asyncio
 from typing import List, Optional
 
 from nmvllm_tpu.guided_decoding.choice_fsm import ChoiceLogitsProcessor
+from nmvllm_tpu.guided_decoding.regex_fsm import RegexLogitsProcessor
 
 
 def _extract(request):
@@ -33,21 +35,43 @@ async def get_guided_decoding_logits_processors(request, tokenizer
         raise ValueError(
             "You can only use one kind of guided decoding "
             "(guided_json/guided_regex/guided_choice/guided_grammar).")
+    loop = asyncio.get_event_loop()
+    factory = _processor_factory(json_c, regex_c, choice_c, grammar_c,
+                                 response_format)
+    if factory is None:
+        return []
+    # FSM/DFA compilation can be slow (vocab walk): thread pool, like the
+    # reference's outlines compile-in-executor.
+    return [await loop.run_in_executor(None, factory, tokenizer)]
+
+
+def _processor_factory(json_c, regex_c, choice_c, grammar_c,
+                       response_format):
     if choice_c is not None:
-        loop = asyncio.get_event_loop()
-        return [await loop.run_in_executor(
-            None, ChoiceLogitsProcessor, tokenizer, choice_c)]
-    if json_c is not None or regex_c is not None or grammar_c is not None:
+        return lambda tok: ChoiceLogitsProcessor(tok, choice_c)
+    if regex_c is not None:
+        return lambda tok: RegexLogitsProcessor(tok, regex_c)
+    if json_c is not None:
+        from nmvllm_tpu.guided_decoding.json_schema import schema_to_regex
+        pattern = schema_to_regex(json_c)
+        return lambda tok: RegexLogitsProcessor(tok, pattern)
+    if grammar_c is not None:
         raise ValueError(
-            "guided_json/guided_regex/guided_grammar are not yet supported "
-            "by the native TPU guided-decoding backend; use guided_choice.")
-    return []
+            "guided_grammar is not yet supported by the native TPU "
+            "guided-decoding backend.")
+    rf_type = getattr(response_format, "type", None) if response_format \
+        is not None else None
+    if rf_type is None and isinstance(response_format, dict):
+        rf_type = response_format.get("type")
+    if rf_type == "json_object":
+        from nmvllm_tpu.guided_decoding.json_schema import json_object_regex
+        pattern = json_object_regex()
+        return lambda tok: RegexLogitsProcessor(tok, pattern)
+    return None
 
 
 def get_guided_decoding_logits_processors_sync(request, tokenizer) -> List:
-    json_c, regex_c, choice_c, grammar_c, _ = _extract(request)
-    if choice_c is not None:
-        return [ChoiceLogitsProcessor(tokenizer, choice_c)]
-    if json_c is not None or regex_c is not None or grammar_c is not None:
-        raise ValueError("Only guided_choice is supported currently.")
-    return []
+    json_c, regex_c, choice_c, grammar_c, response_format = _extract(request)
+    factory = _processor_factory(json_c, regex_c, choice_c, grammar_c,
+                                 response_format)
+    return [factory(tokenizer)] if factory is not None else []

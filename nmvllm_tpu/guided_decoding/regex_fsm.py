@@ -204,13 +204,19 @@ class _Parser:
                 self.take()
                 break
             first = False
+            # One class atom: escaped charset, escaped single char, or a
+            # literal char. Single-codepoint atoms may start a range
+            # (including escaped bounds like [\x00-\x1f]).
             if ch == "\\":
                 self.take()
                 cs = self._escape(self.take())
-                items.extend(cs)
-                continue
-            self.take()
-            lo = ord(ch)
+                if not (len(cs) == 1 and cs[0][0] == cs[0][1]):
+                    items.extend(cs)  # multi-char class (\d, \w, ...)
+                    continue
+                lo = cs[0][0]
+            else:
+                self.take()
+                lo = ord(ch)
             if (self.peek() == "-" and self.i + 1 < len(self.p)
                     and self.p[self.i + 1] != "]"):
                 self.take()
