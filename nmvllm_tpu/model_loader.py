@@ -169,6 +169,10 @@ def load_safetensors_weights(model, params, model_dir: str, mesh,
                 elif transform == "split_qkv":
                     _load_split_qkv(model, params, path, arr, put)
                     continue
+                elif transform == "split_wqkv_interleaved":
+                    _load_split_wqkv_interleaved(model, params, path, arr,
+                                                 put)
+                    continue
                 elif transform == "split_gate_up":
                     a, b = np.split(arr, 2, axis=0)
                     put(path + ("gate_proj", "weight"),
@@ -191,6 +195,23 @@ def _load_split_qkv(model, params, path, arr, put):
     qd = attn.total_heads * attn.head_dim
     kvd = attn.total_kv_heads * attn.head_dim
     q, k, v = np.split(arr, [qd, qd + kvd], axis=0)
+    put(path + ("q_proj", "weight"), np.ascontiguousarray(q.T))
+    put(path + ("k_proj", "weight"), np.ascontiguousarray(k.T))
+    put(path + ("v_proj", "weight"), np.ascontiguousarray(v.T))
+
+
+def _load_split_wqkv_interleaved(model, params, path, arr, put):
+    """InternLM2 fused wqkv: rows grouped per kv head as
+    [q_0..q_{g-1}, k, v] (internlm2.py split_qkv in the reference)."""
+    attn = model.layers[path[1]].self_attn
+    kv_heads = attn.total_kv_heads
+    group = attn.total_heads // kv_heads
+    hd = attn.head_dim
+    hidden = arr.shape[1]
+    w = arr.reshape(kv_heads, group + 2, hd, hidden)
+    q = w[:, :group].reshape(kv_heads * group * hd, hidden)
+    k = w[:, group].reshape(kv_heads * hd, hidden)
+    v = w[:, group + 1].reshape(kv_heads * hd, hidden)
     put(path + ("q_proj", "weight"), np.ascontiguousarray(q.T))
     put(path + ("k_proj", "weight"), np.ascontiguousarray(k.T))
     put(path + ("v_proj", "weight"), np.ascontiguousarray(v.T))

@@ -10,6 +10,18 @@ _GENERATION_MODELS: Dict[str, str] = {
     "GemmaForCausalLM": "nmvllm_tpu.models.gemma:GemmaForCausalLM",
     "MixtralForCausalLM": "nmvllm_tpu.models.mixtral:MixtralForCausalLM",
     "Phi3ForCausalLM": "nmvllm_tpu.models.phi3:Phi3ForCausalLM",
+    "Gemma2ForCausalLM": "nmvllm_tpu.models.gemma2:Gemma2ForCausalLM",
+    "Starcoder2ForCausalLM":
+        "nmvllm_tpu.models.starcoder2:Starcoder2ForCausalLM",
+    "StableLmForCausalLM": "nmvllm_tpu.models.stablelm:StableLmForCausalLM",
+    "StableLMEpochForCausalLM":
+        "nmvllm_tpu.models.stablelm:StableLmForCausalLM",
+    "OlmoForCausalLM": "nmvllm_tpu.models.olmo:OlmoForCausalLM",
+    "InternLM2ForCausalLM":
+        "nmvllm_tpu.models.internlm2:InternLM2ForCausalLM",
+    "BaichuanForCausalLM": "nmvllm_tpu.models.baichuan:BaichuanForCausalLM",
+    "BaiChuanForCausalLM": "nmvllm_tpu.models.baichuan:BaichuanForCausalLM",
+    "CohereForCausalLM": "nmvllm_tpu.models.cohere:CohereForCausalLM",
 }
 
 _EMBEDDING_MODELS: Dict[str, str] = {

@@ -51,9 +51,16 @@ class Attention:
         self.heads = self.total_heads // tp_size
         self.kv_heads = max(1, self.total_kv_heads // tp_size)
         self.scale = self.head_dim**-0.5
+        if getattr(cfg, "query_pre_attn_scalar", None):
+            self.scale = float(cfg.query_pre_attn_scalar)**-0.5
         self.sliding_window = getattr(cfg, "sliding_window", None) or 0
         if not getattr(cfg, "use_sliding_window", True):
             self.sliding_window = 0
+        # Gemma-2 style in-attention logit soft cap.
+        self.attn_logit_soft_cap = float(
+            getattr(cfg, "attn_logit_softcapping", None) or 0.0)
+        self.alibi_slopes = None  # set by alibi models post-init
+        self.clip_qkv = getattr(cfg, "clip_qkv", None)  # OLMo/DBRX
         self.k_scale = k_scale
         self.v_scale = v_scale
         prefix = f"model.layers.{layer_idx}.self_attn"
@@ -98,13 +105,18 @@ class Attention:
                  meta: AttentionMetadata, *, is_prefill: bool,
                  has_prefix: bool) -> Tuple[jax.Array, KVCache]:
         b, t, _ = x.shape
-        q = self.q_proj(params["q_proj"], x).reshape(
-            b, t, self.heads, self.head_dim)
-        k = self.k_proj(params["k_proj"], x).reshape(
-            b, t, self.kv_heads, self.head_dim)
-        v = self.v_proj(params["v_proj"], x).reshape(
-            b, t, self.kv_heads, self.head_dim)
-        q, k = rotary(rotary_params, positions, q, k)
+        q = self.q_proj(params["q_proj"], x)
+        k = self.k_proj(params["k_proj"], x)
+        v = self.v_proj(params["v_proj"], x)
+        if self.clip_qkv is not None:
+            q = jnp.clip(q, -self.clip_qkv, self.clip_qkv)
+            k = jnp.clip(k, -self.clip_qkv, self.clip_qkv)
+            v = jnp.clip(v, -self.clip_qkv, self.clip_qkv)
+        q = q.reshape(b, t, self.heads, self.head_dim)
+        k = k.reshape(b, t, self.kv_heads, self.head_dim)
+        v = v.reshape(b, t, self.kv_heads, self.head_dim)
+        if rotary is not None:
+            q, k = rotary(rotary_params, positions, q, k)
 
         k_cache, v_cache = kv_cache
         flat_k = k.reshape(b * t, self.kv_heads, self.head_dim)
@@ -123,16 +135,24 @@ class Attention:
                     q, k, v, positions, meta.seq_lens, k_cache, v_cache,
                     meta.block_tables, meta.prefix_lens, scale=self.scale,
                     sliding_window=self.sliding_window,
-                    k_scale=self.k_scale, v_scale=self.v_scale)
+                    logit_soft_cap=self.attn_logit_soft_cap,
+                    k_scale=self.k_scale, v_scale=self.v_scale,
+                    alibi_slopes=self.alibi_slopes)
             else:
                 o = prefill_attention(q, k, v, positions, meta.seq_lens,
                                       scale=self.scale,
-                                      sliding_window=self.sliding_window)
+                                      sliding_window=self.sliding_window,
+                                      logit_soft_cap=self.
+                                      attn_logit_soft_cap,
+                                      alibi_slopes=self.alibi_slopes)
         else:
             o = paged_attention(
                 q.reshape(b, self.heads, self.head_dim), k_cache, v_cache,
                 meta.block_tables, meta.context_lens, scale=self.scale,
-                k_scale=self.k_scale, v_scale=self.v_scale)
+                k_scale=self.k_scale, v_scale=self.v_scale,
+                logit_soft_cap=self.attn_logit_soft_cap,
+                sliding_window=self.sliding_window,
+                alibi_slopes=self.alibi_slopes)
             o = o.reshape(b, 1, self.heads, self.head_dim)
         o = o.reshape(b, t, self.heads * self.head_dim)
         return self.o_proj(params["o_proj"], o), (k_cache, v_cache)
@@ -181,13 +201,18 @@ class LlamaDecoderLayer:
     def __init__(self, cfg, layer_idx: int, tp_size: int,
                  method_factory: MethodFactory, dtype,
                  kv_cache_dtype: str = "auto",
-                 kv_scales: Tuple[float, float] = (1.0, 1.0)):
+                 kv_scales: Tuple[float, float] = (1.0, 1.0),
+                 norm_factory: Optional[Callable[[], Any]] = None,
+                 mlp_cls: Optional[type] = None):
         self.self_attn = Attention(cfg, layer_idx, tp_size, method_factory,
                                    dtype, kv_cache_dtype, *kv_scales)
-        self.mlp = LlamaMLP(cfg, layer_idx, method_factory, dtype)
-        eps = getattr(cfg, "rms_norm_eps", 1e-6)
-        self.input_layernorm = RMSNorm(cfg.hidden_size, eps, dtype)
-        self.post_attention_layernorm = RMSNorm(cfg.hidden_size, eps, dtype)
+        mlp_cls = mlp_cls or LlamaMLP
+        self.mlp = mlp_cls(cfg, layer_idx, method_factory, dtype)
+        if norm_factory is None:
+            eps = getattr(cfg, "rms_norm_eps", 1e-6)
+            norm_factory = lambda: RMSNorm(cfg.hidden_size, eps, dtype)  # noqa: E731
+        self.input_layernorm = norm_factory()
+        self.post_attention_layernorm = norm_factory()
 
     def init(self, rng):
         ks = jax.random.split(rng, 4)
@@ -246,20 +271,23 @@ class LlamaForCausalLM:
             cfg.vocab_size, cfg.hidden_size, dtype, tp_size)
         head_dim = getattr(cfg, "head_dim", None) or (
             cfg.hidden_size // cfg.num_attention_heads)
+        # Partial rotary (StableLM/Phi/NeoX style rope_pct).
+        partial = getattr(cfg, "partial_rotary_factor", None) or \
+            getattr(cfg, "rope_pct", None) or 1.0
+        rotary_dim = int(head_dim * float(partial))
         self.rotary = RotaryEmbedding(
-            head_dim, rotary_dim=head_dim,
+            head_dim, rotary_dim=rotary_dim,
             max_position=cfg.max_position_embeddings,
             base=getattr(cfg, "rope_theta", 10000.0),
             rope_scaling=getattr(cfg, "rope_scaling", None),
             dtype=dtype)
         kv_scales = kv_scales or [(1.0, 1.0)] * cfg.num_hidden_layers
         self.layers = [
-            LlamaDecoderLayer(cfg, i, tp_size, method_factory, dtype,
-                              kv_cache_dtype, kv_scales[i])
+            self._make_layer(cfg, i, tp_size, method_factory, dtype,
+                             kv_cache_dtype, kv_scales[i])
             for i in range(cfg.num_hidden_layers)
         ]
-        self.norm = RMSNorm(cfg.hidden_size,
-                            getattr(cfg, "rms_norm_eps", 1e-6), dtype)
+        self.norm = self._make_final_norm(cfg, dtype)
         tied = getattr(cfg, "tie_word_embeddings", False)
         self.lm_head = ParallelLMHead(cfg.vocab_size, cfg.hidden_size, dtype,
                                       tp_size, tied=tied)
@@ -269,6 +297,16 @@ class LlamaForCausalLM:
         self.logit_scale = 1.0
         self.logit_soft_cap = 0.0
         self.embedding_multiplier = 1.0
+
+    # ---- subclass hooks (family variants override these) ------------------
+    def _make_layer(self, cfg, layer_idx, tp_size, method_factory, dtype,
+                    kv_cache_dtype, kv_scales):
+        return LlamaDecoderLayer(cfg, layer_idx, tp_size, method_factory,
+                                 dtype, kv_cache_dtype, kv_scales)
+
+    def _make_final_norm(self, cfg, dtype):
+        return RMSNorm(cfg.hidden_size,
+                       getattr(cfg, "rms_norm_eps", 1e-6), dtype)
 
     def init(self, rng):
         keys = jax.random.split(rng, len(self.layers) + 3)
@@ -340,8 +378,10 @@ class LlamaForCausalLM:
             for name in ("gate_proj", "up_proj", "down_proj"):
                 m[pre + f"mlp.{name}.weight"] = (
                     path + ("mlp", name, "weight"), "transpose")
-            m[pre + "input_layernorm.weight"] = (
-                path + ("input_layernorm", "weight"), None)
-            m[pre + "post_attention_layernorm.weight"] = (
-                path + ("post_attention_layernorm", "weight"), None)
+                m[pre + f"mlp.{name}.bias"] = (
+                    path + ("mlp", name, "bias"), None)
+            for norm in ("input_layernorm", "post_attention_layernorm"):
+                m[pre + f"{norm}.weight"] = (path + (norm, "weight"), None)
+                m[pre + f"{norm}.bias"] = (path + (norm, "bias"), None)
+        m["model.norm.bias"] = (("norm", "bias"), None)
         return m

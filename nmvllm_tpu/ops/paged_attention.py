@@ -133,7 +133,8 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "k_scale", "v_scale",
-                     "pages_per_compute_block"))
+                     "pages_per_compute_block", "logit_soft_cap",
+                     "sliding_window"))
 def paged_attention(
     q: jax.Array,            # (B, num_q_heads, head_dim)
     k_cache: jax.Array,      # (H_kv, num_blocks, block_size, head_dim)
@@ -145,15 +146,24 @@ def paged_attention(
     k_scale: float = 1.0,
     v_scale: float = 1.0,
     pages_per_compute_block: int = 8,
+    logit_soft_cap: float = 0.0,
+    sliding_window: int = 0,
+    alibi_slopes=None,
 ) -> jax.Array:
     """Flash-decoding paged attention. Returns (B, num_q_heads, head_dim)."""
     # Mosaic requires lane-aligned (128) head_dim for the page DMA slices;
     # fall back to the jnp path otherwise (reference pallas.py:103 has the
-    # same head_size % 128 constraint).
-    if not use_pallas() or q.shape[-1] % 128 != 0:
-        return paged_attention_reference(q, k_cache, v_cache, block_tables,
-                                         context_lens, scale=scale,
-                                         k_scale=k_scale, v_scale=v_scale)
+    # same head_size % 128 constraint). Models needing logit soft-cap /
+    # decode-side sliding window / alibi also take the jnp path (kernel
+    # support is a perf follow-up, not a correctness gap).
+    if (not use_pallas() or q.shape[-1] % 128 != 0
+            or logit_soft_cap > 0.0 or sliding_window > 0
+            or alibi_slopes is not None):
+        return paged_attention_reference(
+            q, k_cache, v_cache, block_tables, context_lens, scale=scale,
+            k_scale=k_scale, v_scale=v_scale,
+            logit_soft_cap=logit_soft_cap, sliding_window=sliding_window,
+            alibi_slopes=alibi_slopes)
     batch, num_q_heads, head_dim = q.shape
     num_kv_heads, num_blocks, block_size, _ = k_cache.shape
     assert num_q_heads % num_kv_heads == 0
@@ -220,9 +230,21 @@ def paged_attention_reference(
     scale: float,
     k_scale: float = 1.0,
     v_scale: float = 1.0,
+    logit_soft_cap: float = 0.0,
+    sliding_window: int = 0,
+    alibi_slopes=None,
 ) -> jax.Array:
     """jnp reference (gather pages -> dense attention). Used by tests and as
-    the automatic non-TPU fallback."""
+    the automatic non-TPU fallback.
+
+    ``sliding_window`` masks keys older than the window in LOGICAL position
+    space — with the block manager's wrapped block tables (ring layout)
+    those logical indices still gather the correct physical pages, and the
+    stale aliased slots fall outside the window mask.
+    ``alibi_slopes``: (num_q_heads,) — adds slope*(key_pos - query_pos)
+    (reference attention_kernels.cu alibi path); the query position is
+    context_len-1.
+    """
     batch, num_q_heads, head_dim = q.shape
     num_kv_heads, _, block_size, _ = k_cache.shape
     group = num_q_heads // num_kv_heads
@@ -240,7 +262,19 @@ def paged_attention_reference(
     q_r = q.reshape(batch, num_kv_heads, group, head_dim).astype(jnp.float32)
     s = jnp.einsum("bhgd,bhtd->bhgt", q_r, k,
                    precision=jax.lax.Precision.HIGHEST) * scale
+    if logit_soft_cap > 0.0:
+        s = logit_soft_cap * jnp.tanh(s / logit_soft_cap)
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(
+            num_kv_heads, group)
+        kpos = jnp.arange(t, dtype=jnp.float32)[None, :]
+        qpos = (context_lens[:, None].astype(jnp.float32) - 1.0)
+        bias = (kpos - qpos)                                # (B, t), <= 0
+        s = s + slopes[None, :, :, None] * bias[:, None, None, :]
     mask = (jnp.arange(t)[None, :] < context_lens[:, None])
+    if sliding_window > 0:
+        mask &= (jnp.arange(t)[None, :] >
+                 context_lens[:, None] - 1 - sliding_window)
     s = jnp.where(mask[:, None, None, :], s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     # Padding rows (context_len == 0) are fully masked -> softmax NaN;

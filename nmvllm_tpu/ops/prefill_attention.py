@@ -34,6 +34,7 @@ def prefill_attention(
     scale: float,
     sliding_window: int = 0,
     logit_soft_cap: float = 0.0,
+    alibi_slopes=None,
 ) -> jax.Array:
     """Causal self-attention within the current chunk only (no prefix)."""
     batch, t, num_q_heads, head_dim = q.shape
@@ -48,6 +49,13 @@ def prefill_attention(
     s = jnp.einsum("bqhgd,bkhd->bhgqk", qf, kf) * scale
     if logit_soft_cap > 0.0:
         s = logit_soft_cap * jnp.tanh(s / logit_soft_cap)
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(
+            num_kv_heads, group)
+        dist = (positions[:, None, :] - positions[:, :, None]
+                ).astype(jnp.float32)                 # (B, Tq, Tk)
+        s = s + (slopes[None, :, :, None, None] *
+                 dist[:, None, None, :, :])
     qpos = positions[:, :, None]                      # (B, T, 1)
     kpos = positions[:, None, :]                      # (B, 1, T)
     valid_k = jnp.arange(t)[None, None, :] < seq_lens[:, None, None]
@@ -78,6 +86,7 @@ def prefill_attention_with_paged_prefix(
     logit_soft_cap: float = 0.0,
     k_scale: float = 1.0,
     v_scale: float = 1.0,
+    alibi_slopes=None,
 ) -> jax.Array:
     """Chunked-prefill attention: queries attend to cached prefix + chunk."""
     batch, t, num_q_heads, head_dim = q.shape
@@ -104,6 +113,18 @@ def prefill_attention_with_paged_prefix(
     if logit_soft_cap > 0.0:
         s_pre = logit_soft_cap * jnp.tanh(s_pre / logit_soft_cap)
         s_cur = logit_soft_cap * jnp.tanh(s_cur / logit_soft_cap)
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(
+            num_kv_heads, group)
+        ctx_kpos = jnp.arange(ctx_t, dtype=jnp.float32)[None, :]
+        qpos_f = positions.astype(jnp.float32)
+        pre_dist = ctx_kpos[:, None, :] - qpos_f[:, :, None]  # (B, Tq, ctx)
+        s_pre = s_pre + (slopes[None, :, :, None, None] *
+                         pre_dist[:, None, None, :, :])
+        cur_dist = (positions[:, None, :] - positions[:, :, None]
+                    ).astype(jnp.float32)
+        s_cur = s_cur + (slopes[None, :, :, None, None] *
+                         cur_dist[:, None, None, :, :])
 
     qpos = positions[:, :, None]
     # Prefix mask: cached token index < context_len, window check.

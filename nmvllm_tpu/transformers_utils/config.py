@@ -163,6 +163,96 @@ def _mistral_7b():
                          sliding_window=4096, max_position_embeddings=32768)
 
 
+@register_preset("debug-gemma2")
+def _debug_gemma2():
+    from transformers import Gemma2Config
+    return Gemma2Config(architectures=["Gemma2ForCausalLM"],
+                        hidden_size=256, intermediate_size=256,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        num_key_value_heads=1, head_dim=128, vocab_size=512,
+                        max_position_embeddings=2048, sliding_window=64,
+                        query_pre_attn_scalar=128,
+                        attn_logit_softcapping=50.0,
+                        final_logit_softcapping=30.0)
+
+
+@register_preset("gemma-2-9b")
+def _gemma2_9b():
+    from transformers import Gemma2Config
+    return Gemma2Config(architectures=["Gemma2ForCausalLM"],
+                        hidden_size=3584, intermediate_size=14336,
+                        num_hidden_layers=42, num_attention_heads=16,
+                        num_key_value_heads=8, head_dim=256,
+                        vocab_size=256000, max_position_embeddings=8192,
+                        sliding_window=4096, query_pre_attn_scalar=256,
+                        attn_logit_softcapping=50.0,
+                        final_logit_softcapping=30.0)
+
+
+@register_preset("debug-starcoder2")
+def _debug_starcoder2():
+    from transformers import Starcoder2Config
+    return Starcoder2Config(architectures=["Starcoder2ForCausalLM"],
+                            hidden_size=256, intermediate_size=256,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            num_key_value_heads=1, vocab_size=512,
+                            max_position_embeddings=2048, use_bias=True,
+                            tie_word_embeddings=True)
+
+
+@register_preset("debug-stablelm")
+def _debug_stablelm():
+    from transformers import StableLmConfig
+    return StableLmConfig(architectures=["StableLmForCausalLM"],
+                          hidden_size=256, intermediate_size=256,
+                          num_hidden_layers=2, num_attention_heads=2,
+                          num_key_value_heads=1, vocab_size=512,
+                          max_position_embeddings=2048,
+                          partial_rotary_factor=0.25, use_qkv_bias=True)
+
+
+@register_preset("debug-olmo")
+def _debug_olmo():
+    from transformers import OlmoConfig
+    return OlmoConfig(architectures=["OlmoForCausalLM"],
+                      hidden_size=256, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      num_key_value_heads=2, vocab_size=512,
+                      max_position_embeddings=2048, clip_qkv=8.0)
+
+
+@register_preset("debug-internlm2")
+def _debug_internlm2():
+    # InternLM2 configs need trust_remote_code on the hub; llama geometry
+    # with the internlm2 architecture tag is enough for the offline preset.
+    cfg = _llama_config(hidden_size=256, intermediate_size=256,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, vocab_size=512,
+                        max_position_embeddings=2048)
+    cfg.architectures = ["InternLM2ForCausalLM"]
+    return cfg
+
+
+@register_preset("debug-baichuan")
+def _debug_baichuan():
+    cfg = _llama_config(hidden_size=256, intermediate_size=256,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        num_key_value_heads=2, vocab_size=512,
+                        max_position_embeddings=2048)
+    cfg.architectures = ["BaichuanForCausalLM"]
+    return cfg
+
+
+@register_preset("debug-cohere")
+def _debug_cohere():
+    from transformers import CohereConfig
+    return CohereConfig(architectures=["CohereForCausalLM"],
+                        hidden_size=256, intermediate_size=256,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        num_key_value_heads=1, vocab_size=512,
+                        max_position_embeddings=2048, logit_scale=0.0625)
+
+
 @register_preset("debug-phi3")
 def _debug_phi3():
     from transformers import Phi3Config

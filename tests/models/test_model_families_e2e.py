@@ -7,7 +7,10 @@ import sys
 
 import pytest
 
-FAMILIES = ["debug-qwen2", "debug-gemma", "debug-mistral", "debug-phi3"]
+FAMILIES = ["debug-qwen2", "debug-gemma", "debug-mistral", "debug-phi3",
+            "debug-gemma2", "debug-starcoder2", "debug-stablelm",
+            "debug-olmo", "debug-internlm2", "debug-baichuan",
+            "debug-cohere"]
 
 _SCRIPT = """
 from nmvllm_tpu import LLM, SamplingParams

@@ -151,3 +151,65 @@ def test_gptq_checkpoint_ingestion(tmp_path):
     assert "qweight" in layer
     got_int = np.asarray(unpack_weights(layer["qweight"], 4, 128, h))
     np.testing.assert_array_equal(got_int, expected["w_int"])
+
+
+def test_internlm2_interleaved_wqkv_split(tmp_path):
+    """InternLM2 fused wqkv rows are grouped [q_0..q_{g-1}, k, v] per kv
+    head; the loader must land each slice on the right projection."""
+    from safetensors.numpy import save_file
+    cfg = get_hf_config("debug-internlm2")
+    d = cfg.to_dict()
+    d["architectures"] = ["InternLM2ForCausalLM"]
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(d, f)
+    rng = np.random.default_rng(1)
+    h = cfg.hidden_size
+    heads, kv_heads = cfg.num_attention_heads, cfg.num_key_value_heads
+    hd = h // heads
+    group = heads // kv_heads
+    tensors = {
+        "model.tok_embeddings.weight":
+            rng.normal(size=(cfg.vocab_size, h)).astype(np.float32),
+        "model.norm.weight": np.ones((h,), np.float32),
+        "output.weight":
+            rng.normal(size=(cfg.vocab_size, h)).astype(np.float32),
+    }
+    wqkvs = []
+    for i in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{i}."
+        wqkv = rng.normal(size=(kv_heads * (group + 2) * hd, h)).astype(
+            np.float32)
+        wqkvs.append(wqkv)
+        tensors.update({
+            pre + "attention.wqkv.weight": wqkv,
+            pre + "attention.wo.weight":
+                rng.normal(size=(h, heads * hd)).astype(np.float32),
+            pre + "feed_forward.w1.weight":
+                rng.normal(size=(cfg.intermediate_size, h)).astype(
+                    np.float32),
+            pre + "feed_forward.w3.weight":
+                rng.normal(size=(cfg.intermediate_size, h)).astype(
+                    np.float32),
+            pre + "feed_forward.w2.weight":
+                rng.normal(size=(h, cfg.intermediate_size)).astype(
+                    np.float32),
+            pre + "attention_norm.weight": np.ones((h,), np.float32),
+            pre + "ffn_norm.weight": np.ones((h,), np.float32),
+        })
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+    from nmvllm_tpu.parallel.mesh import build_mesh
+    model, params = get_model(_engine_config(tmp_path), build_mesh(1, 1))
+    w = wqkvs[0].reshape(kv_heads, group + 2, hd, h)
+    expect_q = w[:, :group].reshape(kv_heads * group * hd, h).T
+    expect_k = w[:, group].reshape(kv_heads * hd, h).T
+    expect_v = w[:, group + 1].reshape(kv_heads * hd, h).T
+    got = params["layers"][0]["self_attn"]
+    np.testing.assert_allclose(
+        np.asarray(got["q_proj"]["weight"], np.float32), expect_q,
+        rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(got["k_proj"]["weight"], np.float32), expect_k,
+        rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(got["v_proj"]["weight"], np.float32), expect_v,
+        rtol=1e-2, atol=1e-2)
