@@ -60,7 +60,7 @@ class ParallelLMHead(Module):
 
     def __init__(self, num_embeddings: int, embedding_dim: int,
                  params_dtype=jnp.bfloat16, tp_size: int = 1,
-                 tied: bool = False):
+                 tied: bool = False, bias: bool = False):
         self.num_embeddings = num_embeddings
         self.embedding_dim = embedding_dim
         self.params_dtype = params_dtype
@@ -68,17 +68,24 @@ class ParallelLMHead(Module):
                                      VOCAB_PAD_MULTIPLE * tp_size)
         self.tp_size = tp_size
         self.tied = tied
+        self.bias = bias  # GPT-J / Phi lm_head.bias
 
     def init(self, rng):
-        if self.tied:
-            return {}
-        w = jax.random.normal(
-            rng, (self.padded_vocab, self.embedding_dim),
-            jnp.float32) * 0.02
-        return {"weight": w.astype(self.params_dtype)}
+        p = {}
+        if not self.tied:
+            w = jax.random.normal(
+                rng, (self.padded_vocab, self.embedding_dim),
+                jnp.float32) * 0.02
+            p["weight"] = w.astype(self.params_dtype)
+        if self.bias:
+            p["bias"] = jnp.zeros((self.padded_vocab,), self.params_dtype)
+        return p
 
     def specs(self):
-        return {} if self.tied else {"weight": P(TP_AXIS, None)}
+        p = {} if self.tied else {"weight": P(TP_AXIS, None)}
+        if self.bias:
+            p["bias"] = P(TP_AXIS)
+        return p
 
     def __call__(self, params, x: jax.Array,
                  embedding_params: Optional[dict] = None, *,
@@ -87,6 +94,8 @@ class ParallelLMHead(Module):
                  logit_soft_cap: float = 0.0):
         w = params["weight"] if not self.tied else embedding_params["weight"]
         logits = jnp.dot(x, w.T, preferred_element_type=jnp.float32)
+        if self.bias:
+            logits = logits + params["bias"].astype(jnp.float32)
         if logit_scale != 1.0:
             logits = logits * logit_scale
         if logit_soft_cap > 0.0:

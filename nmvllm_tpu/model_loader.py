@@ -173,6 +173,24 @@ def load_safetensors_weights(model, params, model_dir: str, mesh,
                     _load_split_wqkv_interleaved(model, params, path, arr,
                                                  put)
                     continue
+                elif transform == "split_wqkv_interleaved_bias":
+                    _load_split_wqkv_interleaved(model, params, path, arr,
+                                                 put, is_bias=True)
+                    continue
+                elif transform == "split_qkv_bias":
+                    _load_split_qkv(model, params, path, arr, put,
+                                    is_bias=True)
+                    continue
+                elif transform == "split_qkv_conv1d":
+                    # Conv1D fused qkv: (in, q|k|v columns).
+                    _load_split_qkv(model, params, path,
+                                    np.ascontiguousarray(arr.T), put)
+                    continue
+                elif transform == "pad_vocab_1d":
+                    target = _get_in(params, path)
+                    pad = target.shape[0] - arr.shape[0]
+                    if pad > 0:
+                        arr = np.pad(arr, (0, pad))
                 elif transform == "split_gate_up":
                     a, b = np.split(arr, 2, axis=0)
                     put(path + ("gate_proj", "weight"),
@@ -189,24 +207,39 @@ def load_safetensors_weights(model, params, model_dir: str, mesh,
     return params
 
 
-def _load_split_qkv(model, params, path, arr, put):
-    """Phi-3 fused qkv_proj (qd+2*kvd, H) -> separate projections."""
+def _load_split_qkv(model, params, path, arr, put, is_bias=False):
+    """Fused qkv stacked as (q | k | v) rows -> separate projections
+    (Phi-3 qkv_proj, Baichuan W_pack, MPT Wqkv, BigCode c_attn)."""
     attn = model.layers[path[1]].self_attn
     qd = attn.total_heads * attn.head_dim
     kvd = attn.total_kv_heads * attn.head_dim
     q, k, v = np.split(arr, [qd, qd + kvd], axis=0)
+    if is_bias:
+        put(path + ("q_proj", "bias"), q)
+        put(path + ("k_proj", "bias"), k)
+        put(path + ("v_proj", "bias"), v)
+        return
     put(path + ("q_proj", "weight"), np.ascontiguousarray(q.T))
     put(path + ("k_proj", "weight"), np.ascontiguousarray(k.T))
     put(path + ("v_proj", "weight"), np.ascontiguousarray(v.T))
 
 
-def _load_split_wqkv_interleaved(model, params, path, arr, put):
-    """InternLM2 fused wqkv: rows grouped per kv head as
-    [q_0..q_{g-1}, k, v] (internlm2.py split_qkv in the reference)."""
+def _load_split_wqkv_interleaved(model, params, path, arr, put,
+                                 is_bias=False):
+    """Fused wqkv with rows grouped per kv head as [q_0..q_{g-1}, k, v]
+    (InternLM2 wqkv, GPT-NeoX/BLOOM/Falcon query_key_value)."""
     attn = model.layers[path[1]].self_attn
     kv_heads = attn.total_kv_heads
     group = attn.total_heads // kv_heads
     hd = attn.head_dim
+    if is_bias:
+        w = arr.reshape(kv_heads, group + 2, hd)
+        put(path + ("q_proj", "bias"),
+            w[:, :group].reshape(kv_heads * group * hd))
+        put(path + ("k_proj", "bias"), w[:, group].reshape(kv_heads * hd))
+        put(path + ("v_proj", "bias"),
+            w[:, group + 1].reshape(kv_heads * hd))
+        return
     hidden = arr.shape[1]
     w = arr.reshape(kv_heads, group + 2, hd, hidden)
     q = w[:, :group].reshape(kv_heads * group * hd, hidden)

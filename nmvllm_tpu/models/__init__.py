@@ -22,6 +22,17 @@ _GENERATION_MODELS: Dict[str, str] = {
     "BaichuanForCausalLM": "nmvllm_tpu.models.baichuan:BaichuanForCausalLM",
     "BaiChuanForCausalLM": "nmvllm_tpu.models.baichuan:BaichuanForCausalLM",
     "CohereForCausalLM": "nmvllm_tpu.models.cohere:CohereForCausalLM",
+    "GPT2LMHeadModel": "nmvllm_tpu.models.gpt_family:GPT2LMHeadModel",
+    "OPTForCausalLM": "nmvllm_tpu.models.gpt_family:OPTForCausalLM",
+    "GPTBigCodeForCausalLM":
+        "nmvllm_tpu.models.gpt_family:GPTBigCodeForCausalLM",
+    "GPTNeoXForCausalLM": "nmvllm_tpu.models.gpt_family:GPTNeoXForCausalLM",
+    "PhiForCausalLM": "nmvllm_tpu.models.gpt_family:PhiForCausalLM",
+    "FalconForCausalLM": "nmvllm_tpu.models.gpt_family:FalconForCausalLM",
+    "RWForCausalLM": "nmvllm_tpu.models.gpt_family:FalconForCausalLM",
+    "BloomForCausalLM": "nmvllm_tpu.models.gpt_family:BloomForCausalLM",
+    "MPTForCausalLM": "nmvllm_tpu.models.gpt_family:MPTForCausalLM",
+    "MptForCausalLM": "nmvllm_tpu.models.gpt_family:MPTForCausalLM",
 }
 
 _EMBEDDING_MODELS: Dict[str, str] = {

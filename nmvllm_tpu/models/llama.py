@@ -312,7 +312,8 @@ class LlamaForCausalLM:
         keys = jax.random.split(rng, len(self.layers) + 3)
         return {
             "embed_tokens": self.embed_tokens.init(keys[0]),
-            "rotary": self.rotary.init(keys[1]),
+            "rotary": (self.rotary.init(keys[1])
+                       if self.rotary is not None else {}),
             "layers": [l.init(k) for l, k in zip(self.layers, keys[2:-1])],
             "norm": self.norm.init(keys[-1]),
             "lm_head": self.lm_head.init(keys[-1]),
@@ -321,7 +322,8 @@ class LlamaForCausalLM:
     def specs(self):
         return {
             "embed_tokens": self.embed_tokens.specs(),
-            "rotary": self.rotary.specs(),
+            "rotary": (self.rotary.specs()
+                       if self.rotary is not None else {}),
             "layers": [l.specs() for l in self.layers],
             "norm": self.norm.specs(),
             "lm_head": self.lm_head.specs(),

@@ -253,6 +253,76 @@ def _debug_cohere():
                         max_position_embeddings=2048, logit_scale=0.0625)
 
 
+@register_preset("debug-gpt2")
+def _debug_gpt2():
+    from transformers import GPT2Config
+    return GPT2Config(architectures=["GPT2LMHeadModel"], n_embd=256,
+                      n_layer=2, n_head=2, n_positions=1024,
+                      vocab_size=512)
+
+
+@register_preset("debug-opt")
+def _debug_opt():
+    from transformers import OPTConfig
+    return OPTConfig(architectures=["OPTForCausalLM"], hidden_size=256,
+                     num_hidden_layers=2, num_attention_heads=2,
+                     ffn_dim=512, max_position_embeddings=1024,
+                     vocab_size=512, word_embed_proj_dim=256)
+
+
+@register_preset("debug-bigcode")
+def _debug_bigcode():
+    from transformers import GPTBigCodeConfig
+    return GPTBigCodeConfig(architectures=["GPTBigCodeForCausalLM"],
+                            n_embd=256, n_layer=2, n_head=2,
+                            n_positions=1024, vocab_size=512,
+                            multi_query=True)
+
+
+@register_preset("debug-gptneox")
+def _debug_gptneox():
+    from transformers import GPTNeoXConfig
+    return GPTNeoXConfig(architectures=["GPTNeoXForCausalLM"],
+                         hidden_size=256, num_hidden_layers=2,
+                         num_attention_heads=2, intermediate_size=512,
+                         max_position_embeddings=1024, vocab_size=512,
+                         rotary_pct=0.5, use_parallel_residual=True)
+
+
+@register_preset("debug-phi")
+def _debug_phi():
+    from transformers import PhiConfig
+    return PhiConfig(architectures=["PhiForCausalLM"], hidden_size=256,
+                     num_hidden_layers=2, num_attention_heads=2,
+                     intermediate_size=512, max_position_embeddings=1024,
+                     vocab_size=512, partial_rotary_factor=0.5)
+
+
+@register_preset("debug-falcon")
+def _debug_falcon():
+    from transformers import FalconConfig
+    return FalconConfig(architectures=["FalconForCausalLM"],
+                        hidden_size=256, num_hidden_layers=2,
+                        num_attention_heads=2, vocab_size=512,
+                        multi_query=True, parallel_attn=True, bias=False,
+                        max_position_embeddings=1024)
+
+
+@register_preset("debug-bloom")
+def _debug_bloom():
+    from transformers import BloomConfig
+    return BloomConfig(architectures=["BloomForCausalLM"], hidden_size=256,
+                       n_layer=2, n_head=2, vocab_size=512)
+
+
+@register_preset("debug-mpt")
+def _debug_mpt():
+    from transformers import MptConfig
+    return MptConfig(architectures=["MptForCausalLM"], d_model=256,
+                     n_layers=2, n_heads=2, max_seq_len=1024,
+                     vocab_size=512, expansion_ratio=2)
+
+
 @register_preset("debug-phi3")
 def _debug_phi3():
     from transformers import Phi3Config

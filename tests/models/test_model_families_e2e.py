@@ -10,7 +10,9 @@ import pytest
 FAMILIES = ["debug-qwen2", "debug-gemma", "debug-mistral", "debug-phi3",
             "debug-gemma2", "debug-starcoder2", "debug-stablelm",
             "debug-olmo", "debug-internlm2", "debug-baichuan",
-            "debug-cohere"]
+            "debug-cohere", "debug-gpt2", "debug-opt", "debug-bigcode",
+            "debug-gptneox", "debug-phi", "debug-falcon", "debug-bloom",
+            "debug-mpt"]
 
 _SCRIPT = """
 from nmvllm_tpu import LLM, SamplingParams
