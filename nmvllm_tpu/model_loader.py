@@ -288,25 +288,33 @@ def _load_quant_groups(model, params, name_map, quant_groups, quant_name,
 
 
 def _load_expert_groups(model, params, expert_groups, put):
-    """Stack Mixtral per-expert w1/w3 (gate/up) and w2 (down) tensors."""
+    """Stack per-expert tensors into (E, ...) arrays. Handles Mixtral
+    (block_sparse_moe.experts.E.w{1,3,2}) and Qwen2-MoE / DeepSeek
+    (mlp.experts.E.{gate,up,down}_proj) naming."""
+    kind_map = {"w1": "gate", "gate_proj": "gate",
+                "w3": "up", "up_proj": "up",
+                "w2": "down", "down_proj": "down"}
     for layer_prefix, tensors in expert_groups.items():
-        # layer_prefix like "model.layers.3.block_sparse_moe"
+        # layer_prefix like "model.layers.3.block_sparse_moe" or
+        # "model.layers.3.mlp".
         parts = layer_prefix.split(".")
         layer_idx = int(parts[2])
-        moe = model.layers[layer_idx].block_sparse_moe
+        attr = parts[3]
+        moe = getattr(model.layers[layer_idx], attr)
         e, h, i = moe.num_experts, moe.hidden_size, moe.intermediate_size
         w1 = np.zeros((e, h, 2 * i), np.float32)
         w2 = np.zeros((e, i, h), np.float32)
         for name, arr in tensors.items():
             eid_s, kind, _ = name.split(".", 2)
             eid = int(eid_s)
-            if kind == "w1":      # gate (I, H)
+            role = kind_map.get(kind)
+            if role == "gate":    # (I, H)
                 w1[eid, :, :i] = arr.T
-            elif kind == "w3":    # up (I, H)
+            elif role == "up":    # (I, H)
                 w1[eid, :, i:] = arr.T
-            elif kind == "w2":    # down (H, I)
+            elif role == "down":  # (H, I)
                 w2[eid] = arr.T
-        path = ("layers", layer_idx, "block_sparse_moe")
+        path = ("layers", layer_idx, attr)
         put(path + ("w1",), w1)
         put(path + ("w2",), w2)
 

@@ -33,6 +33,9 @@ _GENERATION_MODELS: Dict[str, str] = {
     "BloomForCausalLM": "nmvllm_tpu.models.gpt_family:BloomForCausalLM",
     "MPTForCausalLM": "nmvllm_tpu.models.gpt_family:MPTForCausalLM",
     "MptForCausalLM": "nmvllm_tpu.models.gpt_family:MPTForCausalLM",
+    "Qwen2MoeForCausalLM":
+        "nmvllm_tpu.models.qwen2_moe:Qwen2MoeForCausalLM",
+    "DeepseekForCausalLM": "nmvllm_tpu.models.deepseek:DeepseekForCausalLM",
 }
 
 _EMBEDDING_MODELS: Dict[str, str] = {

@@ -323,6 +323,37 @@ def _debug_mpt():
                      vocab_size=512, expansion_ratio=2)
 
 
+@register_preset("debug-qwen2moe")
+def _debug_qwen2moe():
+    from transformers import Qwen2MoeConfig
+    return Qwen2MoeConfig(architectures=["Qwen2MoeForCausalLM"],
+                          hidden_size=256, intermediate_size=256,
+                          moe_intermediate_size=128,
+                          shared_expert_intermediate_size=256,
+                          num_hidden_layers=2, num_attention_heads=2,
+                          num_key_value_heads=1, vocab_size=512,
+                          num_experts=4, num_experts_per_tok=2,
+                          decoder_sparse_step=1,
+                          max_position_embeddings=2048)
+
+
+@register_preset("debug-deepseek")
+def _debug_deepseek():
+    cfg = _llama_config(hidden_size=256, intermediate_size=256,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        num_key_value_heads=2, vocab_size=512,
+                        max_position_embeddings=2048)
+    cfg.architectures = ["DeepseekForCausalLM"]
+    cfg.n_routed_experts = 4
+    cfg.num_experts_per_tok = 2
+    cfg.moe_intermediate_size = 128
+    cfg.n_shared_experts = 2
+    cfg.first_k_dense_replace = 1
+    cfg.moe_layer_freq = 1
+    cfg.norm_topk_prob = False
+    return cfg
+
+
 @register_preset("debug-phi3")
 def _debug_phi3():
     from transformers import Phi3Config
