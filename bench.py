@@ -172,7 +172,17 @@ def main():
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--context-len", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--block-size", type=int, default=64)
+    parser.add_argument("--a8", action="store_true", default=None,
+                        help="serve INT4 via the W4A8 int8-MXU path "
+                             "(int8-stored weights, per-token act quant)")
+    parser.add_argument("--no-a8", dest="a8", action="store_false")
     args = parser.parse_args()
+    if args.a8 is None:
+        args.a8 = False
+    if args.a8:
+        import os
+        os.environ["NMVLLM_INT4_A8"] = "1"
 
     import jax
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -183,12 +193,16 @@ def main():
     if config == "llama3-8b-int4":
         model_name, quant = "llama-3-8b", "gptq"
         batch, ctx, steps = args.batch, args.context_len, args.steps
+        if args.a8:
+            # W4A8 stores weights as int8 (2x weight HBM): cap the batch
+            # so weights+KV fit a single v5e chip.
+            batch = min(batch, 32)
     else:
         model_name, quant = "debug-llama", None
         batch, ctx, steps = 8, 128, args.steps
 
     tokens_per_s, params_bytes, kv_bytes = run_decode_bench(
-        model_name, quant, batch, ctx, steps)
+        model_name, quant, batch, ctx, steps, block_size=args.block_size)
     hbm = detect_hbm_gbps()
     roof = roofline_tokens_per_s(params_bytes, hbm, batch, kv_bytes)
     print(json.dumps({

@@ -24,6 +24,7 @@ from nmvllm_tpu.entrypoints.protocol import (ChatCompletionRequest,
                                              ErrorResponse, TokenizeRequest,
                                              TokenizeResponse)
 from nmvllm_tpu.entrypoints.serving import (OpenAIServingChat,
+                                            OpenAIServingEmbedding,
                                             OpenAIServingCompletion)
 from nmvllm_tpu.logger import init_logger
 from nmvllm_tpu.version import __version__
@@ -41,11 +42,13 @@ def build_server(engine: AsyncLLMEngine, served_model_names,
                                      response_role=response_role,
                                      chat_template=chat_template)
     serving_completion = OpenAIServingCompletion(engine, served_model_names)
+    serving_embedding = OpenAIServingEmbedding(engine, served_model_names)
 
     async def ensure_init():
         if serving_chat.tokenizer is None:
             await serving_chat._post_init()
             await serving_completion._post_init()
+            await serving_embedding._post_init()
 
     @server.route("GET", "/health")
     async def health(request: Request):
@@ -105,6 +108,18 @@ def build_server(engine: AsyncLLMEngine, served_model_names,
             return Response(422, {"error": {"message": str(e),
                                             "type": "ValidationError"}})
         result = await serving_chat.create_chat_completion(req)
+        return _result_to_response(result)
+
+    @server.route("POST", "/v1/embeddings")
+    async def embeddings(request: Request):
+        await ensure_init()
+        from nmvllm_tpu.entrypoints.protocol import EmbeddingRequest
+        try:
+            req = EmbeddingRequest(**request.json())
+        except Exception as e:
+            return Response(422, {"error": {"message": str(e),
+                                            "type": "ValidationError"}})
+        result = await serving_embedding.create_embedding(req)
         return _result_to_response(result)
 
     @server.route("POST", "/v1/completions")

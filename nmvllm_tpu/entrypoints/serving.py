@@ -208,6 +208,70 @@ class OpenAIServingChat(OpenAIServing):
         yield "data: [DONE]\n\n"
 
 
+class OpenAIServingEmbedding(OpenAIServing):
+    """/v1/embeddings (reference serving_embedding.py). Embedding models
+    bypass the decode scheduler: one pooled prefill per input, serialized
+    with the engine loop via an asyncio lock."""
+
+    def __init__(self, engine, served_model_names):
+        super().__init__(engine, served_model_names)
+        self._lock = None
+
+    async def create_embedding(self, request):
+        import asyncio
+
+        from nmvllm_tpu.entrypoints.protocol import (EmbeddingResponse,
+                                                     EmbeddingResponseData,
+                                                     UsageInfo)
+        if self._lock is None:
+            self._lock = asyncio.Lock()
+        if self.tokenizer is None:
+            await self._post_init()
+        err = self._check_model(request.model)
+        if err is not None:
+            return err
+        inner = self.engine.engine
+        model = inner.executor.runner.model
+        if not getattr(model, "is_embedding_model", False):
+            from nmvllm_tpu.entrypoints.protocol import ErrorResponse
+            return ErrorResponse(
+                message=f"{request.model} is not an embedding model",
+                type="BadRequestError", code=400)
+        inputs = request.input
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        elif inputs and isinstance(inputs[0], int):
+            inputs = [inputs]
+        from nmvllm_tpu.sequence import SequenceData, SequenceGroupMetadata
+        bs = inner.cache_config.block_size
+        data = []
+        total_tokens = 0
+        loop = asyncio.get_event_loop()
+        async with self._lock:
+            for i, item in enumerate(inputs):
+                ids = (self.tokenizer.encode(item)
+                       if isinstance(item, str) else list(item))
+                total_tokens += len(ids)
+                nblocks = -(-len(ids) // bs)
+                meta = SequenceGroupMetadata(
+                    request_id=f"embd-{i}", is_prompt=True,
+                    seq_data={0: SequenceData(ids)}, sampling_params=None,
+                    block_tables={0: list(range(nblocks))})
+
+                def run(meta=meta):
+                    kv, pooled = inner.executor.runner.execute_embedding(
+                        meta, inner.executor.cache_engine.kv_caches)
+                    inner.executor.cache_engine.kv_caches = kv
+                    return pooled
+                pooled = await loop.run_in_executor(None, run)
+                data.append(EmbeddingResponseData(
+                    index=i, embedding=[float(v) for v in pooled]))
+        return EmbeddingResponse(
+            model=request.model, data=data,
+            usage=UsageInfo(prompt_tokens=total_tokens,
+                            total_tokens=total_tokens))
+
+
 class OpenAIServingCompletion(OpenAIServing):
 
     async def create_completion(

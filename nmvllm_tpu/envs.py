@@ -15,6 +15,11 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "NMVLLM_PALLAS_INTERPRET": lambda: bool(os.getenv("NMVLLM_PALLAS_INTERPRET", "")),
     # Disable Pallas kernels entirely and use the jnp reference paths.
     "NMVLLM_DISABLE_PALLAS": lambda: bool(os.getenv("NMVLLM_DISABLE_PALLAS", "")),
+    # Serve symmetric INT4 weight-only linears through the W4A8 kernel
+    # (per-token int8 activation quant + native int8 MXU dots — the
+    # Machete-class successor to the Marlin W4A16 path). Small additional
+    # activation-quant error; opt-in.
+    "NMVLLM_INT4_A8": lambda: bool(os.getenv("NMVLLM_INT4_A8", "")),
     # Fraction of HBM the engine may use for weights+KV (same role as
     # --gpu-memory-utilization in the reference).
     "NMVLLM_HBM_UTILIZATION": lambda: float(os.getenv("NMVLLM_HBM_UTILIZATION", "0.9")),

@@ -282,6 +282,16 @@ def _load_quant_groups(model, params, name_map, quant_groups, quant_name,
             qw, scales, zeros = gptq_to_canonical(
                 tensors["qweight"], tensors["qzeros"], tensors["scales"],
                 tensors.get("g_idx"), bits, group_size)
+        target = _get_in(params, layer_path + ("qweight",))
+        if (bits == 4 and target.dtype == jnp.int8
+                and target.shape[0] == qw.shape[0] * 8):
+            # W4A8 serving mode: expand packed int4 to signed int8
+            # (ops/quant_matmul.py int8_grouped_matmul path).
+            from nmvllm_tpu.ops.quant_matmul import unpack_weights
+            k = qw.shape[0] * 8
+            w_u = np.asarray(unpack_weights(jnp.asarray(qw), 4,
+                                            group_size, k))
+            qw = (w_u - 8).astype(np.int8)
         put(layer_path + ("qweight",), qw, cast=False)
         put(layer_path + ("scales",), scales)
         put(layer_path + ("zeros",), zeros, cast=False)

@@ -233,6 +233,283 @@ def quant_matmul(
     return out[:m]
 
 
+def _w4a8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                        group_size: int, bk: int):
+    """INT4-weight x INT8-activation GEMM on native int8 MXU dots.
+
+    The dequant-relayout wall (docs/PERF_NOTES.md): any packed-int ->
+    bf16 ``astype`` is a sublane relayout, capping W4A16 at ~60 GB/s.
+    This kernel never converts to float. Nibbles are split with int32
+    BITWISE ops before a bitcast to int8 (Mosaic has no int8 shifts, and
+    int32 masks avoid SWAR borrow): the bias-signed stored nibble is
+    ``v ^ 8``, so ``(w ^ 0x08..08) & 0x0F..0F`` recovers the raw UNSIGNED
+    value v in each byte, the MXU dots run on v in [0, 15], and the
+    symmetric zero point folds out HOST-side as ``-8 * (gsum @ scales)``
+    (one tiny f32 matmul on the activations).
+    Each scale group is ONE 128-deep int8 dot against activation columns
+    pre-permuted to [evens | odds] (the packed layout stores k-row pairs
+    (2t, 2t+1) per byte).
+    """
+    g = group_size
+    gpb = bk // g
+    wpg = g // 8            # int32 word-rows per group
+    xor_mask = jnp.int32(0x08080808)
+    nib_mask = jnp.int32(0x0F0F0F0F)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    g0 = pl.program_id(2) * gpb
+
+    def per_group(gi, _):
+        words = w_ref[pl.ds(pl.multiple_of(gi * wpg, wpg), wpg), :]
+        lo = pltpu.bitcast((words ^ xor_mask) & nib_mask,
+                           jnp.int8)                 # (g/2, bn) v of 2t
+        hi = pltpu.bitcast((jax.lax.shift_right_logical(
+            words, jnp.int32(4)) ^ xor_mask) & nib_mask,
+            jnp.int8)                                # (g/2, bn) v of 2t+1
+        w_g = jnp.concatenate([lo, hi], axis=0)      # (g, bn) [evens|odds]
+        xg = x_ref[:, pl.ds(pl.multiple_of(gi * g, g), g)]
+        d = jax.lax.dot_general(xg, w_g, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        sg = s_ref[pl.ds(g0 + gi, 1), :].astype(jnp.float32)
+        acc_ref[:] += d.astype(jnp.float32) * sg
+        return 0
+
+    jax.lax.fori_loop(0, gpb, per_group, 0, unroll=False)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+@functools.lru_cache(maxsize=None)
+def _w4a8_perm(k: int, group_size: int):
+    """Activation column permutation: per scale group, even k-rows then
+    odd (matches the in-kernel [lo | hi] nibble stacking). Cached as
+    numpy (a cached jnp array would leak tracers across jit scopes)."""
+    import numpy as np
+    g = group_size
+    idx = np.arange(k).reshape(k // g, g)
+    return np.concatenate([idx[:, 0::2], idx[:, 1::2]],
+                          axis=1).reshape(-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("group_size", "block_m", "block_n",
+                                    "block_k"))
+def w4a8_matmul(
+    x: jax.Array,          # (M, K) bf16/f32 activations
+    qweight: jax.Array,    # (K // 8, N) int32 canonical packed, bias-signed
+    scales: jax.Array,     # (K // g, N)
+    *,
+    group_size: int,
+    block_m: int = 0,
+    block_n: int = 1024,
+    block_k: int = 0,
+) -> jax.Array:
+    """y = dequant-int8(x) @ dequant(qweight); symmetric weights only.
+
+    Per-token dynamic int8 activation quantization (the reference's
+    dynamic_scaled_int8_quant, csrc/quantization/compressed_tensors/
+    int8_quant_kernels.cu) fused with the Marlin-class INT4 GEMM.
+    """
+    m, k = x.shape
+    n = qweight.shape[1]
+    g = group_size
+    assert k % g == 0 and g % 8 == 0
+
+    # Per-token absmax quant (XLA-fused; x is tiny next to the weights).
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
+    s_x = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127)
+    xq = xq.astype(jnp.int8)[:, _w4a8_perm(k, g)]
+    # Per-group activation sums for the symmetric zero-point correction.
+    gsum = jnp.sum(xq.reshape(m, k // g, g).astype(jnp.int32), axis=-1)
+
+    if not use_pallas():
+        acc = _w4a8_reference_acc(xq, qweight, scales, g, k)
+        return (acc * s_x).astype(x.dtype)
+
+    bm = min(block_m if block_m > 0 else round_up(m, 32), 256)
+    bm = min(bm, round_up(m, 32))
+    m_pad = round_up(m, bm)
+    if m_pad != m:
+        xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
+    bk = g
+    d = g
+    limit = block_k if block_k > 0 else 2048
+    while d <= min(limit, k):
+        if k % d == 0:
+            bk = d
+        d += g
+    bn = min(block_n, n)
+    while n % bn != 0:
+        bn //= 2
+    assert n % bn == 0 and bn >= 128
+
+    grid = (m_pad // bm, n // bn, k // bk)
+    kernel = functools.partial(_w4a8_matmul_kernel, group_size=g, bk=bk)
+    acc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 8, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // g, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=(m_pad * k + k * n // 2 + m_pad * n * 4),
+            transcendentals=0),
+        interpret=pallas_interpret(),
+    )(xq, qweight, scales)
+    # Symmetric zero-point correction: subtract 8 * sum_g(x_g) * s_g.
+    corr = jnp.dot(gsum[:m].astype(jnp.float32),
+                   scales.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    return ((acc[:m] - 8.0 * corr) * s_x).astype(x.dtype)
+
+
+def _int8_grouped_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                         group_size: int, bk: int):
+    """Signed-int8 weights x int8 activations, group-wise scales.
+
+    The W4A8 serving kernel: INT4 checkpoints are expanded to signed int8
+    at LOAD (2x HBM for weights, but zero per-element VPU work — no
+    nibble unpack, no bitcast relayout, no zero-point correction); each
+    scale group is one int8 MXU dot accumulated in f32. Trades weight
+    bytes for the dequant-relayout wall (docs/PERF_NOTES.md: packed-int ->
+    bf16 converts cap at ~60 GB/s while raw int8 dots stream >400 GB/s).
+    """
+    g = group_size
+    gpb = bk // g
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    g0 = pl.program_id(2) * gpb
+
+    def per_group(gi, _):
+        wg = w_ref[pl.ds(pl.multiple_of(gi * g, g), g), :]
+        xg = x_ref[:, pl.ds(pl.multiple_of(gi * g, g), g)]
+        d = jax.lax.dot_general(xg, wg, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        sg = s_ref[pl.ds(g0 + gi, 1), :].astype(jnp.float32)
+        acc_ref[:] += d.astype(jnp.float32) * sg
+        return 0
+
+    jax.lax.fori_loop(0, gpb, per_group, 0, unroll=False)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("group_size", "block_m", "block_n",
+                                    "block_k"))
+def int8_grouped_matmul(
+    x: jax.Array,          # (M, K) bf16/f32 activations
+    w8: jax.Array,         # (K, N) SIGNED int8 weights (v - 2^(b-1))
+    scales: jax.Array,     # (K // g, N)
+    *,
+    group_size: int,
+    block_m: int = 0,
+    block_n: int = 2048,
+    block_k: int = 2048,
+) -> jax.Array:
+    """y = int8(x) @ (w8 * group_scales); per-token dynamic activation
+    quant fused outside (XLA), grouped int8 MXU dots inside."""
+    m, k = x.shape
+    n = w8.shape[1]
+    g = group_size
+    assert k % g == 0
+
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
+    s_x = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                  -127, 127).astype(jnp.int8)
+
+    if not use_pallas():
+        sfull = jnp.repeat(scales.astype(jnp.float32), g, axis=0)
+        acc = jnp.dot(xq.astype(jnp.float32),
+                      w8.astype(jnp.float32) * sfull,
+                      preferred_element_type=jnp.float32)
+        return (acc * s_x).astype(x.dtype)
+
+    bm = min(block_m if block_m > 0 else round_up(m, 32), 256)
+    bm = min(bm, round_up(m, 32))
+    m_pad = round_up(m, bm)
+    if m_pad != m:
+        xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
+    bk = g
+    d = g
+    while d <= min(block_k, k):
+        if k % d == 0:
+            bk = d
+        d += g
+    bn = min(block_n, n)
+    while n % bn != 0:
+        bn //= 2
+    assert n % bn == 0 and bn >= 128
+
+    grid = (m_pad // bm, n // bn, k // bk)
+    kernel = functools.partial(_int8_grouped_kernel, group_size=g, bk=bk)
+    acc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // g, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=(m_pad * k + k * n + m_pad * n * 4),
+            transcendentals=0),
+        interpret=pallas_interpret(),
+    )(xq, w8, scales)
+    return (acc[:m] * s_x).astype(x.dtype)
+
+
+def _w4a8_reference_acc(xq_perm, qweight, scales, g, k):
+    """int32-exact reference of the kernel accumulation (permuted int8
+    activations x bias-signed int4 weights, per-group f32 scaling)."""
+    w_int = unpack_weights(qweight, 4, g, k)          # (K, N) unsigned
+    w_signed = (w_int - 8).astype(jnp.int32)          # bias-signed values
+    perm = _w4a8_perm(k, g)
+    w_perm = w_signed[perm]                           # kernel k-order
+    acc = jnp.zeros((xq_perm.shape[0], qweight.shape[1]), jnp.float32)
+    for gi in range(k // g):
+        xg = xq_perm[:, gi * g:(gi + 1) * g].astype(jnp.int32)
+        wg = w_perm[gi * g:(gi + 1) * g]
+        d = jnp.dot(xg, wg, preferred_element_type=jnp.int32)
+        acc += d.astype(jnp.float32) * scales[gi][None, :].astype(
+            jnp.float32)
+    return acc
+
+
 def quant_matmul_reference(x: jax.Array, qweight: jax.Array,
                            scales: jax.Array, zeros: jax.Array, *,
                            bits: int, group_size: int) -> jax.Array:

@@ -25,6 +25,14 @@ class WNA16LinearMethod(LinearMethodBase):
         self.group_size = group_size
         self.symmetric = symmetric
 
+    @property
+    def a8_int8_store(self) -> bool:
+        """W4A8 serving mode: INT4 checkpoints expanded to signed int8 at
+        load + int8 MXU dots (ops/quant_matmul.py int8_grouped_matmul)."""
+        from nmvllm_tpu import envs
+        return bool(self.bits == 4 and self.symmetric
+                    and envs.NMVLLM_INT4_A8)
+
     def _resolve_group(self, in_features: int) -> int:
         g = self.group_size
         if g in (-1, None):
@@ -44,12 +52,13 @@ class WNA16LinearMethod(LinearMethodBase):
                           jnp.float32)
         zeros = jnp.full((in_features // g, out_features), qmax_half,
                          jnp.int32)
-        if self.bits == 8:
-            # 8-bit weights stay as plain bias-signed int8 (K, N): XLA's
-            # fused dequant+matmul beats the Pallas kernel at this width
-            # (docs/PERF_NOTES.md).
+        if self.bits == 8 or self.a8_int8_store:
+            # 8-bit weights stay as plain bias-signed int8 (K, N); the
+            # W4A8 mode stores int4 VALUES in int8 (docs/PERF_NOTES.md:
+            # raw int8 dots beat every packed-dequant path).
+            lo, hi = (-128, 128) if self.bits == 8 else (-8, 8)
             w8 = jax.random.randint(k1, (in_features, out_features),
-                                    -128, 128, jnp.int32).astype(jnp.int8)
+                                    lo, hi, jnp.int32).astype(jnp.int8)
             return {"qweight": w8, "scales": scales, "zeros": zeros}
         vpw = 32 // self.bits
         qweight = jax.random.randint(
@@ -70,10 +79,14 @@ class WNA16LinearMethod(LinearMethodBase):
                 w = w + (128 - z).astype(jnp.float32) * s
             y = jnp.dot(x2, w.astype(x.dtype),
                         preferred_element_type=jnp.float32).astype(x.dtype)
+        elif self.a8_int8_store:
+            from nmvllm_tpu.ops.quant_matmul import int8_grouped_matmul
+            y = int8_grouped_matmul(x2, params["qweight"],
+                                    params["scales"], group_size=g)
         else:
             y = quant_matmul(x2, params["qweight"], params["scales"],
-                             params["zeros"], bits=self.bits, group_size=g,
-                             symmetric=self.symmetric)
+                             params["zeros"], bits=self.bits,
+                             group_size=g, symmetric=self.symmetric)
         y = y.reshape(*orig_shape[:-1], y.shape[-1])
         if bias is not None:
             y = y + bias
@@ -90,7 +103,7 @@ class WNA16LinearMethod(LinearMethodBase):
 
     def load_weight_shapes(self, in_features, out_features):
         g = self._resolve_group(in_features)
-        if self.bits == 8:
+        if self.bits == 8 or self.a8_int8_store:
             return {"qweight": (in_features, out_features),
                     "scales": (in_features // g, out_features),
                     "zeros": (in_features // g, out_features)}

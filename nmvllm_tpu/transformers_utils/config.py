@@ -38,6 +38,16 @@ def _debug_llama():
                          max_position_embeddings=2048, head_dim=128)
 
 
+@register_preset("debug-llama-embed")
+def _debug_llama_embed():
+    cfg = _llama_config(hidden_size=256, intermediate_size=512,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        num_key_value_heads=1, vocab_size=512,
+                        max_position_embeddings=2048, head_dim=128)
+    cfg.architectures = ["LlamaModel"]
+    return cfg
+
+
 @register_preset("debug-llama-tp")
 def _debug_llama_tp():
     # Tiny model shaped for 8-way tensor parallel dry runs.

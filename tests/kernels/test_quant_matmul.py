@@ -62,3 +62,54 @@ def test_quantize_dequant_accuracy(rng):
     w_rec = ((w_int - z).astype(jnp.float32) * s).T
     err = np.abs(np.asarray(w_rec - w)).mean() / np.abs(np.asarray(w)).mean()
     assert err < 0.15, err  # 4-bit gaussian quantization: ~0.125 expected
+
+
+class TestW4A8Paths:
+    """W4A8 kernels: int8-activation INT4 serving (Machete-class successor
+    to the Marlin W4A16 path)."""
+
+    def _mk(self, M=16, K=512, N=256, G=128, seed=0):
+        import numpy as np
+        import jax.numpy as jnp
+        from nmvllm_tpu.ops.quant_matmul import pack_weights
+        rng = np.random.default_rng(seed)
+        w_int = rng.integers(0, 16, (K, N))
+        qw = pack_weights(jnp.asarray(w_int), 4)
+        scales = jnp.asarray(rng.normal(0, 0.02, (K // G, N)), jnp.float32)
+        zeros = jnp.full((K // G, N), 8, jnp.int32)
+        x = jnp.asarray(rng.normal(0, 1, (M, K)), jnp.float32)
+        return x, w_int, qw, scales, zeros, G, K
+
+    def test_w4a8_packed_matches_w4a16(self):
+        import jax.numpy as jnp
+        from nmvllm_tpu.ops.quant_matmul import (quant_matmul_reference,
+                                                 w4a8_matmul)
+        x, _, qw, scales, zeros, G, K = self._mk()
+        out = w4a8_matmul(x, qw, scales, group_size=G)
+        ref = quant_matmul_reference(x, qw, scales, zeros, bits=4,
+                                     group_size=G)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.02, rel  # activation-quant noise only
+
+    def test_int8_grouped_matches_dense(self):
+        import jax.numpy as jnp
+        from nmvllm_tpu.ops.quant_matmul import int8_grouped_matmul
+        x, w_int, _, scales, _, G, K = self._mk()
+        w8 = jnp.asarray(w_int - 8, jnp.int8)
+        out = int8_grouped_matmul(x, w8, scales, group_size=G)
+        sfull = jnp.repeat(scales, G, axis=0)
+        ref = x @ (w8.astype(jnp.float32) * sfull)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.02, rel
+
+    def test_int8_grouped_equals_w4a16_within_act_noise(self):
+        import jax.numpy as jnp
+        from nmvllm_tpu.ops.quant_matmul import (int8_grouped_matmul,
+                                                 quant_matmul_reference)
+        x, w_int, qw, scales, zeros, G, K = self._mk()
+        w8 = jnp.asarray(w_int - 8, jnp.int8)
+        out = int8_grouped_matmul(x, w8, scales, group_size=G)
+        ref = quant_matmul_reference(x, qw, scales, zeros, bits=4,
+                                     group_size=G)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.02, rel

@@ -213,3 +213,64 @@ def test_internlm2_interleaved_wqkv_split(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got["v_proj"]["weight"], np.float32), expect_v,
         rtol=1e-2, atol=1e-2)
+
+
+def test_gptq_checkpoint_a8_expansion(tmp_path, monkeypatch):
+    """With NMVLLM_INT4_A8, the same GPTQ checkpoint loads as signed int8
+    (K, N) with identical values to the packed-int4 canonical form."""
+    from safetensors.numpy import save_file
+    quant_cfg = {"quant_method": "gptq", "bits": 4, "group_size": 128,
+                 "desc_act": False, "sym": True}
+    cfg = _write_config(tmp_path, quant=quant_cfg)
+    h = cfg.hidden_size
+    rng = np.random.default_rng(3)
+
+    def make_gptq(k, n):
+        w_int = rng.integers(0, 16, (k, n)).astype(np.int32)
+        qweight = np.zeros((k // 8, n), np.uint32)
+        for i in range(8):
+            qweight |= w_int[i::8].astype(np.uint32) << (4 * i)
+        qzeros = np.zeros((k // 128, n // 8), np.uint32)
+        for i in range(8):
+            qzeros |= np.uint32(7) << (4 * i)
+        scales = rng.uniform(0.01, 0.02, (k // 128, n)).astype(np.float16)
+        return qweight.view(np.int32), qzeros.view(np.int32), scales, w_int
+
+    tensors = {
+        "model.embed_tokens.weight":
+            rng.normal(size=(cfg.vocab_size, h)).astype(np.float32),
+        "model.norm.weight": np.ones((h,), np.float32),
+        "lm_head.weight":
+            rng.normal(size=(cfg.vocab_size, h)).astype(np.float32),
+    }
+    expected = {}
+    head = 128
+    for i in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{i}."
+        qd = cfg.num_attention_heads * head
+        kvd = cfg.num_key_value_heads * head
+        inter = cfg.intermediate_size
+        for name, (k, n) in {
+                "self_attn.q_proj": (h, qd), "self_attn.k_proj": (h, kvd),
+                "self_attn.v_proj": (h, kvd), "self_attn.o_proj": (qd, h),
+                "mlp.gate_proj": (h, inter), "mlp.up_proj": (h, inter),
+                "mlp.down_proj": (inter, h)}.items():
+            qw, qz, sc, w_int = make_gptq(k, n)
+            tensors[pre + name + ".qweight"] = qw
+            tensors[pre + name + ".qzeros"] = qz
+            tensors[pre + name + ".scales"] = sc
+            if i == 0 and name == "mlp.gate_proj":
+                expected["w_int"] = w_int
+        tensors[pre + "input_layernorm.weight"] = np.ones((h,), np.float32)
+        tensors[pre + "post_attention_layernorm.weight"] = \
+            np.ones((h,), np.float32)
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+
+    monkeypatch.setenv("NMVLLM_INT4_A8", "1")
+    from nmvllm_tpu.parallel.mesh import build_mesh
+    model, params = get_model(_engine_config(tmp_path, quantization="gptq"),
+                              build_mesh(1, 1))
+    layer = params["layers"][0]["mlp"]["gate_proj"]
+    w8 = np.asarray(layer["qweight"])
+    assert w8.dtype == np.int8 and w8.shape == (h, cfg.intermediate_size)
+    np.testing.assert_array_equal(w8, expected["w_int"].astype(np.int8) - 8)
