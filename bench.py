@@ -172,7 +172,7 @@ def main():
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--context-len", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=20)
-    parser.add_argument("--block-size", type=int, default=64)
+    parser.add_argument("--block-size", type=int, default=32)
     parser.add_argument("--a8", action="store_true", default=None,
                         help="serve INT4 via the W4A8 int8-MXU path "
                              "(int8-stored weights, per-token act quant)")
