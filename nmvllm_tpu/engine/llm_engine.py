@@ -269,6 +269,14 @@ class LLMEngine:
                 if idx < len(output.outputs):
                     group_output = output.outputs[idx]
                     idx += 1
+                    if (group_output is not None
+                            and group_output.prompt_logprobs is not None):
+                        # First prompt token has no prefix -> None entry
+                        # (reference process_prompt_logprob).
+                        if not seq_group.prompt_logprobs:
+                            seq_group.prompt_logprobs = [None]
+                        seq_group.prompt_logprobs.extend(
+                            group_output.prompt_logprobs)
                     if group_output is not None and group_output.samples:
                         num_appended = self.output_processor.process_outputs(
                             seq_group, group_output)

@@ -406,9 +406,10 @@ class ModelRunner:
         return use, jnp.asarray(idx), self.lora_state.stacks
 
     def _get_prefill_fn(self, flags_key, has_prefix: bool, do_sample: bool,
-                        n_samples: int = 1, use_lora: bool = False):
+                        n_samples: int = 1, use_lora: bool = False,
+                        num_prompt_logprobs: int = 0):
         key = ("prefill", flags_key, has_prefix, do_sample, n_samples,
-               use_lora)
+               use_lora, num_prompt_logprobs)
         if key in self._step_fns:
             return self._step_fns[key]
         flags = dict(flags_key)
@@ -439,30 +440,52 @@ class ModelRunner:
                 logits = model.compute_logits(params, hidden)
             else:
                 logits = jnp.zeros((tokens.shape[0], 8), jnp.float32)
-            return logits, kv_caches
+            if num_prompt_logprobs > 0:
+                # Per-position prompt logprobs (reference: prompt_logprobs
+                # flowing through _process_sequence_group_outputs).
+                t = x.shape[1]
+                all_logits = model.compute_logits(
+                    params, x.reshape(-1, x.shape[-1])).astype(jnp.float32)
+                v_pad = all_logits.shape[-1]
+                if v_pad > vocab_size:
+                    all_logits = jnp.where(
+                        jnp.arange(v_pad)[None, :] < vocab_size,
+                        all_logits, float("-inf"))
+                lp = jax.nn.log_softmax(all_logits, axis=-1)
+                # Position j predicts token j+1 of the chunk.
+                nxt = jnp.concatenate(
+                    [tokens[0, 1:], jnp.zeros((1,), jnp.int32)])
+                chosen = jnp.take_along_axis(
+                    lp, nxt[:, None], axis=-1)[:, 0]
+                topk_lp, topk_ids = jax.lax.top_k(lp, num_prompt_logprobs)
+                prompt_lp = (chosen, topk_ids, topk_lp)
+            else:
+                prompt_lp = None
+            return logits, prompt_lp, kv_caches
 
         lora_specs = (P(), jax.tree.map(lambda _: P(),
                                         self._lora_stack_template()))
+        prompt_lp_spec = ((P(), P(), P())
+                          if num_prompt_logprobs > 0 else None)
         sharded_fwd = shard_map_fn(
             fwd, mesh,
             in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),
                       P(), *lora_specs),
-            out_specs=(P(), kv_specs))
+            out_specs=(P(), prompt_lp_spec, kv_specs))
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
                  ctx, seq_lens, prefix_lens, sampling_tensors,
                  lora_indices, lora_stacks):
-            logits, kv_caches = sharded_fwd(params, kv_caches, tokens,
-                                            positions, slots, block_tables,
-                                            ctx, seq_lens, prefix_lens,
-                                            lora_indices, lora_stacks)
+            logits, prompt_lp, kv_caches = sharded_fwd(
+                params, kv_caches, tokens, positions, slots, block_tables,
+                ctx, seq_lens, prefix_lens, lora_indices, lora_stacks)
             if do_sample:
                 out = sample(logits, sampling_tensors,
                              vocab_size=vocab_size, **flags)
             else:
                 out = None
-            return kv_caches, out
+            return kv_caches, out, prompt_lp
 
         self._step_fns[key] = step
         return step
@@ -684,10 +707,17 @@ class ModelRunner:
         data = meta.seq_data[seq_id]
         num_computed = data.get_num_computed_tokens()
         chunk = meta.token_chunk_size
-        token_ids = data.get_token_ids()[num_computed:num_computed + chunk]
-        t = self.pad_prefill_len(chunk)
+        full_ids = data.get_token_ids()
+        token_ids = full_ids[num_computed:num_computed + chunk]
+        sp0 = meta.sampling_params
+        want_plp = sp0 is not None and sp0.prompt_logprobs is not None
+        # Prompt-logprob chunks need one pad slot to plant the next
+        # chunk's first token (position chunk-1 predicts it).
+        t = self.pad_prefill_len(chunk + 1 if want_plp else chunk)
         tokens = np.zeros((1, t), np.int32)
         tokens[0, :chunk] = token_ids
+        if want_plp and num_computed + chunk < len(full_ids):
+            tokens[0, chunk] = full_ids[num_computed + chunk]
         positions = np.zeros((1, t), np.int32)
         positions[0, :chunk] = np.arange(num_computed, num_computed + chunk)
         table = meta.block_tables[seq_id]
@@ -707,19 +737,50 @@ class ModelRunner:
         tensors, flags = self.build_sampling_tensors(rows, len(rows))
         flags_key = tuple(sorted(flags.items()))
         use_lora, lora_idx, lora_stacks = self._lora_args([rows[0]], 1)
+        sp = meta.sampling_params
+        num_plp = 0
+        if sp is not None and sp.prompt_logprobs is not None:
+            num_plp = min(max(sp.prompt_logprobs, 1), _MAX_NUM_LOGPROBS)
         step = self._get_prefill_fn(flags_key, has_prefix, meta.do_sample,
-                                    n_samples=len(rows), use_lora=use_lora)
+                                    n_samples=len(rows), use_lora=use_lora,
+                                    num_prompt_logprobs=num_plp)
         logger.debug("prefill step: T=%d chunk=%d prefix=%s flags=%s "
                      "lora=%s", t, chunk, has_prefix, flags, use_lora)
-        kv_caches, out = step(self.params, kv_caches, jnp.asarray(tokens),
-                              jnp.asarray(positions), jnp.asarray(slots),
-                              jnp.asarray(block_tables), jnp.asarray(ctx),
-                              jnp.asarray(seq_lens),
-                              jnp.asarray(prefix_lens), tensors, lora_idx,
-                              lora_stacks)
+        kv_caches, out, prompt_lp = step(
+            self.params, kv_caches, jnp.asarray(tokens),
+            jnp.asarray(positions), jnp.asarray(slots),
+            jnp.asarray(block_tables), jnp.asarray(ctx),
+            jnp.asarray(seq_lens), jnp.asarray(prefix_lens), tensors,
+            lora_idx, lora_stacks)
+        plp_list = None
+        if prompt_lp is not None:
+            # Chunk position j's logits predict chunk token j+1; entry i of
+            # prompt_logprobs describes prompt token i given its prefix
+            # (reference sequence/prompt_logprobs semantics).
+            chosen, topk_ids, topk_lp = (np.asarray(a) for a in prompt_lp)
+            plp_list = []
+            for j in range(chunk):
+                nxt_global = num_computed + j + 1
+                if nxt_global >= len(full_ids):
+                    break  # position chunk-1 of the final chunk predicts
+                           # the first sampled token, not a prompt token
+                target = int(full_ids[nxt_global])
+                d = {target: Logprob(float(chosen[j]))}
+                for r in range(topk_ids.shape[1]):
+                    tid = int(topk_ids[j, r])
+                    d.setdefault(tid, Logprob(float(topk_lp[j, r]),
+                                              rank=r + 1))
+                plp_list.append(d)
         if out is None:
-            return kv_caches, None
-        return kv_caches, self._to_sampler_output(out, rows, [meta])
+            if plp_list is None:
+                return kv_caches, None
+            so = SamplerOutput(outputs=[
+                CompletionSequenceGroupOutput(samples=[])])
+        else:
+            so = self._to_sampler_output(out, rows, [meta])
+        if plp_list is not None:
+            so.outputs[0].prompt_logprobs = plp_list
+        return kv_caches, so
 
     def execute_embedding(self, meta: SequenceGroupMetadata, kv_caches):
         """Pooled-embedding forward for embedding models: prefill the
