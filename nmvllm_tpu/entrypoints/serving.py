@@ -334,6 +334,9 @@ class OpenAIServingCompletion(OpenAIServing):
                 if request.logprobs is not None:
                     logprobs = self._completion_logprobs(
                         out, request.logprobs)
+                    if request.echo and final.prompt_logprobs:
+                        logprobs = self._merge_prompt_logprobs(
+                            final, logprobs)
                 choices.append(CompletionResponseChoice(
                     index=i * (request.n or 1) + out.index, text=text,
                     logprobs=logprobs, finish_reason=out.finish_reason,
@@ -344,6 +347,35 @@ class OpenAIServingCompletion(OpenAIServing):
                           total_tokens=sum(prompt_lens) + total_gen)
         return CompletionResponse(id=request_id, model=request.model,
                                   choices=choices, usage=usage)
+
+    def _merge_prompt_logprobs(self, final, gen_part: LogProbsPart
+                               ) -> LogProbsPart:
+        """echo=True + logprobs: prepend per-prompt-token logprobs
+        (reference serving_completion echo handling)."""
+        part = LogProbsPart(top_logprobs=[])
+        offset = 0
+        for tid, pos in zip(final.prompt_token_ids,
+                            final.prompt_logprobs or []):
+            if pos is None:
+                token_str = str(tid)
+                part.token_logprobs.append(None)
+                part.top_logprobs.append(None)
+            else:
+                lp = pos.get(tid)
+                token_str = (lp.decoded_token if lp and lp.decoded_token
+                             else str(tid))
+                part.token_logprobs.append(lp.logprob if lp else None)
+                part.top_logprobs.append({
+                    (v.decoded_token or str(k)): v.logprob
+                    for k, v in pos.items()})
+            part.tokens.append(token_str)
+            part.text_offset.append(offset)
+            offset += len(token_str)
+        part.tokens.extend(gen_part.tokens)
+        part.token_logprobs.extend(gen_part.token_logprobs)
+        part.top_logprobs.extend(gen_part.top_logprobs or [])
+        part.text_offset.extend(o + offset for o in gen_part.text_offset)
+        return part
 
     def _completion_logprobs(self, out, top_n: int) -> LogProbsPart:
         part = LogProbsPart(top_logprobs=[])
