@@ -112,6 +112,7 @@ class _SamplingMixin(BaseModel):
             spaces_between_special_tokens=self.spaces_between_special_tokens
             if self.spaces_between_special_tokens is not None else True,
             truncate_prompt_tokens=self.truncate_prompt_tokens,
+            logit_bias=self.logit_bias,
         )
 
 

@@ -47,6 +47,10 @@ class SamplingTensors:
     # guided-decoding allow list, padded with vocab_size; a row with no
     # valid entries is unconstrained.
     allowed_tokens: Optional[jax.Array] = None  # (B, max_allow) int32
+    # OpenAI logit_bias: token ids (padded with vocab_size) + additive
+    # bias values.
+    bias_tokens: Optional[jax.Array] = None     # (B, max_bias) int32
+    bias_values: Optional[jax.Array] = None     # (B, max_bias) f32
 
 
 @jax.tree_util.register_dataclass
@@ -117,6 +121,7 @@ def sample(
     do_top_k_top_p: bool = True,
     do_min_p: bool = False,
     do_guided: bool = False,
+    do_logit_bias: bool = False,
     num_logprobs: int = 0,
 ) -> SamplerOutputArrays:
     b, v_pad = logits.shape
@@ -125,6 +130,11 @@ def sample(
     if v_pad > vocab_size:
         logits = jnp.where(jnp.arange(v_pad)[None, :] < vocab_size, logits,
                            _NEG_INF)
+
+    if do_logit_bias and tensors.bias_tokens is not None:
+        rows = jnp.arange(b)[:, None]
+        logits = logits.at[rows, tensors.bias_tokens].add(
+            tensors.bias_values, mode="drop")
 
     if do_min_tokens:
         rows = jnp.arange(b)[:, None]

@@ -55,6 +55,7 @@ class SamplingParams:
         spaces_between_special_tokens: bool = True,
         logits_processors: Optional[List[LogitsProcessor]] = None,
         truncate_prompt_tokens: Optional[int] = None,
+        logit_bias: Optional[dict] = None,
     ) -> None:
         self.n = n
         self.best_of = best_of if best_of is not None else n
@@ -87,6 +88,9 @@ class SamplingParams:
         self.spaces_between_special_tokens = spaces_between_special_tokens
         self.logits_processors = logits_processors or []
         self.truncate_prompt_tokens = truncate_prompt_tokens
+        # OpenAI logit_bias {token_id: bias} applied in-graph.
+        self.logit_bias = ({int(k): float(v) for k, v in logit_bias.items()}
+                           if logit_bias else None)
         # eos ids appended by the engine (per-request, not user-visible).
         self.all_stop_token_ids = set(self.stop_token_ids)
 

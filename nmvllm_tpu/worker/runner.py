@@ -237,6 +237,8 @@ class ModelRunner:
         do_top_k_top_p = False
         do_min_p = False
         do_guided = False
+        do_logit_bias = False
+        max_bias = 1
         num_logprobs = 0
         max_out = 1
         max_prompt = 1
@@ -264,6 +266,9 @@ class ModelRunner:
                 # Beam search consumes the top-k capture host-side
                 # (2*beam_width candidates per parent).
                 num_logprobs = _MAX_NUM_LOGPROBS
+            if sp.logit_bias:
+                do_logit_bias = True
+                max_bias = max(max_bias, len(sp.logit_bias))
 
         for i, (meta, seq_id) in enumerate(rows):
             sp = meta.sampling_params or SamplingParams()
@@ -290,6 +295,17 @@ class ModelRunner:
         prompt_tokens = np.full((b, hist_prompt if do_penalties else 8),
                                 vocab, np.int32)
         banned = np.full((b, ban_pad), vocab, np.int32)
+        bias_pad = max(8, next_power_of_2(max_bias))
+        bias_tokens = np.full((b, bias_pad), vocab, np.int32)
+        bias_values = np.zeros((b, bias_pad), np.float32)
+        if do_logit_bias:
+            for i, (meta, seq_id) in enumerate(rows):
+                sp = meta.sampling_params or SamplingParams()
+                if sp.logit_bias:
+                    items = list(sp.logit_bias.items())[:bias_pad]
+                    for r2, (tid, val) in enumerate(items):
+                        bias_tokens[i, r2] = tid
+                        bias_values[i, r2] = val
 
         for i, (meta, seq_id) in enumerate(rows):
             sp = meta.sampling_params or SamplingParams()
@@ -334,10 +350,13 @@ class ModelRunner:
             output_tokens=jnp.asarray(out_tokens),
             prompt_tokens=jnp.asarray(prompt_tokens),
             banned_tokens=jnp.asarray(banned),
-            allowed_tokens=jnp.asarray(allowed_arr))
+            allowed_tokens=jnp.asarray(allowed_arr),
+            bias_tokens=jnp.asarray(bias_tokens),
+            bias_values=jnp.asarray(bias_values))
         flags = dict(do_penalties=do_penalties, do_min_tokens=do_min_tokens,
                      do_top_k_top_p=do_top_k_top_p, do_min_p=do_min_p,
-                     do_guided=do_guided, num_logprobs=num_logprobs)
+                     do_guided=do_guided, do_logit_bias=do_logit_bias,
+                     num_logprobs=num_logprobs)
         return tensors, flags
 
     # -------------------------------------------------------- compiled steps
