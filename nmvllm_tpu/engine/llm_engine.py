@@ -84,6 +84,10 @@ class LLMEngine:
                 ngram_max=self.spec_config.ngram_prompt_lookup_max,
                 num_speculative_tokens=(
                     self.spec_config.num_speculative_tokens))
+        elif self.spec_config is not None and self.spec_config.method == \
+                "draft_model":
+            # Marker: proposals come from the executor's draft runner.
+            self.spec_proposer = "draft_model"
         self.tracer = None
         if (engine_config.observability_config and
                 engine_config.observability_config.otlp_traces_endpoint):
@@ -221,8 +225,7 @@ class LLMEngine:
         disable_bs = self.spec_config.speculative_disable_by_batch_size
         if disable_bs is not None and len(metas) > disable_bs:
             return None
-        proposals = []
-        any_draft = False
+        eligible_rows = []
         for meta in metas:
             if len(meta.seq_data) != 1:
                 return None  # parallel-sampling groups: no spec
@@ -235,7 +238,24 @@ class LLMEngine:
                         and sp.frequency_penalty == 0.0
                         and sp.repetition_penalty == 1.0
                         and not sp.logits_processors
+                        and not sp.logit_bias
                         and data.get_output_len() >= sp.min_tokens)
+            eligible_rows.append((eligible, data))
+
+        if self.spec_proposer == "draft_model":
+            if not any(e for e, _ in eligible_rows):
+                return None
+            k = self.spec_config.num_speculative_tokens
+            drafts = self.executor.propose_drafts(metas, k)
+            proposals = [
+                (list(map(int, drafts[i])) if eligible_rows[i][0] else [])
+                for i in range(len(metas))
+            ]
+            return proposals
+
+        proposals = []
+        any_draft = False
+        for (eligible, data) in eligible_rows:
             prop = None
             if eligible:
                 prop = self.spec_proposer.propose(data.get_token_ids())

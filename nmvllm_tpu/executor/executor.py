@@ -33,6 +33,26 @@ class TPUExecutor:
         self.runner = ModelRunner(engine_config, self.mesh)
         self.runner.load_model()
         self.cache_engine: Optional[CacheEngine] = None
+        # Draft-model speculative decoding (reference SpecDecodeWorker /
+        # MultiStepWorker): a second runner + KV pool; the draft's KV is
+        # kept in sync by piggybacking on prefill and decode steps.
+        self.draft_runner: Optional[ModelRunner] = None
+        self.draft_cache_engine: Optional[CacheEngine] = None
+        spec = engine_config.speculative_config
+        if spec is not None and spec.draft_model:
+            import dataclasses
+
+            from nmvllm_tpu.config import ModelConfig
+            mc = engine_config.model_config
+            draft_mc = ModelConfig(
+                model=spec.draft_model, tokenizer=mc.tokenizer,
+                dtype=mc.dtype, seed=mc.seed,
+                max_model_len=mc.max_model_len)
+            self._draft_config = dataclasses.replace(
+                engine_config, model_config=draft_mc,
+                speculative_config=None)
+            self.draft_runner = ModelRunner(self._draft_config, self.mesh)
+            self.draft_runner.load_model()
 
     def _maybe_init_compile_cache(self) -> None:
         from nmvllm_tpu import envs
@@ -78,6 +98,11 @@ class TPUExecutor:
                                         self.config.parallel_config,
                                         self.mesh)
         self.cache_engine.allocate()
+        if self.draft_runner is not None:
+            self.draft_cache_engine = CacheEngine(
+                self.config.cache_config, self._draft_config.model_config,
+                self.config.parallel_config, self.mesh)
+            self.draft_cache_engine.allocate()
 
     # ------------------------------------------------------------- stepping
     def execute_model(
@@ -104,16 +129,36 @@ class TPUExecutor:
                 outputs_by_request[meta.request_id] = out.outputs[0]
             else:
                 outputs_by_request[meta.request_id] = None
+            if self.draft_cache_engine is not None:
+                dkv, _ = self.draft_runner.execute_prefill(
+                    meta, self.draft_cache_engine.kv_caches)
+                self.draft_cache_engine.kv_caches = dkv
         if decodes:
             kv, out = self.runner.execute_decode(decodes, kv)
             for meta, group_out in zip(decodes, out.outputs):
                 outputs_by_request[meta.request_id] = group_out
+            if self.draft_cache_engine is not None:
+                # Keep the draft's KV current on non-speculative decode
+                # steps (stale draft KV only hurts acceptance, but cheap
+                # to avoid).
+                dkv, _ = self.draft_runner.execute_decode(
+                    decodes, self.draft_cache_engine.kv_caches)
+                self.draft_cache_engine.kv_caches = dkv
         self.cache_engine.kv_caches = kv
 
         merged = SamplerOutput(outputs=[
             outputs_by_request.get(m.request_id) for m in metas
         ])
         return [merged]
+
+    def propose_drafts(self, metas, k: int):
+        """Greedy draft-model proposals (k tokens per decode row); writes
+        the draft's own KV along the proposal chain."""
+        assert self.draft_runner is not None
+        dkv, toks = self.draft_runner.propose_greedy(
+            metas, self.draft_cache_engine.kv_caches, k)
+        self.draft_cache_engine.kv_caches = dkv
+        return toks
 
     def execute_spec_decode(self, execute_model_req: ExecuteModelRequest,
                             proposals, num_spec: int) -> List[SamplerOutput]:

@@ -602,6 +602,65 @@ class ModelRunner:
         self._step_fns[key] = step
         return step
 
+    def _get_propose_fn(self, k: int):
+        """Draft-model proposal: k greedy decode steps in ONE compiled
+        lax.scan (reference MultiStepWorker, spec_decode/
+        multi_step_worker.py:17 — k sequential draft forwards)."""
+        key = ("propose", k)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        model = self.model
+        param_specs, kv_specs = self._specs_tuple()
+        mesh = self.mesh
+        block_size = self.block_size
+
+        def fwd(params, kv_caches, tokens, positions, slots, block_tables,
+                ctx):
+            meta = AttentionMetadata(
+                slot_mapping=slots, block_tables=block_tables,
+                context_lens=ctx, seq_lens=jnp.ones_like(ctx),
+                prefix_lens=jnp.zeros_like(ctx))
+            x, kv_caches = model.forward(params, tokens, positions,
+                                         kv_caches, meta, is_prefill=False)
+            logits = model.compute_logits(params, x[:, 0, :])
+            return jnp.argmax(logits, -1).astype(jnp.int32), kv_caches
+
+        sharded = shard_map_fn(
+            fwd, mesh,
+            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P()),
+            out_specs=(P(), kv_specs))
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def propose(params, kv_caches, tokens, positions, block_tables):
+            def body(carry, _):
+                kv_caches, tokens, positions = carry
+                pos = positions[:, 0]
+                slots = (jnp.take_along_axis(
+                    block_tables, (pos // block_size)[:, None],
+                    axis=1)[:, 0] * block_size + pos % block_size)[:, None]
+                nxt, kv_caches = sharded(params, kv_caches, tokens,
+                                         positions, slots, block_tables,
+                                         pos + 1)
+                return (kv_caches, nxt[:, None], positions + 1), nxt
+
+            (kv_caches, _, _), toks = jax.lax.scan(
+                body, (kv_caches, tokens, positions), None, length=k)
+            return kv_caches, toks.T  # (B, k)
+
+        self._step_fns[key] = propose
+        return propose
+
+    def propose_greedy(self, metas: List[SequenceGroupMetadata], kv_caches,
+                       k: int):
+        """Greedy k-token draft proposals for each decode row."""
+        prep = self.prepare_decode(metas)
+        fn = self._get_propose_fn(k)
+        kv_caches, toks = fn(self.params, kv_caches,
+                             jnp.asarray(prep.tokens),
+                             jnp.asarray(prep.positions),
+                             jnp.asarray(prep.block_tables))
+        return kv_caches, np.asarray(toks)[:len(prep.rows)]
+
     # ------------------------------------------------------------- execution
     def execute_decode(self, metas: List[SequenceGroupMetadata],
                        kv_caches) -> Tuple[Any, SamplerOutput]:

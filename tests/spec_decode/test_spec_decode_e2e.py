@@ -77,3 +77,22 @@ def test_stop_inside_accepted_run(spec_llm):
     got = out[0].outputs[0].token_ids
     assert out[0].outputs[0].finish_reason == "stop"
     assert got == toks[:3], (got, toks)
+
+
+@pytest.fixture(scope="module")
+def draft_spec_llm():
+    return LLM(model="debug-llama", num_gpu_blocks_override=64,
+               max_num_seqs=8, max_model_len=256,
+               speculative_model="debug-llama", num_speculative_tokens=3)
+
+
+def test_draft_model_spec_accepts_and_matches(baseline_llm, draft_spec_llm):
+    from tests.models.utils import check_logprobs_close
+    sp = SamplingParams(temperature=0.0, max_tokens=16, logprobs=5)
+    base = baseline_llm.generate(PROMPTS[:2], sp)
+    spec = draft_spec_llm.generate(PROMPTS[:2], sp)
+    check_logprobs_close(base, spec, "baseline", "draft-spec")
+    st = draft_spec_llm.llm_engine.spec_stats
+    assert st["num_spec_steps"] > 0
+    # Identical draft ⇒ high acceptance (numerics-driven mismatches only).
+    assert st["num_accepted"] / max(1, st["num_drafted"]) > 0.3
