@@ -36,6 +36,9 @@ _GENERATION_MODELS: Dict[str, str] = {
     "Qwen2MoeForCausalLM":
         "nmvllm_tpu.models.qwen2_moe:Qwen2MoeForCausalLM",
     "DeepseekForCausalLM": "nmvllm_tpu.models.deepseek:DeepseekForCausalLM",
+    "ChatGLMModel": "nmvllm_tpu.models.chatglm:ChatGLMForCausalLM",
+    "ChatGLMForConditionalGeneration":
+        "nmvllm_tpu.models.chatglm:ChatGLMForCausalLM",
 }
 
 _EMBEDDING_MODELS: Dict[str, str] = {

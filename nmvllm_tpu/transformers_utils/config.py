@@ -364,6 +364,23 @@ def _debug_deepseek():
     return cfg
 
 
+@register_preset("debug-chatglm")
+def _debug_chatglm():
+    cfg = _llama_config(hidden_size=256, num_hidden_layers=2,
+                        num_attention_heads=2, vocab_size=512,
+                        max_position_embeddings=2048)
+    cfg.architectures = ["ChatGLMModel"]
+    cfg.ffn_hidden_size = 256
+    cfg.kv_channels = 128
+    cfg.multi_query_attention = True
+    cfg.multi_query_group_num = 1
+    cfg.add_qkv_bias = True
+    cfg.add_bias_linear = False
+    cfg.layernorm_epsilon = 1e-5
+    cfg.rope_ratio = 1.0
+    return cfg
+
+
 @register_preset("debug-phi3")
 def _debug_phi3():
     from transformers import Phi3Config

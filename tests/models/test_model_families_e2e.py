@@ -12,7 +12,8 @@ FAMILIES = ["debug-qwen2", "debug-gemma", "debug-mistral", "debug-phi3",
             "debug-olmo", "debug-internlm2", "debug-baichuan",
             "debug-cohere", "debug-gpt2", "debug-opt", "debug-bigcode",
             "debug-gptneox", "debug-phi", "debug-falcon", "debug-bloom",
-            "debug-mpt", "debug-qwen2moe", "debug-deepseek"]
+            "debug-mpt", "debug-qwen2moe", "debug-deepseek",
+            "debug-chatglm"]
 
 _SCRIPT = """
 from nmvllm_tpu import LLM, SamplingParams
