@@ -315,6 +315,18 @@ def _load_expert_groups(model, params, expert_groups, put):
         w1 = np.zeros((e, h, 2 * i), np.float32)
         w2 = np.zeros((e, i, h), np.float32)
         for name, arr in tensors.items():
+            head = name.split(".", 1)[0]
+            if not head.isdigit():
+                # DBRX-style fused stacks: experts.mlp.{w1,v1,w2} hold all
+                # experts in one (E*I, H) tensor (reference dbrx.py).
+                kind = name.rsplit(".", 1)[-1]
+                if kind == "w1":      # gate stack
+                    w1[:, :, :i] = arr.reshape(e, i, h).transpose(0, 2, 1)
+                elif kind == "v1":    # up stack
+                    w1[:, :, i:] = arr.reshape(e, i, h).transpose(0, 2, 1)
+                elif kind == "w2":    # down stack (already (E*I, H))
+                    w2[:] = arr.reshape(e, i, h)
+                continue
             eid_s, kind, _ = name.split(".", 2)
             eid = int(eid_s)
             role = kind_map.get(kind)

@@ -37,6 +37,7 @@ _GENERATION_MODELS: Dict[str, str] = {
         "nmvllm_tpu.models.qwen2_moe:Qwen2MoeForCausalLM",
     "DeepseekForCausalLM": "nmvllm_tpu.models.deepseek:DeepseekForCausalLM",
     "ChatGLMModel": "nmvllm_tpu.models.chatglm:ChatGLMForCausalLM",
+    "DbrxForCausalLM": "nmvllm_tpu.models.dbrx:DbrxForCausalLM",
     "ChatGLMForConditionalGeneration":
         "nmvllm_tpu.models.chatglm:ChatGLMForCausalLM",
 }

@@ -381,6 +381,18 @@ def _debug_chatglm():
     return cfg
 
 
+@register_preset("debug-dbrx")
+def _debug_dbrx():
+    from transformers import DbrxConfig
+    return DbrxConfig(architectures=["DbrxForCausalLM"], d_model=256,
+                      n_heads=2, n_layers=2, max_seq_len=2048,
+                      vocab_size=512,
+                      attn_config={"kv_n_heads": 1, "clip_qkv": 8.0,
+                                   "rope_theta": 10000.0},
+                      ffn_config={"ffn_hidden_size": 128,
+                                  "moe_num_experts": 4, "moe_top_k": 2})
+
+
 @register_preset("debug-phi3")
 def _debug_phi3():
     from transformers import Phi3Config

@@ -13,7 +13,7 @@ FAMILIES = ["debug-qwen2", "debug-gemma", "debug-mistral", "debug-phi3",
             "debug-cohere", "debug-gpt2", "debug-opt", "debug-bigcode",
             "debug-gptneox", "debug-phi", "debug-falcon", "debug-bloom",
             "debug-mpt", "debug-qwen2moe", "debug-deepseek",
-            "debug-chatglm"]
+            "debug-chatglm", "debug-dbrx"]
 
 _SCRIPT = """
 from nmvllm_tpu import LLM, SamplingParams
