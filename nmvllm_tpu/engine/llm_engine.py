@@ -233,10 +233,14 @@ class LLMEngine:
             sp = meta.sampling_params
             if sp is not None and sp.use_beam_search:
                 return None  # beam batches need beam candidate assembly
-            eligible = (sp is not None and sp.temperature == 0.0
+            # Greedy AND stochastic rows speculate (the verification step
+            # runs modified rejection sampling with one-hot proposals);
+            # features the in-graph verifier doesn't model stay excluded.
+            eligible = (sp is not None
                         and sp.presence_penalty == 0.0
                         and sp.frequency_penalty == 0.0
                         and sp.repetition_penalty == 1.0
+                        and sp.min_p == 0.0
                         and not sp.logits_processors
                         and not sp.logit_bias
                         and data.get_output_len() >= sp.min_tokens)

@@ -563,30 +563,87 @@ class ModelRunner:
         def step(params, kv_caches, tokens, positions, slots, block_tables,
                  ctx, seq_lens, prefix_lens, drafts, draft_lens,
                  sampling_tensors, lora_indices, lora_stacks):
+            from nmvllm_tpu.layers.sampler import (_EPS,
+                                                   _apply_top_k_top_p)
             logits, kv_caches = sharded_fwd(params, kv_caches, tokens,
                                             positions, slots, block_tables,
                                             ctx, seq_lens, prefix_lens,
                                             lora_indices, lora_stacks)
             logits = logits.astype(jnp.float32)
+            b = logits.shape[0]
             v_pad = logits.shape[-1]
             if v_pad > vocab_size:
                 logits = jnp.where(
                     jnp.arange(v_pad)[None, None, :] < vocab_size, logits,
                     float("-inf"))
-            # Full sampler on position 0 (greedy rows: identical to argmax).
+            # Full sampler on position 0 — serves draft_len==0 rows.
             out0 = sample(logits[:, 0, :], sampling_tensors,
                           vocab_size=vocab_size, **flags)
-            targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            targets = targets.at[:, 0].set(out0.next_tokens)
-            # Greedy acceptance with per-row valid draft count.
+
+            t = sampling_tensors
+            temp = jnp.maximum(t.temperature, _EPS)
+            greedy = t.temperature < _EPS
+            scaled = logits / temp[:, None, None]
+            flat = scaled.reshape(b * s, v_pad)
+            if flags.get("do_top_k_top_p", False):
+                flat = _apply_top_k_top_p(
+                    flat, jnp.repeat(t.top_k, s), jnp.repeat(t.top_p, s))
+            probs = jax.nn.softmax(flat, axis=-1).reshape(b, s, v_pad)
+            argmax_tok = jnp.argmax(scaled, axis=-1).astype(jnp.int32)
+
+            # Modified rejection sampling with one-hot proposals
+            # (reference rejection_sampler.py; ngram/greedy-draft q is a
+            # point mass, so accept d_j with prob p(d_j)). Greedy rows
+            # reduce to exact argmax matching.
             k = num_spec
-            match = (drafts == targets[:, :k]) & (
+            keys = jax.vmap(jax.random.wrap_key_data)(t.key_data)
+
+            def row_uniform(key):
+                ks = jax.vmap(lambda j: jax.random.fold_in(key, j))(
+                    jnp.arange(2 * s))
+                return jax.vmap(lambda kk: jax.random.uniform(kk))(ks)
+            u = jax.vmap(row_uniform)(keys)          # (B, 2s)
+            p_draft = jnp.take_along_axis(
+                probs[:, :k, :], drafts[..., None], axis=-1)[..., 0]
+            accept_st = u[:, :k] < p_draft
+            accept_gr = drafts == argmax_tok[:, :k]
+            match = jnp.where(greedy[:, None], accept_gr, accept_st) & (
                 jnp.arange(k)[None, :] < draft_lens[:, None])
             acc = jnp.cumprod(match.astype(jnp.int32), axis=1)
             n_acc = jnp.sum(acc, axis=1)
+
+            # Correction/bonus token at each position: greedy -> argmax;
+            # stochastic -> gumbel sample from probs with the (rejected)
+            # draft zeroed out (residual of the one-hot proposal).
+            drafts_pad = jnp.concatenate(
+                [drafts, jnp.full((b, 1), -1, jnp.int32)], axis=1)
+            resid = probs.at[
+                jnp.arange(b)[:, None], jnp.arange(s)[None, :],
+                jnp.clip(drafts_pad, 0, v_pad - 1)].mul(
+                    jnp.where(drafts_pad >= 0, 0.0, 1.0))
+            # Positionwise categorical via inverse-CDF on the residual.
+            cdf = jnp.cumsum(resid, axis=-1)
+            total = cdf[..., -1:]
+            thresh = u[:, s:2 * s, None] * jnp.maximum(total, 1e-20)
+            sampled_corr = jnp.sum(
+                (cdf < thresh).astype(jnp.int32), axis=-1).astype(jnp.int32)
+            sampled_corr = jnp.minimum(sampled_corr, v_pad - 1)
+            corr = jnp.where(greedy[:, None], argmax_tok, sampled_corr)
+            # Position 0: draft-less (or greedy) rows use the full
+            # sampler's token; stochastic rows with a rejected first draft
+            # use the residual sample (exactness of modified rejection
+            # sampling).
+            corr0 = jnp.where(greedy | (draft_lens == 0),
+                              out0.next_tokens, sampled_corr[:, 0])
+            corr = corr.at[:, 0].set(corr0)
+
             pos = jnp.arange(s)[None, :]
-            out_tokens = jnp.where(pos <= n_acc[:, None], targets, -1)
-            lp_all = jax.nn.log_softmax(logits, axis=-1)
+            accepted_tok = jnp.concatenate(
+                [drafts, jnp.zeros((b, 1), jnp.int32)], axis=1)
+            out_tokens = jnp.where(
+                pos < n_acc[:, None], accepted_tok,
+                jnp.where(pos == n_acc[:, None], corr, -1))
+            lp_all = jax.nn.log_softmax(scaled, axis=-1)
             lp = jnp.take_along_axis(
                 lp_all, jnp.maximum(out_tokens, 0)[..., None],
                 axis=-1)[..., 0]

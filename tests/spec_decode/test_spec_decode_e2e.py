@@ -96,3 +96,16 @@ def test_draft_model_spec_accepts_and_matches(baseline_llm, draft_spec_llm):
     assert st["num_spec_steps"] > 0
     # Identical draft ⇒ high acceptance (numerics-driven mismatches only).
     assert st["num_accepted"] / max(1, st["num_drafted"]) > 0.3
+
+
+def test_stochastic_rows_speculate_and_reproduce(draft_spec_llm):
+    # Near-greedy temperature exercises the stochastic acceptance branch
+    # (accept prob ≈ p(argmax) ≈ 1); seeded output must reproduce.
+    sp = SamplingParams(temperature=0.01, seed=11, max_tokens=12)
+    before = dict(draft_spec_llm.llm_engine.spec_stats)
+    o1 = draft_spec_llm.generate(["near greedy probe"], sp)
+    after = dict(draft_spec_llm.llm_engine.spec_stats)
+    assert after["num_spec_steps"] > before["num_spec_steps"]
+    assert after["num_accepted"] > before["num_accepted"]
+    o2 = draft_spec_llm.generate(["near greedy probe"], sp)
+    assert o1[0].outputs[0].token_ids == o2[0].outputs[0].token_ids
