@@ -67,8 +67,12 @@ class ModelConfig:
             for k, v in hf_overrides.items():
                 setattr(self.hf_config, k, v)
 
+        # Multimodal configs (llava, ...) nest the decoder geometry under
+        # text_config; shape getters read from there.
+        self.shape_config = getattr(self.hf_config, "text_config", None) \
+            or self.hf_config
         self.dtype = _resolve_dtype(dtype, self.hf_config)
-        self.max_model_len = _get_and_verify_max_len(self.hf_config,
+        self.max_model_len = _get_and_verify_max_len(self.shape_config,
                                                     max_model_len)
         self._verify_quantization()
 
@@ -78,20 +82,20 @@ class ModelConfig:
         return getattr(self.hf_config, "architectures", None) or []
 
     def get_hidden_size(self) -> int:
-        return self.hf_config.hidden_size
+        return self.shape_config.hidden_size
 
     def get_head_size(self) -> int:
-        if hasattr(self.hf_config, "head_dim") and self.hf_config.head_dim:
-            return self.hf_config.head_dim
-        return (self.hf_config.hidden_size //
-                self.hf_config.num_attention_heads)
+        if getattr(self.shape_config, "head_dim", None):
+            return self.shape_config.head_dim
+        return (self.shape_config.hidden_size //
+                self.shape_config.num_attention_heads)
 
     def get_total_num_attention_heads(self) -> int:
-        return self.hf_config.num_attention_heads
+        return self.shape_config.num_attention_heads
 
     def get_total_num_kv_heads(self) -> int:
-        return getattr(self.hf_config, "num_key_value_heads",
-                       self.hf_config.num_attention_heads)
+        return getattr(self.shape_config, "num_key_value_heads",
+                       self.shape_config.num_attention_heads)
 
     def get_num_attention_heads(self, parallel_config: "ParallelConfig") -> int:
         return max(1,
@@ -105,16 +109,16 @@ class ModelConfig:
                    parallel_config.tensor_parallel_size)
 
     def get_num_layers(self, parallel_config: "ParallelConfig") -> int:
-        total = self.hf_config.num_hidden_layers
+        total = self.shape_config.num_hidden_layers
         return total // parallel_config.pipeline_parallel_size
 
     def get_vocab_size(self) -> int:
-        return self.hf_config.vocab_size
+        return self.shape_config.vocab_size
 
     def get_sliding_window(self) -> Optional[int]:
-        if not getattr(self.hf_config, "use_sliding_window", True):
+        if not getattr(self.shape_config, "use_sliding_window", True):
             return None
-        return getattr(self.hf_config, "sliding_window", None)
+        return getattr(self.shape_config, "sliding_window", None)
 
     def _verify_quantization(self) -> None:
         from nmvllm_tpu.quantization import QUANTIZATION_METHODS

@@ -219,6 +219,7 @@ class Scheduler:
                     token_chunk_size=token_chunk_size,
                     computed_block_nums=common_computed,
                     lora_request=seq_group.lora_request,
+                    multi_modal_data=seq_group.multi_modal_data,
                     state_seed=getattr(seq_group, "state_seed", None),
                 ))
         for scheduled in scheduler_outputs.scheduled_seq_groups:

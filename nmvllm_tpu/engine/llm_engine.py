@@ -126,6 +126,7 @@ class LLMEngine:
         arrival_time: Optional[float] = None,
         lora_request: Optional[Any] = None,
         trace_headers: Optional[Dict[str, str]] = None,
+        multi_modal_data: Optional[Dict[str, Any]] = None,
     ) -> None:
         if sampling_params is None:
             sampling_params = SamplingParams()
@@ -152,6 +153,23 @@ class LLMEngine:
         block_size = self.cache_config.block_size
         if lora_request is not None:
             self.executor.runner.add_lora(lora_request)
+        mapped_mm = None
+        if multi_modal_data is not None:
+            model = self.executor.runner.model
+            if not getattr(model, "is_vision_model", False):
+                raise ValueError(
+                    "multi_modal_data passed to a text-only model.")
+            from nmvllm_tpu.multimodal import MULTIMODAL_REGISTRY
+            mapped_mm = MULTIMODAL_REGISTRY.map_input(self.model_config,
+                                                      multi_modal_data)
+            # Expand each image placeholder to num_image_tokens repeats
+            # (reference: llava input processor / image_feature_size).
+            tok = model.image_token_index
+            n = model.num_image_tokens
+            expanded = []
+            for t in prompt_token_ids:
+                expanded.extend([tok] * n if t == tok else [t])
+            prompt_token_ids = expanded
         if sampling_params.use_beam_search:
             # Beam search starts from ONE sequence; beams fork in output
             # processing (reference single_step.py beam branch). Width is
@@ -177,7 +195,8 @@ class LLMEngine:
                               arrival_time=arrival_time,
                               sampling_params=sampling_params,
                               lora_request=lora_request,
-                              trace_headers=trace_headers)
+                              trace_headers=trace_headers,
+                              multi_modal_data=mapped_mm)
         group.state_seed = next(self.request_counter)
         self.scheduler.add_seq_group(group)
 

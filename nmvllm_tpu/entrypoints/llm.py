@@ -77,6 +77,7 @@ class LLM:
                                         Sequence[SamplingParams]]] = None,
         prompt_token_ids: Optional[List[List[int]]] = None,
         use_tqdm: bool = False,
+        multi_modal_data: Optional[Union[dict, List[Optional[dict]]]] = None,
     ) -> List[RequestOutput]:
         if prompts is None and prompt_token_ids is None:
             raise ValueError("Either prompts or prompt_token_ids must be "
@@ -92,6 +93,8 @@ class LLM:
         elif len(sampling_params) != num_requests:
             raise ValueError(
                 "sampling_params must match the number of prompts.")
+        if isinstance(multi_modal_data, dict):
+            multi_modal_data = [multi_modal_data] * num_requests
         for i in range(num_requests):
             request_id = str(next(self.request_counter))
             self.llm_engine.add_request(
@@ -99,7 +102,9 @@ class LLM:
                 prompt=prompts[i] if prompts is not None else None,
                 sampling_params=sampling_params[i],
                 prompt_token_ids=(prompt_token_ids[i]
-                                  if prompt_token_ids is not None else None))
+                                  if prompt_token_ids is not None else None),
+                multi_modal_data=(multi_modal_data[i]
+                                  if multi_modal_data is not None else None))
         return self._run_engine(use_tqdm)
 
     def encode(self, prompts: Union[str, List[str]],

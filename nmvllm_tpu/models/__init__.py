@@ -38,6 +38,8 @@ _GENERATION_MODELS: Dict[str, str] = {
     "DeepseekForCausalLM": "nmvllm_tpu.models.deepseek:DeepseekForCausalLM",
     "ChatGLMModel": "nmvllm_tpu.models.chatglm:ChatGLMForCausalLM",
     "DbrxForCausalLM": "nmvllm_tpu.models.dbrx:DbrxForCausalLM",
+    "LlavaForConditionalGeneration":
+        "nmvllm_tpu.models.llava:LlavaForConditionalGeneration",
     "ChatGLMForConditionalGeneration":
         "nmvllm_tpu.models.chatglm:ChatGLMForCausalLM",
 }

@@ -218,7 +218,8 @@ class SequenceGroup:
                  lora_request: Optional[Any] = None,
                  trace_headers: Optional[Dict[str, str]] = None,
                  pooling_params: Optional[Any] = None,
-                 encoder_seq: Optional[Sequence] = None) -> None:
+                 encoder_seq: Optional[Sequence] = None,
+                 multi_modal_data: Optional[Any] = None) -> None:
         self.request_id = request_id
         self.seqs_dict = {seq.seq_id: seq for seq in seqs}
         self.sampling_params = sampling_params
@@ -226,6 +227,7 @@ class SequenceGroup:
         self.trace_headers = trace_headers
         self.pooling_params = pooling_params
         self.encoder_seq = encoder_seq
+        self.multi_modal_data = multi_modal_data
         self.metrics = RequestMetrics(arrival_time=arrival_time,
                                       last_token_time=arrival_time)
         self.prompt_logprobs: Optional[PromptLogprobs] = None

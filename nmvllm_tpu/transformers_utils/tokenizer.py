@@ -110,7 +110,9 @@ def get_tokenizer(tokenizer_name: str,
     from nmvllm_tpu.transformers_utils.config import _PRESETS
     if tokenizer_name.lower() in _PRESETS:
         cfg = _PRESETS[tokenizer_name.lower()]()
-        return ByteTokenizer(vocab_size=cfg.vocab_size)
+        # Multimodal configs nest the decoder vocab under text_config.
+        shape = getattr(cfg, "text_config", None) or cfg
+        return ByteTokenizer(vocab_size=shape.vocab_size)
     if os.path.isdir(tokenizer_name):
         try:
             from transformers import AutoTokenizer

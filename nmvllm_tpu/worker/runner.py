@@ -426,9 +426,10 @@ class ModelRunner:
 
     def _get_prefill_fn(self, flags_key, has_prefix: bool, do_sample: bool,
                         n_samples: int = 1, use_lora: bool = False,
-                        num_prompt_logprobs: int = 0):
+                        num_prompt_logprobs: int = 0,
+                        has_image: bool = False):
         key = ("prefill", flags_key, has_prefix, do_sample, n_samples,
-               use_lora, num_prompt_logprobs)
+               use_lora, num_prompt_logprobs, has_image)
         if key in self._step_fns:
             return self._step_fns[key]
         flags = dict(flags_key)
@@ -438,7 +439,8 @@ class ModelRunner:
         vocab_size = self.vocab_size
 
         def fwd(params, kv_caches, tokens, positions, slots, block_tables,
-                ctx, seq_lens, prefix_lens, lora_indices, lora_stacks):
+                ctx, seq_lens, prefix_lens, pixel_values, lora_indices,
+                lora_stacks):
             from nmvllm_tpu.lora.context import lora_scope
             meta = AttentionMetadata(
                 slot_mapping=slots, block_tables=block_tables,
@@ -446,11 +448,13 @@ class ModelRunner:
                 prefix_lens=prefix_lens)
             scope = (lora_scope(lora_indices, lora_stacks) if use_lora
                      else contextlib.nullcontext())
+            mm_kw = {"pixel_values": pixel_values} if has_image else {}
             with scope:
                 x, kv_caches = model.forward(params, tokens, positions,
                                              kv_caches, meta,
                                              is_prefill=True,
-                                             has_prefix=has_prefix)
+                                             has_prefix=has_prefix,
+                                             **mm_kw)
             hidden = model.select_last_token(x, seq_lens)
             if do_sample:
                 if n_samples > 1:
@@ -489,16 +493,17 @@ class ModelRunner:
         sharded_fwd = shard_map_fn(
             fwd, mesh,
             in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),
-                      P(), *lora_specs),
+                      P(), P(), *lora_specs),
             out_specs=(P(), prompt_lp_spec, kv_specs))
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
-                 ctx, seq_lens, prefix_lens, sampling_tensors,
-                 lora_indices, lora_stacks):
+                 ctx, seq_lens, prefix_lens, pixel_values,
+                 sampling_tensors, lora_indices, lora_stacks):
             logits, prompt_lp, kv_caches = sharded_fwd(
                 params, kv_caches, tokens, positions, slots, block_tables,
-                ctx, seq_lens, prefix_lens, lora_indices, lora_stacks)
+                ctx, seq_lens, prefix_lens, pixel_values, lora_indices,
+                lora_stacks)
             if do_sample:
                 out = sample(logits, sampling_tensors,
                              vocab_size=vocab_size, **flags)
@@ -876,16 +881,28 @@ class ModelRunner:
         num_plp = 0
         if sp is not None and sp.prompt_logprobs is not None:
             num_plp = min(max(sp.prompt_logprobs, 1), _MAX_NUM_LOGPROBS)
+        mm = meta.multi_modal_data or {}
+        pixel_values = mm.get("pixel_values") if isinstance(mm, dict) \
+            else None
+        has_image = pixel_values is not None
+        if has_image and chunk < len(full_ids):
+            raise ValueError(
+                "Vision prompts must prefill in a single chunk; disable "
+                "chunked prefill or raise max_num_batched_tokens.")
         step = self._get_prefill_fn(flags_key, has_prefix, meta.do_sample,
                                     n_samples=len(rows), use_lora=use_lora,
-                                    num_prompt_logprobs=num_plp)
+                                    num_prompt_logprobs=num_plp,
+                                    has_image=has_image)
         logger.debug("prefill step: T=%d chunk=%d prefix=%s flags=%s "
-                     "lora=%s", t, chunk, has_prefix, flags, use_lora)
+                     "lora=%s image=%s", t, chunk, has_prefix, flags,
+                     use_lora, has_image)
+        pv = (jnp.asarray(pixel_values) if has_image
+              else jnp.zeros((1, 1), jnp.float32))
         kv_caches, out, prompt_lp = step(
             self.params, kv_caches, jnp.asarray(tokens),
             jnp.asarray(positions), jnp.asarray(slots),
             jnp.asarray(block_tables), jnp.asarray(ctx),
-            jnp.asarray(seq_lens), jnp.asarray(prefix_lens), tensors,
+            jnp.asarray(seq_lens), jnp.asarray(prefix_lens), pv, tensors,
             lora_idx, lora_stacks)
         plp_list = None
         if prompt_lp is not None:
