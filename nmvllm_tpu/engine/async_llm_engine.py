@@ -284,6 +284,7 @@ class AsyncLLMEngine:
         arrival_time: Optional[float] = None,
         lora_request=None,
         trace_headers: Optional[Dict[str, str]] = None,
+        multi_modal_data: Optional[dict] = None,
     ) -> AsyncStream:
         if not self.is_running:
             if self.start_engine_loop:
@@ -296,7 +297,8 @@ class AsyncLLMEngine:
             request_id, prompt=prompt, sampling_params=sampling_params,
             prompt_token_ids=prompt_token_ids,
             arrival_time=arrival_time or time.time(),
-            lora_request=lora_request, trace_headers=trace_headers)
+            lora_request=lora_request, trace_headers=trace_headers,
+            multi_modal_data=multi_modal_data)
 
     async def generate(
         self,
@@ -306,11 +308,13 @@ class AsyncLLMEngine:
         prompt_token_ids: Optional[List[int]] = None,
         lora_request=None,
         trace_headers: Optional[Dict[str, str]] = None,
+        multi_modal_data: Optional[dict] = None,
     ) -> AsyncIterator[RequestOutput]:
         stream = await self.add_request(request_id, prompt, sampling_params,
                                         prompt_token_ids=prompt_token_ids,
                                         lora_request=lora_request,
-                                        trace_headers=trace_headers)
+                                        trace_headers=trace_headers,
+                                        multi_modal_data=multi_modal_data)
         try:
             async for request_output in stream:
                 yield request_output

@@ -38,7 +38,8 @@ class UsageInfo(BaseModel):
 
 class ChatMessage(BaseModel):
     role: str
-    content: Optional[str] = None
+    # str, or OpenAI content-part list ({type: text|image_url, ...}).
+    content: Optional[Union[str, List[Dict[str, Any]]]] = None
 
 
 class ResponseFormat(BaseModel):

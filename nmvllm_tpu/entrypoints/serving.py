@@ -70,6 +70,16 @@ class OpenAIServing:
             request, self.tokenizer)
 
 
+def _replace_subsequence(ids, pattern, repl):
+    """Replace the first occurrence of `pattern` token run with `repl`."""
+    if not pattern:
+        return ids
+    for i in range(len(ids) - len(pattern) + 1):
+        if ids[i:i + len(pattern)] == list(pattern):
+            return list(ids[:i]) + list(repl) + list(ids[i + len(pattern):])
+    return ids
+
+
 class OpenAIServingChat(OpenAIServing):
 
     def __init__(self, engine, served_model_names,
@@ -79,9 +89,43 @@ class OpenAIServingChat(OpenAIServing):
         self.response_role = response_role
         self.chat_template = chat_template
 
-    def _apply_chat_template(self, request: ChatCompletionRequest) -> str:
-        messages = [{"role": m.role, "content": m.content or ""}
-                    for m in request.messages]
+    def _extract_multimodal(self, request: ChatCompletionRequest):
+        """Pull image parts out of OpenAI content lists (reference:
+        vllm image_url chat content). Returns (text_messages, mm_data)."""
+        import base64
+        import io
+
+        messages = []
+        image = None
+        for m in request.messages:
+            content = m.content
+            if isinstance(content, list):
+                texts = []
+                for part in content:
+                    ptype = part.get("type") if isinstance(part, dict) \
+                        else None
+                    if ptype == "text":
+                        texts.append(part.get("text", ""))
+                    elif ptype == "image_url":
+                        url = (part.get("image_url") or {}).get("url", "")
+                        if not url.startswith("data:"):
+                            raise ValueError(
+                                "Only data: image URLs are supported "
+                                "(zero-egress environment).")
+                        b64 = url.split(",", 1)[1]
+                        from PIL import Image
+                        image = Image.open(
+                            io.BytesIO(base64.b64decode(b64)))
+                        texts.append("<image>")
+                content = "".join(texts)
+            messages.append({"role": m.role, "content": content or ""})
+        return messages, ({"image": image} if image is not None else None)
+
+    def _apply_chat_template(self, request: ChatCompletionRequest,
+                             messages=None) -> str:
+        if messages is None:
+            messages = [{"role": m.role, "content": m.content or ""}
+                        for m in request.messages]
         try:
             return self.tokenizer.apply_chat_template(
                 messages, tokenize=False,
@@ -100,8 +144,35 @@ class OpenAIServingChat(OpenAIServing):
         err = self._check_model(request.model)
         if err:
             return err
-        prompt_text = self._apply_chat_template(request)
+        try:
+            messages, mm_data = self._extract_multimodal(request)
+        except ValueError as e:
+            return ErrorResponse(message=str(e), type="BadRequestError")
+        prompt_text = self._apply_chat_template(request, messages)
         prompt_ids = self.tokenizer.encode(prompt_text)
+        if mm_data is not None:
+            model = self.engine.engine.executor.runner.model
+            if not getattr(model, "is_vision_model", False):
+                return ErrorResponse(
+                    message=f"{request.model} is not a vision model",
+                    type="BadRequestError")
+            # Mark the placeholder with the model's image token id (the
+            # engine expands it to num_patches repeats).
+            img_tok = model.image_token_index
+            try:
+                marker = self.tokenizer.encode("<image>",
+                                               add_special_tokens=False)
+            except TypeError:
+                marker = self.tokenizer.encode("<image>")
+                if len(marker) > 1 and prompt_ids[:1] == marker[:1]:
+                    marker = marker[1:]  # strip BOS
+            prompt_ids = _replace_subsequence(prompt_ids, marker,
+                                              [img_tok])
+            if img_tok not in prompt_ids:
+                return ErrorResponse(
+                    message="image provided but no <image> placeholder "
+                            "found in the prompt",
+                    type="BadRequestError")
         err = self._validate_prompt(prompt_ids, request.max_tokens)
         if err:
             return err
@@ -116,7 +187,8 @@ class OpenAIServingChat(OpenAIServing):
         request_id = f"chatcmpl-{random_uuid()}"
         generator = self.engine.generate(prompt_text, sampling_params,
                                          request_id,
-                                         prompt_token_ids=prompt_ids)
+                                         prompt_token_ids=prompt_ids,
+                                         multi_modal_data=mm_data)
         if request.stream:
             return self._stream_chat(request, generator, request_id)
         return await self._full_chat(request, generator, request_id,
