@@ -191,6 +191,19 @@ def load_safetensors_weights(model, params, model_dir: str, mesh,
                     pad = target.shape[0] - arr.shape[0]
                     if pad > 0:
                         arr = np.pad(arr, (0, pad))
+                elif transform == "repeat_kv":
+                    # DeciLM variable GQA: repeat KV heads up to the
+                    # uniform max (reference decilm.py _degroup_weight).
+                    target = _get_in(params, path)
+                    src = np.ascontiguousarray(arr.T)  # (K, heads*hd)
+                    out_dim = target.shape[-1]
+                    if src.shape[1] != out_dim:
+                        hd = model.head_dim
+                        n_rep = out_dim // src.shape[1]
+                        src = src.reshape(src.shape[0], -1, hd)
+                        src = np.repeat(src, n_rep, axis=1)
+                        src = src.reshape(src.shape[0], out_dim)
+                    arr = src
                 elif transform == "split_gate_up":
                     a, b = np.split(arr, 2, axis=0)
                     put(path + ("gate_proj", "weight"),

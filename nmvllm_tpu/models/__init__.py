@@ -6,6 +6,16 @@ _GENERATION_MODELS: Dict[str, str] = {
     "LlamaForCausalLM": "nmvllm_tpu.models.llama:LlamaForCausalLM",
     "LLaMAForCausalLM": "nmvllm_tpu.models.llama:LlamaForCausalLM",
     "MistralForCausalLM": "nmvllm_tpu.models.llama:LlamaForCausalLM",
+    "AquilaModel": "nmvllm_tpu.models.llama:LlamaForCausalLM",
+    "AquilaForCausalLM": "nmvllm_tpu.models.llama:LlamaForCausalLM",
+    "InternLMForCausalLM": "nmvllm_tpu.models.llama:LlamaForCausalLM",
+    "XverseForCausalLM": "nmvllm_tpu.models.llama:LlamaForCausalLM",
+    "DeciLMForCausalLM": "nmvllm_tpu.models.decilm:DeciLMForCausalLM",
+    "OrionForCausalLM": "nmvllm_tpu.models.orion:OrionForCausalLM",
+    "MiniCPMForCausalLM": "nmvllm_tpu.models.minicpm:MiniCPMForCausalLM",
+    "QWenLMHeadModel": "nmvllm_tpu.models.qwen:QWenLMHeadModel",
+    "JAISLMHeadModel": "nmvllm_tpu.models.jais:JAISLMHeadModel",
+    "GPTJForCausalLM": "nmvllm_tpu.models.gpt_family:GPTJForCausalLM",
     "Qwen2ForCausalLM": "nmvllm_tpu.models.qwen2:Qwen2ForCausalLM",
     "GemmaForCausalLM": "nmvllm_tpu.models.gemma:GemmaForCausalLM",
     "MixtralForCausalLM": "nmvllm_tpu.models.mixtral:MixtralForCausalLM",

@@ -504,6 +504,69 @@ class PhiForCausalLM(GPTStyleForCausalLM):
         return m
 
 
+class GPTJForCausalLM(GPTStyleForCausalLM):
+    """GPT-J 6B (reference: vllm/model_executor/models/gpt_j.py).
+
+    Single-norm parallel block, GPT-J-style (interleaved) rotary over
+    ``rotary_dim`` dims, bias-free attention, biased fc_in/fc_out MLP,
+    untied lm_head with bias."""
+    use_rotary = True
+    use_positions = False
+    parallel_block = True
+    two_norms = False
+    rotary_neox_style = False
+
+    def _pre_config(self, cfg):
+        cfg.attention_bias = False
+        cfg.attention_out_bias = False
+        cfg.use_bias = True
+        cfg.tie_word_embeddings = False
+        act = getattr(cfg, "activation_function", None) or "gelu_new"
+        cfg.hidden_act = ("gelu_pytorch_tanh" if act in ("gelu_new",)
+                          else act)
+        cfg.intermediate_size = getattr(cfg, "n_inner", None) or \
+            4 * cfg.hidden_size
+        if not getattr(cfg, "num_key_value_heads", None):
+            cfg.num_key_value_heads = cfg.num_attention_heads
+        if not getattr(cfg, "max_position_embeddings", None):
+            cfg.max_position_embeddings = getattr(cfg, "n_positions", 2048)
+
+    def _post_config(self, cfg):
+        self.lm_head = ParallelLMHead(cfg.vocab_size, cfg.hidden_size,
+                                      self.dtype, self.tp_size, tied=False,
+                                      bias=True)
+
+    def hf_name_map(self):
+        m = {
+            "transformer.wte.weight": (("embed_tokens", "weight"),
+                                       "pad_vocab"),
+            "transformer.ln_f.weight": (("norm", "weight"), None),
+            "transformer.ln_f.bias": (("norm", "bias"), None),
+            "lm_head.weight": (("lm_head", "weight"), "pad_vocab"),
+            "lm_head.bias": (("lm_head", "bias"), "pad_vocab_1d"),
+        }
+        for i in range(len(self.layers)):
+            pre = f"transformer.h.{i}."
+            path = ("layers", i)
+            m[pre + "ln_1.weight"] = (path + ("input_layernorm", "weight"),
+                                      None)
+            m[pre + "ln_1.bias"] = (path + ("input_layernorm", "bias"),
+                                    None)
+            for src, dst in (("q_proj", "q_proj"), ("k_proj", "k_proj"),
+                             ("v_proj", "v_proj"), ("out_proj", "o_proj")):
+                m[pre + f"attn.{src}.weight"] = (
+                    path + ("self_attn", dst, "weight"), "transpose")
+            m[pre + "mlp.fc_in.weight"] = (
+                path + ("mlp", "c_fc", "weight"), "transpose")
+            m[pre + "mlp.fc_in.bias"] = (path + ("mlp", "c_fc", "bias"),
+                                         None)
+            m[pre + "mlp.fc_out.weight"] = (
+                path + ("mlp", "c_proj", "weight"), "transpose")
+            m[pre + "mlp.fc_out.bias"] = (path + ("mlp", "c_proj", "bias"),
+                                          None)
+        return m
+
+
 class FalconForCausalLM(GPTStyleForCausalLM):
     """Falcon 7B/40B (parallel attention, MQA/GQA fused qkv)."""
     use_rotary = True

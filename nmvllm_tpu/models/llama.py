@@ -259,6 +259,8 @@ class LlamaForCausalLM:
     compute_logits(params, hidden) -> (B, V_padded) f32
     """
 
+    rotary_neox_style = True  # GPT-J-lineage subclasses set False
+
     def __init__(self, cfg, *, tp_size: int = 1,
                  method_factory: Optional[MethodFactory] = None,
                  dtype=jnp.bfloat16, kv_cache_dtype: str = "auto",
@@ -271,15 +273,18 @@ class LlamaForCausalLM:
             cfg.vocab_size, cfg.hidden_size, dtype, tp_size)
         head_dim = getattr(cfg, "head_dim", None) or (
             cfg.hidden_size // cfg.num_attention_heads)
-        # Partial rotary (StableLM/Phi/NeoX style rope_pct).
+        # Partial rotary (StableLM/Phi/NeoX style rope_pct), or an explicit
+        # rotary_dim (GPT-J).
         partial = getattr(cfg, "partial_rotary_factor", None) or \
             getattr(cfg, "rope_pct", None) or 1.0
-        rotary_dim = int(head_dim * float(partial))
+        rotary_dim = getattr(cfg, "rotary_dim", None) or \
+            int(head_dim * float(partial))
         self.rotary = RotaryEmbedding(
             head_dim, rotary_dim=rotary_dim,
             max_position=cfg.max_position_embeddings,
             base=getattr(cfg, "rope_theta", 10000.0),
             rope_scaling=getattr(cfg, "rope_scaling", None),
+            is_neox_style=self.rotary_neox_style,
             dtype=dtype)
         kv_scales = kv_scales or [(1.0, 1.0)] * cfg.num_hidden_layers
         self.layers = [

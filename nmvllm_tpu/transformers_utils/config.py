@@ -420,6 +420,73 @@ def _debug_phi3():
                       max_position_embeddings=2048)
 
 
+@register_preset("debug-gptj")
+def _debug_gptj():
+    from transformers import GPTJConfig
+    return GPTJConfig(architectures=["GPTJForCausalLM"], n_embd=256,
+                      n_layer=2, n_head=2, n_positions=1024,
+                      rotary_dim=64, vocab_size=512)
+
+
+@register_preset("debug-orion")
+def _debug_orion():
+    cfg = _llama_config(hidden_size=256, intermediate_size=512,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        num_key_value_heads=2, vocab_size=512,
+                        max_position_embeddings=1024)
+    cfg.architectures = ["OrionForCausalLM"]
+    return cfg
+
+
+@register_preset("debug-decilm")
+def _debug_decilm():
+    cfg = _llama_config(hidden_size=256, intermediate_size=512,
+                        num_hidden_layers=4, num_attention_heads=4,
+                        vocab_size=512, max_position_embeddings=1024)
+    cfg.num_key_value_heads_per_layer = [1, 2, 4, 2]
+    cfg.architectures = ["DeciLMForCausalLM"]
+    return cfg
+
+
+@register_preset("debug-qwen")
+def _debug_qwen():
+    from transformers import PretrainedConfig
+    return PretrainedConfig(architectures=["QWenLMHeadModel"],
+                            hidden_size=256, intermediate_size=1024,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            vocab_size=512, seq_length=1024,
+                            layer_norm_epsilon=1e-6,
+                            rotary_emb_base=10000)
+
+
+@register_preset("debug-jais")
+def _debug_jais():
+    from transformers import PretrainedConfig
+    return PretrainedConfig(architectures=["JAISLMHeadModel"],
+                            hidden_size=256, n_inner=512, n_layer=2,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            n_head=2, vocab_size=512, n_positions=1024,
+                            layer_norm_epsilon=1e-5,
+                            activation_function="swiglu",
+                            position_embedding_type="alibi",
+                            mup_embeddings_scale=9.17,
+                            mup_output_alpha=1.09, mup_width_scale=0.25,
+                            scale_qk_dot_by_d=True)
+
+
+@register_preset("debug-minicpm")
+def _debug_minicpm():
+    cfg = _llama_config(hidden_size=256, intermediate_size=512,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        num_key_value_heads=2, vocab_size=512,
+                        max_position_embeddings=1024)
+    cfg.architectures = ["MiniCPMForCausalLM"]
+    cfg.scale_emb = 12.0
+    cfg.scale_depth = 1.4
+    cfg.dim_model_base = 256
+    return cfg
+
+
 def list_presets():
     return sorted(_PRESETS)
 

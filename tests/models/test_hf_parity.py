@@ -1,0 +1,87 @@
+"""HF-golden parity: per-position prompt logprobs from our engine vs the
+same randomly-initialized checkpoint run through HuggingFace transformers
+(torch CPU, float32). This is the rebuild's HfRunner analogue (reference
+tests/conftest.py:162 HfRunner + tests/models per-architecture checks):
+weight ingestion, layer math, rotary/alibi/parallel-residual variants and
+the logits path are all validated numerically end-to-end.
+"""
+import numpy as np
+import pytest
+
+FAMILIES = ["llama", "gpt2", "gptj", "opt", "gptneox", "bloom", "falcon"]
+
+PROMPT = [11, 42, 7, 99, 23, 180, 301, 5, 64, 250, 17, 333]
+
+
+def _hf_tiny_model(family):
+    import transformers as tf
+    common = dict(vocab_size=512)
+    if family == "llama":
+        cfg = tf.LlamaConfig(hidden_size=256, intermediate_size=512,
+                             num_hidden_layers=2, num_attention_heads=2,
+                             num_key_value_heads=1,
+                             max_position_embeddings=2048, **common)
+    elif family == "gpt2":
+        cfg = tf.GPT2Config(n_embd=256, n_layer=2, n_head=2,
+                            n_positions=1024, **common)
+    elif family == "gptj":
+        cfg = tf.GPTJConfig(n_embd=256, n_layer=2, n_head=2,
+                            n_positions=1024, rotary_dim=64, **common)
+    elif family == "opt":
+        cfg = tf.OPTConfig(hidden_size=256, num_hidden_layers=2,
+                           num_attention_heads=2, ffn_dim=512,
+                           max_position_embeddings=1024,
+                           word_embed_proj_dim=256, **common)
+    elif family == "gptneox":
+        cfg = tf.GPTNeoXConfig(hidden_size=256, num_hidden_layers=2,
+                               num_attention_heads=2, intermediate_size=512,
+                               max_position_embeddings=1024, rotary_pct=0.5,
+                               use_parallel_residual=True, **common)
+    elif family == "bloom":
+        cfg = tf.BloomConfig(hidden_size=256, n_layer=2, n_head=2, **common)
+    elif family == "falcon":
+        cfg = tf.FalconConfig(hidden_size=256, num_hidden_layers=2,
+                              num_attention_heads=2, multi_query=True,
+                              parallel_attn=True, bias=False,
+                              max_position_embeddings=1024, **common)
+    else:
+        raise ValueError(family)
+    import torch
+    from transformers import AutoModelForCausalLM
+    torch.manual_seed(0)
+    model = AutoModelForCausalLM.from_config(cfg)
+    return model.float().eval()
+
+
+def _hf_prompt_logprobs(model, prompt):
+    import torch
+    ids = torch.tensor([prompt])
+    with torch.no_grad():
+        logits = model(ids).logits[0].float()  # (T, V)
+    logprobs = torch.log_softmax(logits, dim=-1)
+    # Entry i: logprob of prompt[i] given prompt[:i].
+    return [float(logprobs[i - 1, prompt[i]]) for i in range(1, len(prompt))]
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+def test_prompt_logprob_parity(family, tmp_path):
+    hf_model = _hf_tiny_model(family)
+    golden = _hf_prompt_logprobs(hf_model, PROMPT)
+    model_dir = tmp_path / family
+    hf_model.save_pretrained(model_dir, safe_serialization=True)
+    del hf_model
+
+    from nmvllm_tpu import LLM, SamplingParams
+    llm = LLM(model=str(model_dir), dtype="float32",
+              num_gpu_blocks_override=64, max_num_seqs=4, max_model_len=128)
+    out = llm.generate(
+        prompt_token_ids=[PROMPT],
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=1,
+                                       prompt_logprobs=1))
+    plp = out[0].prompt_logprobs
+    assert plp is not None and plp[0] is None
+    assert len(plp) == len(PROMPT)
+    ours = [plp[i][PROMPT[i]].logprob for i in range(1, len(PROMPT))]
+    np.testing.assert_allclose(ours, golden, atol=5e-3, rtol=0,
+                               err_msg=f"{family}: prompt logprobs diverge "
+                                       f"from HF golden")

@@ -13,7 +13,8 @@ FAMILIES = ["debug-qwen2", "debug-gemma", "debug-mistral", "debug-phi3",
             "debug-cohere", "debug-gpt2", "debug-opt", "debug-bigcode",
             "debug-gptneox", "debug-phi", "debug-falcon", "debug-bloom",
             "debug-mpt", "debug-qwen2moe", "debug-deepseek",
-            "debug-chatglm", "debug-dbrx"]
+            "debug-chatglm", "debug-dbrx", "debug-gptj", "debug-orion",
+            "debug-decilm", "debug-qwen", "debug-jais", "debug-minicpm"]
 
 _SCRIPT = """
 from nmvllm_tpu import LLM, SamplingParams
