@@ -85,6 +85,11 @@ class ModelConfig:
         return self.shape_config.hidden_size
 
     def get_head_size(self) -> int:
+        if getattr(self.shape_config, "kv_lora_rank", None):
+            # DeepSeek-V2 MLA: decompressed qk head (nope+rope, 192)
+            # padded to the TPU lane multiple (reference vllm/config.py
+            # special-cases deepseek_v2 to 256 the same way).
+            return 256
         if getattr(self.shape_config, "head_dim", None):
             return self.shape_config.head_dim
         return (self.shape_config.hidden_size //

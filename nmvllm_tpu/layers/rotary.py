@@ -39,6 +39,13 @@ def _yarn_linear_ramp(low, high, dim):
     return jnp.clip(ramp, 0, 1)
 
 
+def yarn_get_mscale(scale: float = 1.0, mscale: float = 1.0) -> float:
+    """Reference deepseek_v2.py:179 / rotary_embedding.py:613."""
+    if scale <= 1:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
 class RotaryEmbedding(Module):
     """Precomputed cos/sin cache; neox-style (rotate halves) or gptj-style
     (rotate pairs) application."""
@@ -55,6 +62,7 @@ class RotaryEmbedding(Module):
         self.rope_scaling = rope_scaling or {}
         self.dtype = dtype
         self.attn_scale = 1.0  # extra output scale (YaRN mscale)
+        self.cos_sin_scale = 1.0  # folded into the cache (deepseek_yarn)
 
     # -- cache construction -------------------------------------------------
     def _inv_freq_and_len(self) -> Tuple[jax.Array, int]:
@@ -89,6 +97,28 @@ class RotaryEmbedding(Module):
             mscale = float(scaling.get("attn_factor", 1.0))
             self.attn_scale = (0.1 * math.log(factor) + 1.0) * mscale
             return inv_freq, int(orig_max * factor)
+        if rtype == "deepseek_yarn":
+            # DeepseekScalingRotaryEmbedding (rotary_embedding.py:619):
+            # YaRN frequencies with the magnitude correction folded into
+            # the cos/sin cache; the attention module applies mscale^2 to
+            # its score scale separately.
+            orig_max = int(scaling.get(
+                "original_max_position_embeddings", max_len))
+            beta_fast = float(scaling.get("beta_fast", 32))
+            beta_slow = float(scaling.get("beta_slow", 1))
+            extrap = _compute_inv_freq(self.base, self.rotary_dim)
+            interp = extrap / factor
+            low, high = _yarn_find_correction_range(
+                beta_fast, beta_slow, self.rotary_dim, self.base, orig_max)
+            mask = 1.0 - _yarn_linear_ramp(low, high, self.rotary_dim // 2)
+            inv_freq = interp * (1 - mask) + extrap * mask
+            mscale = float(scaling.get("mscale", 1.0))
+            mscale_all = float(scaling.get("mscale_all_dim", 0.0))
+            attn_factor = float(scaling.get("attn_factor", 1.0))
+            self.cos_sin_scale = (yarn_get_mscale(factor, mscale) /
+                                  yarn_get_mscale(factor, mscale_all) *
+                                  attn_factor)
+            return inv_freq, int(orig_max * factor)
         if rtype == "llama3":
             low_factor = float(scaling.get("low_freq_factor", 1.0))
             high_factor = float(scaling.get("high_freq_factor", 4.0))
@@ -115,8 +145,10 @@ class RotaryEmbedding(Module):
         if rtype == "linear":
             t = t / float(scaling.get("factor", 1.0))
         freqs = jnp.outer(t, inv_freq)  # (max_len, rot/2)
-        return {"cos": jnp.cos(freqs).astype(self.dtype),
-                "sin": jnp.sin(freqs).astype(self.dtype)}
+        return {"cos": (jnp.cos(freqs) * self.cos_sin_scale
+                        ).astype(self.dtype),
+                "sin": (jnp.sin(freqs) * self.cos_sin_scale
+                        ).astype(self.dtype)}
 
     def specs(self):
         return {"cos": P(), "sin": P()}

@@ -46,6 +46,8 @@ _GENERATION_MODELS: Dict[str, str] = {
     "Qwen2MoeForCausalLM":
         "nmvllm_tpu.models.qwen2_moe:Qwen2MoeForCausalLM",
     "DeepseekForCausalLM": "nmvllm_tpu.models.deepseek:DeepseekForCausalLM",
+    "DeepseekV2ForCausalLM":
+        "nmvllm_tpu.models.deepseek_v2:DeepseekV2ForCausalLM",
     "ChatGLMModel": "nmvllm_tpu.models.chatglm:ChatGLMForCausalLM",
     "DbrxForCausalLM": "nmvllm_tpu.models.dbrx:DbrxForCausalLM",
     "LlavaForConditionalGeneration":

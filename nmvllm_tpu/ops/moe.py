@@ -31,6 +31,28 @@ def topk_softmax(gate_logits: jax.Array, top_k: int,
     return weights, ids.astype(jnp.int32)
 
 
+def grouped_topk(gate_logits: jax.Array, top_k: int, num_expert_group: int,
+                 topk_group: int,
+                 renormalize: bool = True) -> Tuple[jax.Array, jax.Array]:
+    """DeepSeek-V2 group-limited routing (reference fused_moe.py
+    grouped_topk): experts are partitioned into ``num_expert_group``
+    groups; only the ``topk_group`` groups with the highest per-group max
+    score stay eligible, then ordinary top-k runs over the survivors."""
+    t, e = gate_logits.shape
+    probs = jax.nn.softmax(gate_logits.astype(jnp.float32), axis=-1)
+    group_scores = jnp.max(
+        probs.reshape(t, num_expert_group, e // num_expert_group), axis=-1)
+    _, group_ids = jax.lax.top_k(group_scores, topk_group)  # (T, kg)
+    group_mask = jnp.zeros((t, num_expert_group), jnp.float32).at[
+        jnp.arange(t)[:, None], group_ids].set(1.0)
+    score_mask = jnp.repeat(group_mask, e // num_expert_group, axis=-1)
+    masked = jnp.where(score_mask > 0, probs, 0.0)
+    weights, ids = jax.lax.top_k(masked, top_k)
+    if renormalize:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    return weights, ids.astype(jnp.int32)
+
+
 def fused_moe(
     x: jax.Array,            # (T, H) tokens
     w1: jax.Array,           # (E, H, 2I) gate+up stacked per expert
@@ -40,11 +62,19 @@ def fused_moe(
     *,
     renormalize: bool = True,
     activation: str = "silu",
+    topk_weights: Optional[jax.Array] = None,
+    topk_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Sorted ragged grouped-GEMM MoE (reference fused_experts:402)."""
+    """Sorted ragged grouped-GEMM MoE (reference fused_experts:402).
+
+    Pass ``topk_weights``/``topk_ids`` to override the default softmax
+    top-k routing (e.g. DeepSeek-V2 grouped_topk)."""
     t, h = x.shape
     e = w1.shape[0]
-    weights, ids = topk_softmax(gate_logits, top_k, renormalize)
+    if topk_weights is None or topk_ids is None:
+        weights, ids = topk_softmax(gate_logits, top_k, renormalize)
+    else:
+        weights, ids = topk_weights, topk_ids
 
     flat_ids = ids.reshape(-1)                       # (T*k,)
     order = jnp.argsort(flat_ids)                    # stable sort by expert

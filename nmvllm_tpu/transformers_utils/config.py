@@ -487,6 +487,26 @@ def _debug_minicpm():
     return cfg
 
 
+@register_preset("debug-deepseek-v2")
+def _debug_deepseek_v2():
+    from transformers import PretrainedConfig
+    return PretrainedConfig(
+        architectures=["DeepseekV2ForCausalLM"],
+        hidden_size=256, intermediate_size=512, moe_intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=2, vocab_size=512,
+        max_position_embeddings=1024, rms_norm_eps=1e-6,
+        qk_nope_head_dim=64, qk_rope_head_dim=32, v_head_dim=64,
+        q_lora_rank=96, kv_lora_rank=128,
+        n_routed_experts=8, n_shared_experts=1, num_experts_per_tok=2,
+        n_group=2, topk_group=1, routed_scaling_factor=1.0,
+        norm_topk_prob=False, first_k_dense_replace=1, moe_layer_freq=1,
+        rope_scaling={"type": "yarn", "factor": 2.0,
+                      "original_max_position_embeddings": 512,
+                      "beta_fast": 32, "beta_slow": 1,
+                      "mscale": 0.707, "mscale_all_dim": 0.707},
+        hidden_act="silu")
+
+
 def list_presets():
     return sorted(_PRESETS)
 

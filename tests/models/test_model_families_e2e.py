@@ -14,7 +14,8 @@ FAMILIES = ["debug-qwen2", "debug-gemma", "debug-mistral", "debug-phi3",
             "debug-gptneox", "debug-phi", "debug-falcon", "debug-bloom",
             "debug-mpt", "debug-qwen2moe", "debug-deepseek",
             "debug-chatglm", "debug-dbrx", "debug-gptj", "debug-orion",
-            "debug-decilm", "debug-qwen", "debug-jais", "debug-minicpm"]
+            "debug-decilm", "debug-qwen", "debug-jais", "debug-minicpm",
+            "debug-deepseek-v2"]
 
 _SCRIPT = """
 from nmvllm_tpu import LLM, SamplingParams
