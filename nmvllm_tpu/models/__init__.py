@@ -54,6 +54,11 @@ _GENERATION_MODELS: Dict[str, str] = {
         "nmvllm_tpu.models.llava:LlavaForConditionalGeneration",
     "ChatGLMForConditionalGeneration":
         "nmvllm_tpu.models.chatglm:ChatGLMForCausalLM",
+    "ChatGLMForCausalLM": "nmvllm_tpu.models.chatglm:ChatGLMForCausalLM",
+    "StablelmForCausalLM": "nmvllm_tpu.models.stablelm:StableLmForCausalLM",
+    "QuantMixtralForCausalLM":
+        "nmvllm_tpu.models.mixtral:MixtralForCausalLM",
+    "ArcticForCausalLM": "nmvllm_tpu.models.arctic:ArcticForCausalLM",
 }
 
 _EMBEDDING_MODELS: Dict[str, str] = {

@@ -507,6 +507,22 @@ def _debug_deepseek_v2():
         hidden_act="silu")
 
 
+@register_preset("debug-arctic")
+def _debug_arctic():
+    # Layer 0 dense, layer 1 MoE with parallel residual MLP
+    # (moe_layer_frequency=2, use_residual — reference arctic.py:301-302).
+    cfg = _llama_config(hidden_size=256, intermediate_size=512,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        num_key_value_heads=1, vocab_size=512,
+                        max_position_embeddings=2048, head_dim=128)
+    cfg.architectures = ["ArcticForCausalLM"]
+    cfg.num_local_experts = 4
+    cfg.num_experts_per_tok = 2
+    cfg.moe_layer_frequency = 2
+    cfg.use_residual = True
+    return cfg
+
+
 def list_presets():
     return sorted(_PRESETS)
 

@@ -15,7 +15,7 @@ FAMILIES = ["debug-qwen2", "debug-gemma", "debug-mistral", "debug-phi3",
             "debug-mpt", "debug-qwen2moe", "debug-deepseek",
             "debug-chatglm", "debug-dbrx", "debug-gptj", "debug-orion",
             "debug-decilm", "debug-qwen", "debug-jais", "debug-minicpm",
-            "debug-deepseek-v2"]
+            "debug-deepseek-v2", "debug-arctic"]
 
 _SCRIPT = """
 from nmvllm_tpu import LLM, SamplingParams

@@ -11,7 +11,7 @@ from nmvllm_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
 from nmvllm_tpu.model_loader import build_model
 
 PRESETS = ["debug-llama", "debug-qwen2", "debug-gemma", "debug-mistral",
-           "debug-mixtral", "debug-phi3"]
+           "debug-mixtral", "debug-phi3", "debug-arctic"]
 
 
 def make_engine_config(preset, tp=1, quant=None, sparsity=None):
