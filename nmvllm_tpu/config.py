@@ -274,8 +274,11 @@ class ParallelConfig:
         self.ray_workers_use_nsight = ray_workers_use_nsight
         self.placement_group = placement_group
         self.distributed_executor_backend = distributed_executor_backend
+        # EP rides the tp mesh axis (experts sharded over tp, activations
+        # replicated — ops/moe.py fused_moe_ep), so it does not multiply
+        # the world size.
         self.world_size = (pipeline_parallel_size * tensor_parallel_size *
-                           data_parallel_size * expert_parallel_size)
+                           data_parallel_size)
         self._verify_args()
 
     def _verify_args(self) -> None:
@@ -283,6 +286,11 @@ class ParallelConfig:
                      "data_parallel_size", "expert_parallel_size"):
             if getattr(self, name) < 1:
                 raise ValueError(f"{name} must be >= 1.")
+        if self.expert_parallel_size not in (1, self.tensor_parallel_size):
+            raise ValueError(
+                "expert_parallel_size must be 1 or equal to "
+                "tensor_parallel_size (EP shards the expert stacks over "
+                "the tp mesh axis).")
 
     @property
     def mesh_shape(self) -> Tuple[int, ...]:

@@ -15,11 +15,14 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "NMVLLM_PALLAS_INTERPRET": lambda: bool(os.getenv("NMVLLM_PALLAS_INTERPRET", "")),
     # Disable Pallas kernels entirely and use the jnp reference paths.
     "NMVLLM_DISABLE_PALLAS": lambda: bool(os.getenv("NMVLLM_DISABLE_PALLAS", "")),
-    # Serve symmetric INT4 weight-only linears through the W4A8 kernel
-    # (per-token int8 activation quant + native int8 MXU dots — the
-    # Machete-class successor to the Marlin W4A16 path). Small additional
-    # activation-quant error; opt-in.
-    "NMVLLM_INT4_A8": lambda: bool(os.getenv("NMVLLM_INT4_A8", "")),
+    # Serve symmetric INT4 weight-only linears through int8 MXU dots
+    # (per-token int8 activation quant — the Machete-class successor to
+    # the Marlin W4A16 path). "1"/"grouped": int8-stored weights with
+    # exact per-group scales (grouped int8 dots). "channel": requantize
+    # to per-channel int8 at load — ONE full-depth int8 dot per linear,
+    # the fastest path (docs/PERF_NOTES.md), with a small extra
+    # weight-rounding error. Opt-in; empty = exact W4A16 dequant-GEMM.
+    "NMVLLM_INT4_A8": lambda: os.getenv("NMVLLM_INT4_A8", ""),
     # Fraction of HBM the engine may use for weights+KV (same role as
     # --gpu-memory-utilization in the reference).
     "NMVLLM_HBM_UTILIZATION": lambda: float(os.getenv("NMVLLM_HBM_UTILIZATION", "0.9")),

@@ -55,6 +55,8 @@ def _hf_quant_dict(model_config) -> Optional[Dict[str, Any]]:
 def build_model(engine_config: EngineConfig):
     model_config = engine_config.model_config
     parallel = engine_config.parallel_config
+    from nmvllm_tpu.parallel.mesh import set_expert_parallel
+    set_expert_parallel(parallel.expert_parallel_size)
     arch_cls = resolve_model_cls(model_config.architectures)
     quant_cfg, method_factory = _get_quant_method_factory(engine_config)
     dtype = jnp.dtype(STR_DTYPE_TO_JNP[model_config.dtype])
@@ -298,13 +300,26 @@ def _load_quant_groups(model, params, name_map, quant_groups, quant_name,
         target = _get_in(params, layer_path + ("qweight",))
         if (bits == 4 and target.dtype == jnp.int8
                 and target.shape[0] == qw.shape[0] * 8):
-            # W4A8 serving mode: expand packed int4 to signed int8
-            # (ops/quant_matmul.py int8_grouped_matmul path).
-            from nmvllm_tpu.ops.quant_matmul import unpack_weights
             k = qw.shape[0] * 8
-            w_u = np.asarray(unpack_weights(jnp.asarray(qw), 4,
-                                            group_size, k))
-            qw = (w_u - 8).astype(np.int8)
+            target_scales = _get_in(params, layer_path + ("scales",))
+            if target_scales.shape[0] == 1:
+                # W4A8 "channel" mode: requantize the group-scaled INT4
+                # layer to per-channel signed int8 (single-dot path).
+                from nmvllm_tpu.ops.quant_matmul import (
+                    requantize_grouped_to_int8_channel)
+                g_eff = k // np.asarray(scales).shape[0]
+                w8, ch = requantize_grouped_to_int8_channel(
+                    jnp.asarray(qw), jnp.asarray(scales),
+                    jnp.asarray(zeros), bits=4, group_size=g_eff, k=k)
+                qw = np.asarray(w8)
+                scales = np.asarray(ch).reshape(1, -1)
+            else:
+                # W4A8 "grouped" mode: expand packed int4 to signed int8
+                # (ops/quant_matmul.py int8_grouped_matmul path).
+                from nmvllm_tpu.ops.quant_matmul import unpack_weights
+                w_u = np.asarray(unpack_weights(jnp.asarray(qw), 4,
+                                                group_size, k))
+                qw = (w_u - 8).astype(np.int8)
         put(layer_path + ("qweight",), qw, cast=False)
         put(layer_path + ("scales",), scales)
         put(layer_path + ("zeros",), zeros, cast=False)
@@ -349,6 +364,14 @@ def _load_expert_groups(model, params, expert_groups, put):
                 w1[eid, :, i:] = arr.T
             elif role == "down":  # (H, I)
                 w2[eid] = arr.T
+        # TP-sharded experts need the shard-interleaved gate|up layout so
+        # each rank's slice is [gate_r | up_r] (EP shards experts whole
+        # and keeps the plain layout).
+        if not getattr(moe, "ep", False):
+            from nmvllm_tpu.ops.moe import interleave_w1_for_tp
+            tp = getattr(moe, "tp_size",
+                         getattr(model, "tp_size", 1))
+            w1 = interleave_w1_for_tp(w1, tp)
         path = ("layers", layer_idx, attr)
         put(path + ("w1",), w1)
         put(path + ("w2",), w2)

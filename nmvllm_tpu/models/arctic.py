@@ -49,6 +49,8 @@ class ArcticMoE:
         self.hidden_size = cfg.hidden_size
         self.intermediate_size = cfg.intermediate_size
         self.tp_size = tp_size
+        from nmvllm_tpu.ops.moe import moe_ep_enabled
+        self.ep = moe_ep_enabled(self.num_experts, tp_size)
         self.dtype = dtype
         self.gate = Linear(cfg.hidden_size, self.num_experts, bias=False,
                            shard="none", params_dtype=dtype)
@@ -62,16 +64,18 @@ class ArcticMoE:
                 "w1": w1.astype(self.dtype), "w2": w2.astype(self.dtype)}
 
     def specs(self):
-        return {"gate": self.gate.specs(),
-                "w1": P(None, None, TP_AXIS), "w2": P(None, TP_AXIS, None)}
+        from nmvllm_tpu.ops.moe import moe_expert_specs
+        w1s, w2s = moe_expert_specs(self.ep)
+        return {"gate": self.gate.specs(), "w1": w1s, "w2": w2s}
 
     def __call__(self, params, x):
+        from nmvllm_tpu.ops.moe import moe_apply
         b, t, h = x.shape
         flat = x.reshape(b * t, h)
         gate_logits = self.gate(params["gate"], flat)
-        out = fused_moe(flat, params["w1"], params["w2"], gate_logits,
-                        self.top_k, renormalize=self.top_k > 1,
-                        activation="silu")
+        out = moe_apply(flat, params["w1"], params["w2"], gate_logits,
+                        self.top_k, ep=self.ep, axis_name=TP_AXIS,
+                        renormalize=self.top_k > 1, activation="silu")
         out = jax.lax.psum(out, TP_AXIS)
         return out.reshape(b, t, h)
 

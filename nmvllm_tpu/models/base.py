@@ -27,5 +27,6 @@ class AttentionMetadata:
     prefix_lens: jax.Array
 
 
-# KV cache for one layer: (k, v) each (H_kv, num_blocks, block_size, head_d).
-KVCache = Tuple[jax.Array, jax.Array]
+# KV cache for one layer: one fused array
+# (num_blocks, 2, H_kv, block_size, head_dim); index 0 = K, 1 = V.
+KVCache = jax.Array

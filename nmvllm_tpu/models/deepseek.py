@@ -29,6 +29,9 @@ class DeepseekMoEBlock:
         self.intermediate_size = cfg.moe_intermediate_size
         self.renormalize = bool(getattr(cfg, "norm_topk_prob", False))
         self.n_shared = getattr(cfg, "n_shared_experts", None) or 0
+        self.tp_size = tp_size
+        from nmvllm_tpu.ops.moe import moe_ep_enabled
+        self.ep = moe_ep_enabled(self.num_experts, tp_size)
         self.dtype = dtype
         self.gate = Linear(cfg.hidden_size, self.num_experts, bias=False,
                            shard="none", params_dtype=dtype)
@@ -50,8 +53,9 @@ class DeepseekMoEBlock:
         return p
 
     def specs(self):
-        p = {"gate": self.gate.specs(),
-             "w1": P(None, None, TP_AXIS), "w2": P(None, TP_AXIS, None)}
+        from nmvllm_tpu.ops.moe import moe_expert_specs
+        w1s, w2s = moe_expert_specs(self.ep)
+        p = {"gate": self.gate.specs(), "w1": w1s, "w2": w2s}
         if self.n_shared:
             p["shared_experts"] = self.shared_experts.specs()
         return p
@@ -60,9 +64,10 @@ class DeepseekMoEBlock:
         b, t, h = x.shape
         flat = x.reshape(b * t, h)
         gate_logits = self.gate(params["gate"], flat)
-        out = fused_moe(flat, params["w1"], params["w2"], gate_logits,
-                        self.top_k, renormalize=self.renormalize,
-                        activation="silu")
+        from nmvllm_tpu.ops.moe import moe_apply
+        out = moe_apply(flat, params["w1"], params["w2"], gate_logits,
+                        self.top_k, ep=self.ep, axis_name=TP_AXIS,
+                        renormalize=self.renormalize, activation="silu")
         out = jax.lax.psum(out, TP_AXIS)
         if self.n_shared:
             shared = self.shared_experts(params["shared_experts"],

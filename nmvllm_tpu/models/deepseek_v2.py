@@ -175,30 +175,28 @@ class DeepseekV2Attention:
         vf = jnp.pad(v, ((0, 0), (0, 0), (0, 0),
                          (0, _CACHE_HEAD_DIM - self.v_head_dim)))
 
-        k_cache, v_cache = kv_cache
         flat_k = kf.reshape(b * t, self.kv_heads, _CACHE_HEAD_DIM)
         flat_v = vf.reshape(b * t, self.kv_heads, _CACHE_HEAD_DIM)
-        k_cache, v_cache = write_to_kv_cache(
-            k_cache, v_cache, flat_k, flat_v,
-            meta.slot_mapping.reshape(b * t))
+        kv_cache = write_to_kv_cache(
+            kv_cache, flat_k, flat_v, meta.slot_mapping.reshape(b * t))
 
         if is_prefill:
             if has_prefix:
                 o = prefill_attention_with_paged_prefix(
-                    qf, kf, vf, positions, meta.seq_lens, k_cache, v_cache,
+                    qf, kf, vf, positions, meta.seq_lens, kv_cache,
                     meta.block_tables, meta.prefix_lens, scale=self.scale)
             else:
                 o = prefill_attention(qf, kf, vf, positions, meta.seq_lens,
                                       scale=self.scale)
         else:
             o = paged_attention(
-                qf.reshape(b, self.heads, _CACHE_HEAD_DIM), k_cache,
-                v_cache, meta.block_tables, meta.context_lens,
+                qf.reshape(b, self.heads, _CACHE_HEAD_DIM), kv_cache,
+                meta.block_tables, meta.context_lens,
                 scale=self.scale)
             o = o.reshape(b, 1, self.heads, _CACHE_HEAD_DIM)
         o = o[..., :self.v_head_dim].reshape(
             b, t, self.heads * self.v_head_dim)
-        return self.o_proj(params["o_proj"], o), (k_cache, v_cache)
+        return self.o_proj(params["o_proj"], o), kv_cache
 
 
 class DeepseekV2MoEBlock(DeepseekMoEBlock):
@@ -219,8 +217,10 @@ class DeepseekV2MoEBlock(DeepseekMoEBlock):
         weights, ids = grouped_topk(gate_logits, self.top_k, self.n_group,
                                     self.topk_group,
                                     renormalize=self.renormalize)
-        out = fused_moe(flat, params["w1"], params["w2"], gate_logits,
-                        self.top_k, topk_weights=weights, topk_ids=ids)
+        from nmvllm_tpu.ops.moe import moe_apply
+        out = moe_apply(flat, params["w1"], params["w2"], gate_logits,
+                        self.top_k, ep=self.ep, axis_name=TP_AXIS,
+                        topk_weights=weights, topk_ids=ids)
         out = jax.lax.psum(out, TP_AXIS) * self.routed_scaling_factor
         if self.n_shared:
             shared = self.shared_experts(params["shared_experts"],

@@ -118,21 +118,19 @@ class Attention:
         if rotary is not None:
             q, k = rotary(rotary_params, positions, q, k)
 
-        k_cache, v_cache = kv_cache
         flat_k = k.reshape(b * t, self.kv_heads, self.head_dim)
         flat_v = v.reshape(b * t, self.kv_heads, self.head_dim)
         if self.k_scale != 1.0:
             flat_k = flat_k.astype(jnp.float32) / self.k_scale
         if self.v_scale != 1.0:
             flat_v = flat_v.astype(jnp.float32) / self.v_scale
-        k_cache, v_cache = write_to_kv_cache(
-            k_cache, v_cache, flat_k, flat_v,
-            meta.slot_mapping.reshape(b * t))
+        kv_cache = write_to_kv_cache(
+            kv_cache, flat_k, flat_v, meta.slot_mapping.reshape(b * t))
 
         if is_prefill:
             if has_prefix:
                 o = prefill_attention_with_paged_prefix(
-                    q, k, v, positions, meta.seq_lens, k_cache, v_cache,
+                    q, k, v, positions, meta.seq_lens, kv_cache,
                     meta.block_tables, meta.prefix_lens, scale=self.scale,
                     sliding_window=self.sliding_window,
                     logit_soft_cap=self.attn_logit_soft_cap,
@@ -147,7 +145,7 @@ class Attention:
                                       alibi_slopes=self.alibi_slopes)
         else:
             o = paged_attention(
-                q.reshape(b, self.heads, self.head_dim), k_cache, v_cache,
+                q.reshape(b, self.heads, self.head_dim), kv_cache,
                 meta.block_tables, meta.context_lens, scale=self.scale,
                 k_scale=self.k_scale, v_scale=self.v_scale,
                 logit_soft_cap=self.attn_logit_soft_cap,
@@ -155,7 +153,7 @@ class Attention:
                 alibi_slopes=self.alibi_slopes)
             o = o.reshape(b, 1, self.heads, self.head_dim)
         o = o.reshape(b, t, self.heads * self.head_dim)
-        return self.o_proj(params["o_proj"], o), (k_cache, v_cache)
+        return self.o_proj(params["o_proj"], o), kv_cache
 
 
 class LlamaMLP:

@@ -26,11 +26,16 @@ class MixtralMoE:
 
     def __init__(self, cfg, layer_idx: int, tp_size: int,
                  method_factory: MethodFactory, dtype):
+        from nmvllm_tpu.parallel.mesh import expert_parallel_size
         self.num_experts = cfg.num_local_experts
         self.top_k = cfg.num_experts_per_tok
         self.hidden_size = cfg.hidden_size
         self.intermediate_size = cfg.intermediate_size
         self.tp_size = tp_size
+        self.ep = expert_parallel_size() > 1 and tp_size > 1
+        if self.ep:
+            assert self.num_experts % tp_size == 0, (
+                "expert_parallel requires num_experts % tp == 0")
         self.dtype = dtype
         self.gate = Linear(cfg.hidden_size, self.num_experts, bias=False,
                            shard="none", params_dtype=dtype)
@@ -45,16 +50,28 @@ class MixtralMoE:
                 "w1": w1.astype(self.dtype), "w2": w2.astype(self.dtype)}
 
     def specs(self):
+        if self.ep:
+            # First-class EP: experts sharded over tp (full intermediate
+            # width per expert; ops/moe.py fused_moe_ep).
+            return {"gate": self.gate.specs(),
+                    "w1": P(TP_AXIS, None, None),
+                    "w2": P(TP_AXIS, None, None)}
         # Intermediate dim sharded over tp (reference TP-only expert shard).
         return {"gate": self.gate.specs(),
                 "w1": P(None, None, TP_AXIS), "w2": P(None, TP_AXIS, None)}
 
     def __call__(self, params, x):
+        from nmvllm_tpu.ops.moe import fused_moe_ep
         b, t, h = x.shape
         flat = x.reshape(b * t, h)
         gate_logits = self.gate(params["gate"], flat)
-        out = fused_moe(flat, params["w1"], params["w2"], gate_logits,
-                        self.top_k, renormalize=True, activation="silu")
+        if self.ep:
+            out = fused_moe_ep(flat, params["w1"], params["w2"],
+                               gate_logits, self.top_k, axis_name=TP_AXIS,
+                               renormalize=True, activation="silu")
+        else:
+            out = fused_moe(flat, params["w1"], params["w2"], gate_logits,
+                            self.top_k, renormalize=True, activation="silu")
         out = jax.lax.psum(out, TP_AXIS)
         return out.reshape(b, t, h)
 

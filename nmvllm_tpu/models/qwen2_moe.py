@@ -37,6 +37,9 @@ class Qwen2MoeSparseBlock:
         self.hidden_size = cfg.hidden_size
         self.intermediate_size = cfg.moe_intermediate_size
         self.renormalize = bool(getattr(cfg, "norm_topk_prob", False))
+        self.tp_size = tp_size
+        from nmvllm_tpu.ops.moe import moe_ep_enabled
+        self.ep = moe_ep_enabled(self.num_experts, tp_size)
         self.dtype = dtype
         self.gate = Linear(cfg.hidden_size, self.num_experts, bias=False,
                            shard="none", params_dtype=dtype)
@@ -58,8 +61,10 @@ class Qwen2MoeSparseBlock:
                 "shared_expert_gate": self.shared_expert_gate.init(k5)}
 
     def specs(self):
+        from nmvllm_tpu.ops.moe import moe_expert_specs
+        w1s, w2s = moe_expert_specs(self.ep)
         return {"gate": self.gate.specs(),
-                "w1": P(None, None, TP_AXIS), "w2": P(None, TP_AXIS, None),
+                "w1": w1s, "w2": w2s,
                 "shared_expert": self.shared_expert.specs(),
                 "shared_expert_gate": self.shared_expert_gate.specs()}
 
@@ -67,8 +72,10 @@ class Qwen2MoeSparseBlock:
         b, t, h = x.shape
         flat = x.reshape(b * t, h)
         gate_logits = self.gate(params["gate"], flat)
-        routed = fused_moe(flat, params["w1"], params["w2"], gate_logits,
-                           self.top_k, renormalize=self.renormalize,
+        from nmvllm_tpu.ops.moe import moe_apply
+        routed = moe_apply(flat, params["w1"], params["w2"], gate_logits,
+                           self.top_k, ep=self.ep, axis_name=TP_AXIS,
+                           renormalize=self.renormalize,
                            activation="silu")
         routed = jax.lax.psum(routed, TP_AXIS)
         shared = self.shared_expert(params["shared_expert"],

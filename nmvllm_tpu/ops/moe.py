@@ -105,6 +105,107 @@ def fused_moe(
     return out.astype(x.dtype)
 
 
+def fused_moe_ep(
+    x: jax.Array,            # (T, H) tokens (replicated across the axis)
+    w1_local: jax.Array,     # (E_local, H, 2I) this rank's experts
+    w2_local: jax.Array,     # (E_local, I, H)
+    gate_logits: jax.Array,  # (T, E_total) — gate is replicated
+    top_k: int,
+    *,
+    axis_name: str,
+    renormalize: bool = True,
+    activation: str = "silu",
+    topk_weights: Optional[jax.Array] = None,
+    topk_ids: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Expert-parallel MoE (first-class EP — the reference shards experts
+    by intermediate dim over TP only, fused_moe/layer.py:108-119;
+    SURVEY.md §2.3 calls for EP as a mesh axis).
+
+    TPU-native design: activations are already replicated across the tp
+    axis (every rank holds the full token batch after the attention
+    all-reduce), so EP needs NO all-to-all token dispatch — each rank
+    computes the contributions of its LOCAL expert slice for all tokens
+    (routing weights of foreign experts masked to zero) and the combine
+    is the same psum the row-parallel path already performs. Each rank
+    streams only E/ep of the expert weights (the EP memory/bandwidth
+    win), and experts keep their full intermediate width (lane-friendly
+    for many-expert models where I/tp would be tiny).
+
+    Call INSIDE shard_map. Returns the PARTIAL local contribution — the
+    caller must psum over ``axis_name`` (matching the TP path's contract).
+    """
+    e_local = w1_local.shape[0]
+    rank = jax.lax.axis_index(axis_name)
+    lo = rank * e_local
+    if topk_weights is None or topk_ids is None:
+        topk_weights, topk_ids = topk_softmax(gate_logits, top_k,
+                                              renormalize)
+    local = (topk_ids >= lo) & (topk_ids < lo + e_local)
+    w_masked = jnp.where(local, topk_weights, 0.0)
+    ids_local = jnp.clip(topk_ids - lo, 0, e_local - 1).astype(jnp.int32)
+    return fused_moe(x, w1_local, w2_local, gate_logits, top_k,
+                     renormalize=renormalize, activation=activation,
+                     topk_weights=w_masked, topk_ids=ids_local)
+
+
+def interleave_w1_for_tp(w1, tp: int):
+    """Rearrange a stacked gate|up expert tensor for TP sharding.
+
+    ``w1`` is (E, H, 2I) with gate in [..., :I] and up in [..., I:]. Under
+    a plain last-dim shard each rank would get a contiguous 2I/tp slice —
+    pure-gate or pure-up columns — breaking the local ``split(h1, 2)`` in
+    ``fused_moe``. This stores the SHARD-INTERLEAVED layout
+    [g_0|u_0|g_1|u_1|...] so rank r's slice is exactly [gate_r|up_r].
+    Identity for tp==1. Works on numpy or jax arrays.
+    """
+    if tp <= 1:
+        return w1
+    e, h, i2 = w1.shape
+    i = i2 // 2
+    assert i % tp == 0, (i, tp)
+    per = i // tp
+    import numpy as _np
+    xp = jnp if isinstance(w1, jax.Array) else _np
+    gate, up = w1[..., :i], w1[..., i:]
+    parts = []
+    for r in range(tp):
+        parts.append(gate[..., r * per:(r + 1) * per])
+        parts.append(up[..., r * per:(r + 1) * per])
+    return xp.concatenate(parts, axis=-1)
+
+
+def moe_ep_enabled(num_experts: int, tp_size: int) -> bool:
+    """Whether this MoE block runs expert-parallel (config + divisibility)."""
+    from nmvllm_tpu.parallel.mesh import expert_parallel_size
+    if expert_parallel_size() <= 1 or tp_size <= 1:
+        return False
+    assert num_experts % tp_size == 0, (
+        f"expert_parallel requires num_experts ({num_experts}) % tp "
+        f"({tp_size}) == 0")
+    return True
+
+
+def moe_expert_specs(ep: bool):
+    """(w1_spec, w2_spec) for the stacked expert tensors."""
+    from jax.sharding import PartitionSpec as P
+
+    from nmvllm_tpu.parallel.mesh import TP_AXIS
+    if ep:
+        return P(TP_AXIS, None, None), P(TP_AXIS, None, None)
+    return P(None, None, TP_AXIS), P(None, TP_AXIS, None)
+
+
+def moe_apply(x, w1, w2, gate_logits, top_k, *, ep: bool, axis_name: str,
+              **kwargs) -> jax.Array:
+    """Dispatch TP-sharded vs expert-parallel MoE; caller psums the
+    returned partial over ``axis_name`` either way."""
+    if ep:
+        return fused_moe_ep(x, w1, w2, gate_logits, top_k,
+                            axis_name=axis_name, **kwargs)
+    return fused_moe(x, w1, w2, gate_logits, top_k, **kwargs)
+
+
 def fused_moe_reference(x, w1, w2, gate_logits, top_k, *,
                         renormalize: bool = True,
                         activation: str = "silu") -> jax.Array:

@@ -1,24 +1,34 @@
-"""Paged-attention decode kernel (Pallas TPU).
+"""Paged-attention decode kernel (Pallas TPU), fused-KV layout.
 
 TPU-native replacement for the reference's CUDA paged attention
 (csrc/attention/attention_kernels.cu:1-995, v1/v2) and the shim
 vllm/attention/ops/paged_attn.py:82 (forward_decode).
 
-Design (see SURVEY.md §A.2):
-  * KV layout ``(num_kv_heads, num_blocks, block_size, head_dim)`` — the
-    TPU-friendly layout of the reference's own Pallas path
-    (vllm/attention/backends/pallas.py:23-29).
-  * Grid ``(batch, kv_heads)``; each program attends one sequence with one
-    KV head group (GQA: all query heads sharing that KV head).
-  * Block tables + context lengths arrive via scalar prefetch (SMEM), so the
-    kernel issues its own HBM→VMEM page DMAs: ``pages_per_compute_block``
-    pages per inner step, double-buffered, overlapping DMA with compute.
-  * Online softmax (flash-decoding style) across page superblocks; the inner
-    ``fori_loop`` trip count is ``ceil(context_len / superblock)`` so work is
-    proportional to the true context length, not the padded table width.
-  * FP8 KV: cache arrays may be float8_e4m3fn with per-tensor k/v scales —
+Design (v2 — see docs/PERF_NOTES.md "attention page DMA" analysis):
+  * KV layout ``(num_blocks, 2, num_kv_heads, block_size, head_dim)`` —
+    K and V of ALL kv heads of a page live contiguously, so fetching a
+    page is ONE large DMA (e.g. 128 KB at H=8, bs=32, d=128, bf16)
+    instead of the 2*H small 8 KB DMAs of the per-head layout. DMA issue
+    bandwidth, not HBM bandwidth, was the measured wall (84 GB/s of the
+    chip's 1077 GB/s); this layout cuts DMA count 16x.
+  * Grid ``(batch,)``: each program attends one sequence with ALL heads.
+    GQA is expressed as ONE block-diagonal MXU dot: queries are laid out
+    ``(H * G_pad, d)`` and pages contribute ``(ppcb * H * bs, d)`` key
+    rows; cross-head (row_head != col_head) scores are masked to -inf.
+    The H-fold extra score compute is MXU-cheap; the win is one big dot
+    instead of H small ones (per-dot fixed cost dominated at H dots).
+  * Block tables + context lengths arrive via scalar prefetch (SMEM); the
+    kernel issues its own HBM→VMEM page DMAs, double-buffered across
+    superblocks of ``pages_per_compute_block`` pages.
+  * Online softmax (flash-decoding style) across superblocks; the inner
+    ``fori_loop`` trip count is ``ceil(context_len / superblock)`` so work
+    is proportional to the true context length.
+  * FP8 KV: the cache may be float8_e4m3fn with per-tensor k/v scales —
     dequant happens in-VMEM right after the DMA (replaces the reference's
     inline ``convert_fp8`` in the CUDA kernel).
+  * Logit soft-cap (gemma-2), sliding-window (mistral) and alibi
+    (bloom/mpt/baichuan-13b) are applied in-kernel on the score tile —
+    these models no longer fall back to the jnp path.
 """
 import functools
 
@@ -38,42 +48,51 @@ def _decode_kernel(
     block_tables_ref,  # (B, max_bpp) int32, SMEM
     context_lens_ref,  # (B,) int32, SMEM
     # inputs
-    q_ref,     # (1, 1, G_pad, d) VMEM
-    k_hbm,     # (H_kv, num_blocks, bs, d) ANY/HBM
-    v_hbm,     # same
+    q_ref,     # (1, R, d) VMEM, R = H * G_pad
+    alibi_ref,  # (R, 128) f32 VMEM (slopes broadcast along lanes)
+    kv_hbm,    # (num_blocks, 2, H, bs, d) ANY/HBM
     # outputs
-    o_ref,     # (1, 1, G_pad, d) VMEM
+    o_ref,     # (1, R, d) VMEM
     # scratch
-    k_buf,     # (2, SB, d) VMEM, cache dtype
-    v_buf,     # (2, SB, d) VMEM
-    sems,      # DMA sems (2, 2, PPCB)
+    kv_buf,    # (2, ppcb, 2, H, bs, d) VMEM, cache dtype
+    sems,      # DMA sems (2, ppcb)
     *,
     scale: float,
     k_scale: float,
     v_scale: float,
     pages_per_compute_block: int,
     block_size: int,
+    num_kv_heads: int,
     g_pad: int,
     head_dim: int,
+    logit_soft_cap: float,
+    sliding_window: int,
+    has_alibi: bool,
 ):
     b = pl.program_id(0)
-    h = pl.program_id(1)
     ctx = context_lens_ref[b]
-    sb_tokens = pages_per_compute_block * block_size
+    ppcb = pages_per_compute_block
+    bs = block_size
+    h = num_kv_heads
+    sb_tokens = ppcb * bs
+    cols = ppcb * h * bs
+    rows = h * g_pad
     num_sb = pl.cdiv(ctx, sb_tokens)
+    # Sliding window: skip superblocks that are entirely out of window.
+    # (Also required for correctness: a fully-masked superblock would feed
+    # exp(-inf - -inf) = NaN into the online softmax.)
+    if sliding_window > 0:
+        first_valid = jnp.maximum(ctx - sliding_window, 0)
+        sb_start = first_valid // sb_tokens
+    else:
+        sb_start = jnp.int32(0)
 
     def copies(sb, slot):
         out = []
-        for i in range(pages_per_compute_block):
-            page = block_tables_ref[b, sb * pages_per_compute_block + i]
+        for i in range(ppcb):
+            page = block_tables_ref[b, sb * ppcb + i]
             out.append(pltpu.make_async_copy(
-                k_hbm.at[h, page],
-                k_buf.at[slot, pl.ds(i * block_size, block_size), :],
-                sems.at[slot, 0, i]))
-            out.append(pltpu.make_async_copy(
-                v_hbm.at[h, page],
-                v_buf.at[slot, pl.ds(i * block_size, block_size), :],
-                sems.at[slot, 1, i]))
+                kv_hbm.at[page], kv_buf.at[slot, i], sems.at[slot, i]))
         return out
 
     def start(sb, slot):
@@ -86,11 +105,22 @@ def _decode_kernel(
 
     # Padding rows have ctx == 0 (num_sb == 0): no DMA may start, or its
     # semaphore would never be awaited and the program would fault.
-    @pl.when(num_sb > 0)
+    @pl.when(num_sb > sb_start)
     def _():
-        start(0, 0)
+        start(sb_start, jax.lax.rem(sb_start, 2))
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # (G_pad, d)
+    # Fold the softmax scale into q (one extra bf16 rounding, saves a
+    # (rows, cols) multiply per superblock).
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+
+    # Loop-invariant column decomposition: c = (p * H + h_c) * bs + t.
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    col_h = (col // bs) % h
+    # Position of column c within superblock 0; superblock sb adds
+    # sb * sb_tokens (hoisted out of the loop body).
+    pos0 = (col // (bs * h)) * bs + col % bs
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // g_pad
+    head_ok = col_h == row_h
 
     def body(sb, carry):
         m, l, acc = carry
@@ -101,19 +131,29 @@ def _decode_kernel(
             start(sb + 1, jax.lax.rem(sb + 1, 2))
 
         wait(sb, slot)
-        k = k_buf[slot].astype(jnp.float32)
-        v = v_buf[slot].astype(jnp.float32)
-        if k_scale != 1.0:
-            k = k * k_scale
-        if v_scale != 1.0:
-            v = v * v_scale
-        # scores: (G_pad, SB)
+        k = kv_buf[slot, :, 0].reshape(cols, head_dim)
+        v = kv_buf[slot, :, 1].reshape(cols, head_dim)
+        if k.dtype != q_ref.dtype or k_scale != 1.0 or v_scale != 1.0:
+            # fp8 cache (and/or scaled KV storage): dequant in VMEM.
+            k = k.astype(jnp.float32) * k_scale
+            v = v.astype(jnp.float32) * v_scale
+            k = k.astype(q_ref.dtype)
+            v = v.astype(q_ref.dtype)
+        # scores: (R, cols) = block-diagonal over heads
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.DEFAULT)
-        col = jax.lax.broadcasted_iota(
-            jnp.int32, (g_pad, sb_tokens), 1) + sb * sb_tokens
-        s = jnp.where(col < ctx, s, _NEG_INF)
+        if logit_soft_cap > 0.0:
+            s = logit_soft_cap * jnp.tanh(s / logit_soft_cap)
+        pos = pos0 + sb * sb_tokens
+        if has_alibi:
+            # slope_h * (key_pos - query_pos); query sits at ctx - 1.
+            slopes = alibi_ref[:, 0:1]  # (R, 1)
+            s = s + slopes * (pos - (ctx - 1)).astype(jnp.float32)
+        valid = head_ok & (pos < ctx)
+        if sliding_window > 0:
+            valid &= pos > ctx - 1 - sliding_window
+        s = jnp.where(valid, s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -123,11 +163,19 @@ def _decode_kernel(
                                         precision=jax.lax.Precision.DEFAULT)
         return m_new, l_new, acc_new
 
-    m0 = jnp.full((g_pad, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((g_pad, 1), jnp.float32)
-    acc0 = jnp.zeros((g_pad, head_dim), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_sb, body, (m0, l0, acc0))
-    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    m0 = jnp.full((rows, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((rows, 1), jnp.float32)
+    acc0 = jnp.zeros((rows, head_dim), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(sb_start, num_sb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def default_pages_per_compute_block(num_kv_heads: int,
+                                    block_size: int) -> int:
+    """Target ~4K score columns per superblock: per-superblock fixed cost
+    (~5us: semaphore waits + dot issue) dominates below that, VMEM and
+    VPU mask/exp work above (measured sweep in docs/PERF_NOTES.md)."""
+    return max(1, 4096 // (num_kv_heads * block_size))
 
 
 @functools.partial(
@@ -137,15 +185,14 @@ def _decode_kernel(
                      "sliding_window"))
 def paged_attention(
     q: jax.Array,            # (B, num_q_heads, head_dim)
-    k_cache: jax.Array,      # (H_kv, num_blocks, block_size, head_dim)
-    v_cache: jax.Array,
+    kv_cache: jax.Array,     # (num_blocks, 2, H_kv, block_size, head_dim)
     block_tables: jax.Array,  # (B, max_blocks_per_seq) int32
     context_lens: jax.Array,  # (B,) int32, includes the current token
     *,
     scale: float,
     k_scale: float = 1.0,
     v_scale: float = 1.0,
-    pages_per_compute_block: int = 8,
+    pages_per_compute_block: int = 0,
     logit_soft_cap: float = 0.0,
     sliding_window: int = 0,
     alibi_slopes=None,
@@ -153,25 +200,32 @@ def paged_attention(
     """Flash-decoding paged attention. Returns (B, num_q_heads, head_dim)."""
     # Mosaic requires lane-aligned (128) head_dim for the page DMA slices;
     # fall back to the jnp path otherwise (reference pallas.py:103 has the
-    # same head_size % 128 constraint). Models needing logit soft-cap /
-    # decode-side sliding window / alibi also take the jnp path (kernel
-    # support is a perf follow-up, not a correctness gap).
+    # same head_size % 128 constraint).
+    # The in-kernel (ppcb, H, bs, d) -> (ppcb*H*bs, d) view is only
+    # layout-preserving when the page's sublane extent (block_size) is a
+    # multiple of the cache dtype's sublane tile (f32: 8, bf16: 16, fp8: 32).
+    sublane_tile = {4: 8, 2: 16, 1: 32}[kv_cache.dtype.itemsize]
     if (not use_pallas() or q.shape[-1] % 128 != 0
-            or logit_soft_cap > 0.0 or sliding_window > 0
-            or alibi_slopes is not None):
+            or kv_cache.shape[3] % sublane_tile != 0):
         return paged_attention_reference(
-            q, k_cache, v_cache, block_tables, context_lens, scale=scale,
+            q, kv_cache, block_tables, context_lens, scale=scale,
             k_scale=k_scale, v_scale=v_scale,
             logit_soft_cap=logit_soft_cap, sliding_window=sliding_window,
             alibi_slopes=alibi_slopes)
     batch, num_q_heads, head_dim = q.shape
-    num_kv_heads, num_blocks, block_size, _ = k_cache.shape
+    num_blocks, _, num_kv_heads, block_size, _ = kv_cache.shape
     assert num_q_heads % num_kv_heads == 0
     group = num_q_heads // num_kv_heads
-    # Pad the query-head group to a full sublane tile.
-    g_pad = max(8, group)
+    # Pad the per-head query group to a sublane tile unless it is 1 (pure
+    # MQA/MHA rows are already dense: R = H).
+    g_pad = group if group == 1 else max(8, group)
+    rows = num_kv_heads * g_pad
     max_bpp = block_tables.shape[1]
-    ppcb = min(pages_per_compute_block, max_bpp)
+    ppcb = pages_per_compute_block or default_pages_per_compute_block(
+        num_kv_heads, block_size)
+    if head_dim > 128:  # keep the double-buffered page scratch <= ~4MB
+        ppcb = max(1, ppcb * 128 // head_dim)
+    ppcb = min(ppcb, max_bpp)
     pad_pages = (-max_bpp) % ppcb
     if pad_pages:
         block_tables = jnp.pad(block_tables, ((0, 0), (0, pad_pages)))
@@ -180,50 +234,65 @@ def paged_attention(
     q_r = q.reshape(batch, num_kv_heads, group, head_dim)
     if g_pad != group:
         q_r = jnp.pad(q_r, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+    q_r = q_r.reshape(batch, rows, head_dim)
 
-    sb = ppcb * block_size
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(
+            num_kv_heads, group)
+        if g_pad != group:
+            slopes = jnp.pad(slopes, ((0, 0), (0, g_pad - group)))
+        slopes_in = jnp.broadcast_to(
+            slopes.reshape(rows, 1), (rows, 128))
+    else:
+        slopes_in = jnp.zeros((8, 128), jnp.float32)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(batch, num_kv_heads),
+        grid=(batch,),
         in_specs=[
-            pl.BlockSpec((1, 1, g_pad, head_dim),
-                         lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, rows, head_dim), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, g_pad, head_dim),
-                               lambda b, h, *_: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((1, rows, head_dim), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, sb, head_dim), k_cache.dtype),
-            pltpu.VMEM((2, sb, head_dim), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, ppcb)),
+            pltpu.VMEM((2, ppcb, 2, num_kv_heads, block_size, head_dim),
+                       kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, ppcb)),
         ],
     )
     kernel = functools.partial(
         _decode_kernel,
         scale=float(scale), k_scale=float(k_scale), v_scale=float(v_scale),
         pages_per_compute_block=ppcb, block_size=block_size,
-        g_pad=g_pad, head_dim=head_dim)
+        num_kv_heads=num_kv_heads, g_pad=g_pad, head_dim=head_dim,
+        logit_soft_cap=float(logit_soft_cap),
+        sliding_window=int(sliding_window), has_alibi=has_alibi)
+    ctx_bytes = 2 * num_kv_heads * block_size * head_dim * \
+        kv_cache.dtype.itemsize
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, num_kv_heads, g_pad, head_dim), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, rows, head_dim), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * rows * head_dim * max_bpp * block_size * 2,
+            bytes_accessed=batch * max_bpp * ctx_bytes,
+            transcendentals=batch * rows * max_bpp * block_size),
         interpret=pallas_interpret(),
     )(block_tables.astype(jnp.int32), context_lens.astype(jnp.int32),
-      q_r, k_cache, v_cache)
-    out = out[:, :, :group, :]
+      q_r, slopes_in, kv_cache)
+    out = out.reshape(batch, num_kv_heads, g_pad, head_dim)[:, :, :group, :]
     return out.reshape(batch, num_q_heads, head_dim)
 
 
 def paged_attention_reference(
     q: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    kv_cache: jax.Array,     # (num_blocks, 2, H_kv, block_size, head_dim)
     block_tables: jax.Array,
     context_lens: jax.Array,
     *,
@@ -246,16 +315,17 @@ def paged_attention_reference(
     context_len-1.
     """
     batch, num_q_heads, head_dim = q.shape
-    num_kv_heads, _, block_size, _ = k_cache.shape
+    _, _, num_kv_heads, block_size, _ = kv_cache.shape
     group = num_q_heads // num_kv_heads
     max_bpp = block_tables.shape[1]
     t = max_bpp * block_size
 
-    # (H, B, maxb, bs, d) -> (B, H, t, d)
-    k = jnp.moveaxis(k_cache[:, block_tables], 1, 0)
-    k = k.reshape(batch, num_kv_heads, t, head_dim).astype(jnp.float32)
-    v = jnp.moveaxis(v_cache[:, block_tables], 1, 0)
-    v = v.reshape(batch, num_kv_heads, t, head_dim).astype(jnp.float32)
+    # (B, maxb, 2, H, bs, d) -> (B, H, t, d)
+    pages = kv_cache[block_tables]
+    k = pages[:, :, 0].transpose(0, 2, 1, 3, 4).reshape(
+        batch, num_kv_heads, t, head_dim).astype(jnp.float32)
+    v = pages[:, :, 1].transpose(0, 2, 1, 3, 4).reshape(
+        batch, num_kv_heads, t, head_dim).astype(jnp.float32)
     k = k * k_scale
     v = v * v_scale
 

@@ -76,8 +76,7 @@ def prefill_attention_with_paged_prefix(
     v: jax.Array,
     positions: jax.Array,    # (B, T) absolute positions of chunk tokens
     seq_lens: jax.Array,     # (B,) valid tokens in this chunk
-    k_cache: jax.Array,      # (H_kv, num_blocks, block_size, head_dim)
-    v_cache: jax.Array,
+    kv_cache: jax.Array,     # (num_blocks, 2, H_kv, block_size, head_dim)
     block_tables: jax.Array,  # (B, max_bpp)
     context_lens: jax.Array,  # (B,) prefix length already in cache
     *,
@@ -89,8 +88,10 @@ def prefill_attention_with_paged_prefix(
     alibi_slopes=None,
 ) -> jax.Array:
     """Chunked-prefill attention: queries attend to cached prefix + chunk."""
+    from nmvllm_tpu.ops.cache_ops import gather_prefix
+
     batch, t, num_q_heads, head_dim = q.shape
-    num_kv_heads, _, block_size, _ = k_cache.shape
+    _, _, num_kv_heads, block_size, _ = kv_cache.shape
     group = num_q_heads // num_kv_heads
     max_bpp = block_tables.shape[1]
     ctx_t = max_bpp * block_size
@@ -99,10 +100,9 @@ def prefill_attention_with_paged_prefix(
                                        head_dim)
 
     # --- prefix scores over gathered pages ---
-    kp = jnp.moveaxis(k_cache[:, block_tables], 1, 0).reshape(
-        batch, num_kv_heads, ctx_t, head_dim).astype(jnp.float32) * k_scale
-    vp = jnp.moveaxis(v_cache[:, block_tables], 1, 0).reshape(
-        batch, num_kv_heads, ctx_t, head_dim).astype(jnp.float32) * v_scale
+    kp, vp = gather_prefix(kv_cache, block_tables)
+    kp = kp.astype(jnp.float32) * k_scale
+    vp = vp.astype(jnp.float32) * v_scale
     s_pre = jnp.einsum("bqhgd,bhkd->bhgqk", qf, kp) * scale
 
     # --- chunk-internal scores ---

@@ -493,6 +493,132 @@ def int8_grouped_matmul(
     return (acc[:m] * s_x).astype(x.dtype)
 
 
+def _int8_channel_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
+    """Signed-int8 weights x int8 activations, PER-CHANNEL scales.
+
+    The fast path (docs/PERF_NOTES.md): ONE full-depth int8 MXU dot per
+    (m, n) block — zero per-element VPU work, zero relayouts, int32
+    accumulation across k blocks, scales folded into the f32 epilogue.
+    Measured 58.7 TFLOP/s (~447 GB/s weight streaming) on v5e vs the
+    ~95 GB/s XLA int8 path and the ~60 GB/s grouped-scale kernels.
+
+    Serves the reference's CUTLASS W8A8 channelwise GEMM
+    (csrc/quantization/cutlass_w8a8/scaled_mm_c2x.cu epilogues) and INT4
+    checkpoints requantized to int8-channel at load.
+    """
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(jnp.float32) * s_ref[0, :].astype(
+            jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_m", "block_n", "block_k"))
+def int8_channel_matmul(
+    x: jax.Array,          # (M, K) bf16/f32 activations
+    w8: jax.Array,         # (K, N) SIGNED int8 weights
+    scales: jax.Array,     # (N,) or (1, N) f32 per-out-channel scales
+    *,
+    block_m: int = 0,
+    block_n: int = 1024,
+    block_k: int = 4096,
+) -> jax.Array:
+    """y = (int8(x) @ w8) * scales * s_x; dynamic per-token activation
+    quant (reference dynamic_scaled_int8_quant) fused outside by XLA."""
+    m, k = x.shape
+    n = w8.shape[1]
+    scales = scales.reshape(1, n)
+
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
+    s_x = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                  -127, 127).astype(jnp.int8)
+
+    if not use_pallas():
+        acc = jnp.dot(xq.astype(jnp.int32), w8.astype(jnp.int32),
+                      preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * scales * s_x).astype(x.dtype)
+
+    bm = min(block_m if block_m > 0 else round_up(m, 32), 256)
+    bm = min(bm, round_up(m, 32))
+    m_pad = round_up(m, bm)
+    if m_pad != m:
+        xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
+    bk = min(block_k, k)
+    while k % bk != 0:
+        bk //= 2
+    assert k % bk == 0 and bk >= 128, (k, bk)
+    bn = min(block_n, n)
+    while n % bn != 0:
+        bn //= 2
+    assert n % bn == 0 and bn >= 128, (n, bn)
+
+    grid = (m_pad // bm, n // bn, k // bk)
+    acc = pl.pallas_call(
+        _int8_channel_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=(m_pad * k + k * n + m_pad * n * 4),
+            transcendentals=0),
+        interpret=pallas_interpret(),
+    )(xq, w8, scales)
+    return (acc[:m] * s_x).astype(x.dtype)
+
+
+def requantize_grouped_to_int8_channel(
+    qweight: jax.Array,    # (K // vpw, N) int32 canonical packed
+    scales: jax.Array,     # (K // g, N)
+    zeros: jax.Array,      # (K // g, N) int32 raw zero points
+    *,
+    bits: int,
+    group_size: int,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Convert a group-scaled INT4/INT8 checkpoint into per-channel signed
+    int8 ``(w8 (K, N), channel_scales (N,))`` for the single-dot serving
+    path.
+
+    Precision: each group's values land on the per-channel int8 grid;
+    worst-case extra rounding error is ~0.4 of the source group's own
+    quantization step when group absmax varies 16x within a channel —
+    below the INT4 grid's inherent error. (The INT4->int8-channel mode is
+    opt-in; exact group-scaled kernels remain the default.)
+    """
+    g = group_size
+    w_int = unpack_weights(qweight, bits, g, k)          # (K, N) unsigned
+    z = jnp.repeat(zeros.astype(jnp.int32), g, axis=0)
+    s = jnp.repeat(scales.astype(jnp.float32), g, axis=0)
+    w = (w_int - z).astype(jnp.float32) * s              # dense f32
+    ch_absmax = jnp.max(jnp.abs(w), axis=0)              # (N,)
+    ch_scale = jnp.maximum(ch_absmax, 1e-10) / 127.0
+    w8 = jnp.clip(jnp.round(w / ch_scale[None, :]), -127, 127).astype(
+        jnp.int8)
+    return w8, ch_scale.astype(jnp.float32)
+
+
 def _w4a8_reference_acc(xq_perm, qweight, scales, g, k):
     """int32-exact reference of the kernel accumulation (permuted int8
     activations x bias-signed int4 weights, per-group f32 scaling)."""

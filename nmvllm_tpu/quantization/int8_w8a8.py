@@ -60,14 +60,19 @@ class Int8W8A8LinearMethod(LinearMethodBase):
             xq = jnp.clip(jnp.round(x2.astype(jnp.float32) / scale), -128,
                           127).astype(jnp.int8)
             x_scale = jnp.full((x2.shape[0], 1), scale, jnp.float32)
+            acc = jax.lax.dot_general(
+                xq, params["weight"], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * x_scale * \
+                params["weight_scale"][None, :]
+            y = y.astype(x.dtype)
         else:
-            xq, x_scale = quantize_int8_per_token(x2)
-        acc = jax.lax.dot_general(
-            xq, params["weight"], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * x_scale * \
-            params["weight_scale"][None, :]
-        y = y.astype(x.dtype).reshape(*orig_shape[:-1], -1)
+            # Dynamic per-token path: Pallas single-dot int8 kernel
+            # (~4.7x the XLA int8 dot_general, docs/PERF_NOTES.md).
+            from nmvllm_tpu.ops.quant_matmul import int8_channel_matmul
+            y = int8_channel_matmul(x2, params["weight"],
+                                    params["weight_scale"])
+        y = y.reshape(*orig_shape[:-1], -1)
         if bias is not None:
             y = y + bias
         return y

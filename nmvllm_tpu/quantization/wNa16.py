@@ -26,12 +26,23 @@ class WNA16LinearMethod(LinearMethodBase):
         self.symmetric = symmetric
 
     @property
-    def a8_int8_store(self) -> bool:
-        """W4A8 serving mode: INT4 checkpoints expanded to signed int8 at
-        load + int8 MXU dots (ops/quant_matmul.py int8_grouped_matmul)."""
+    def a8_mode(self) -> str:
+        """W4A8 serving mode for symmetric INT4 checkpoints:
+        "" (exact dequant-GEMM), "grouped" (int8-stored weights, exact
+        per-group int8 dots), or "channel" (per-channel int8 requantize,
+        ONE full-depth int8 dot — fastest; tiny extra rounding error)."""
         from nmvllm_tpu import envs
-        return bool(self.bits == 4 and self.symmetric
-                    and envs.NMVLLM_INT4_A8)
+        if not (self.bits == 4 and self.symmetric):
+            return ""
+        v = str(envs.NMVLLM_INT4_A8).lower()
+        if not v:
+            return ""
+        return "channel" if v.startswith("c") else "grouped"
+
+    @property
+    def a8_int8_store(self) -> bool:
+        """Whether qweight is stored as (K, N) int8 instead of packed."""
+        return bool(self.a8_mode)
 
     def _resolve_group(self, in_features: int) -> int:
         g = self.group_size
@@ -52,6 +63,12 @@ class WNA16LinearMethod(LinearMethodBase):
                           jnp.float32)
         zeros = jnp.full((in_features // g, out_features), qmax_half,
                          jnp.int32)
+        if self.a8_mode == "channel":
+            w8 = jax.random.randint(k1, (in_features, out_features),
+                                    -127, 128, jnp.int32).astype(jnp.int8)
+            ch = jnp.full((1, out_features),
+                          (in_features**-0.5) / (127 * 0.58), jnp.float32)
+            return {"qweight": w8, "scales": ch, "zeros": zeros}
         if self.bits == 8 or self.a8_int8_store:
             # 8-bit weights stay as plain bias-signed int8 (K, N); the
             # W4A8 mode stores int4 VALUES in int8 (docs/PERF_NOTES.md:
@@ -79,6 +96,10 @@ class WNA16LinearMethod(LinearMethodBase):
                 w = w + (128 - z).astype(jnp.float32) * s
             y = jnp.dot(x2, w.astype(x.dtype),
                         preferred_element_type=jnp.float32).astype(x.dtype)
+        elif self.a8_mode == "channel":
+            from nmvllm_tpu.ops.quant_matmul import int8_channel_matmul
+            y = int8_channel_matmul(x2, params["qweight"],
+                                    params["scales"])
         elif self.a8_int8_store:
             from nmvllm_tpu.ops.quant_matmul import int8_grouped_matmul
             y = int8_grouped_matmul(x2, params["qweight"],
@@ -99,10 +120,19 @@ class WNA16LinearMethod(LinearMethodBase):
             spec = P(TP_AXIS, None)
         else:
             spec = P()
-        return {"qweight": spec, "scales": spec, "zeros": spec}
+        out = {"qweight": spec, "scales": spec, "zeros": spec}
+        if self.a8_mode == "channel":
+            # Channel scales are (1, N): shard on N for column-parallel,
+            # replicate for row-parallel (partial sums carry full scales).
+            out["scales"] = P(None, TP_AXIS) if shard == "column" else P()
+        return out
 
     def load_weight_shapes(self, in_features, out_features):
         g = self._resolve_group(in_features)
+        if self.a8_mode == "channel":
+            return {"qweight": (in_features, out_features),
+                    "scales": (1, out_features),
+                    "zeros": (in_features // g, out_features)}
         if self.bits == 8 or self.a8_int8_store:
             return {"qweight": (in_features, out_features),
                     "scales": (in_features // g, out_features),

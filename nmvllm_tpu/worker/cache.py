@@ -1,10 +1,11 @@
 """KV cache engine: allocation, sizing, swap, copy.
 
 Reference: vllm/worker/cache_engine.py:15 (_allocate_kv_cache:70, swap:91,
-copy:101, get_cache_block_size:105). TPU-native: per-layer (K, V) arrays of
-shape (num_kv_heads, num_blocks, block_size, head_dim) sharded over the tp
-mesh axis on kv heads; the host swap pool is pinned numpy; swap moves whole
-pages with jax.device_put / device_get.
+copy:101, get_cache_block_size:105). TPU-native: one fused per-layer array
+of shape (num_blocks, 2, num_kv_heads, block_size, head_dim) sharded over
+the tp mesh axis on kv heads — K and V of a page are contiguous so the
+decode kernel fetches a page in a single DMA. The host swap pool is pinned
+numpy; swap moves whole pages with jax.device_put / device_get.
 """
 from typing import List, Optional, Tuple
 
@@ -22,7 +23,7 @@ from nmvllm_tpu.utils import STR_DTYPE_TO_JNP, get_dtype_bytes
 
 logger = init_logger(__name__)
 
-KVCaches = List[Tuple[jax.Array, jax.Array]]
+KVCaches = List[jax.Array]
 
 
 class CacheEngine:
@@ -58,9 +59,10 @@ class CacheEngine:
                 num_layers)
 
     def allocate(self) -> KVCaches:
-        shape = (self.total_kv_heads, self.num_gpu_blocks, self.block_size,
-                 self.head_dim)
-        sharding = NamedSharding(self.mesh, P(TP_AXIS, None, None, None))
+        shape = (self.num_gpu_blocks, 2, self.total_kv_heads,
+                 self.block_size, self.head_dim)
+        sharding = NamedSharding(self.mesh,
+                                 P(None, None, TP_AXIS, None, None))
 
         @jax.jit
         def _zeros():
@@ -69,14 +71,13 @@ class CacheEngine:
         self.kv_caches = []
         with self.mesh:
             for _ in range(self.num_layers):
-                k = jax.jit(_zeros, out_shardings=sharding)()
-                v = jax.jit(_zeros, out_shardings=sharding)()
-                self.kv_caches.append((k, v))
+                kv = jax.jit(_zeros, out_shardings=sharding)()
+                self.kv_caches.append(kv)
         if self.num_cpu_blocks > 0:
-            # Host swap pool: (layers, 2, H, cpu_blocks, bs, d) in numpy.
+            # Host swap pool: (layers, cpu_blocks, 2, H, bs, d) in numpy.
             self.cpu_pool = np.zeros(
-                (self.num_layers, 2, self.total_kv_heads,
-                 self.num_cpu_blocks, self.block_size, self.head_dim),
+                (self.num_layers, self.num_cpu_blocks, 2,
+                 self.total_kv_heads, self.block_size, self.head_dim),
                 dtype=np.float32 if self.dtype_name == "float32"
                 else np.float16 if "float8" not in self.dtype_name
                 else np.uint8)
@@ -88,11 +89,7 @@ class CacheEngine:
             return
         src = jnp.asarray([s for s, _ in src_to_dst], jnp.int32)
         dst = jnp.asarray([d for _, d in src_to_dst], jnp.int32)
-        new_caches = []
-        for (k, v) in self.kv_caches:
-            k2, v2 = _copy_blocks_op([k, v], src, dst)
-            new_caches.append((k2, v2))
-        self.kv_caches = new_caches
+        self.kv_caches = _copy_blocks_op(self.kv_caches, src, dst)
 
     def swap_out(self, src_to_dst: List[Tuple[int, int]]) -> None:
         if not src_to_dst:
@@ -100,13 +97,12 @@ class CacheEngine:
         dev_ids = [s for s, _ in src_to_dst]
         host_ids = [d for _, d in src_to_dst]
         gather = jnp.asarray(dev_ids, jnp.int32)
-        for li, (k, v) in enumerate(self.kv_caches):
-            k_pages = np.asarray(k[:, gather])
-            v_pages = np.asarray(v[:, gather])
-            self.cpu_pool[li, 0][:, host_ids] = k_pages.astype(
-                self.cpu_pool.dtype)
-            self.cpu_pool[li, 1][:, host_ids] = v_pages.astype(
-                self.cpu_pool.dtype)
+        for li, kv in enumerate(self.kv_caches):
+            pages = np.asarray(kv[gather])  # (P, 2, H, bs, d)
+            if "float8" in self.dtype_name:
+                pages = pages.view(np.uint8)
+            self.cpu_pool[li][host_ids] = pages.astype(self.cpu_pool.dtype,
+                                                       copy=False)
 
     def swap_in(self, src_to_dst: List[Tuple[int, int]]) -> None:
         if not src_to_dst:
@@ -114,12 +110,11 @@ class CacheEngine:
         host_ids = [s for s, _ in src_to_dst]
         dev_ids = jnp.asarray([d for _, d in src_to_dst], jnp.int32)
         new_caches = []
-        for li, (k, v) in enumerate(self.kv_caches):
-            k_pages = jnp.asarray(
-                self.cpu_pool[li, 0][:, host_ids]).astype(self.dtype)
-            v_pages = jnp.asarray(
-                self.cpu_pool[li, 1][:, host_ids]).astype(self.dtype)
-            k = k.at[:, dev_ids].set(k_pages)
-            v = v.at[:, dev_ids].set(v_pages)
-            new_caches.append((k, v))
+        for li, kv in enumerate(self.kv_caches):
+            host_pages = self.cpu_pool[li][host_ids]
+            if "float8" in self.dtype_name:
+                pages = jnp.asarray(host_pages).view(self.dtype)
+            else:
+                pages = jnp.asarray(host_pages).astype(self.dtype)
+            new_caches.append(kv.at[dev_ids].set(pages))
         self.kv_caches = new_caches

@@ -69,10 +69,28 @@ class LoRAState:
         self.manager = LoRAModelManager(self.config)
         self.manager.install_fn = self._install
         self.stacks = {}
+        self.shards = {}
         for name, linear in _named_linears(model):
             self.stacks[name] = make_lora_stacks(
                 self.config.max_loras, linear.in_features,
                 linear.out_features, self.config.max_lora_rank)
+            self.shards[name] = linear.shard
+
+    def stack_specs(self):
+        """TP shardings for the adapter stacks (reference: fully-sharded
+        LoRA, vllm/lora/fully_sharded_layers.py). Column-parallel layers
+        shard B on the output dim (delta is computed per output shard);
+        row-parallel layers shard A on the input dim (the partial delta
+        joins the layer's existing psum)."""
+        specs = {}
+        for name, shard in self.shards.items():
+            if shard == "column":
+                specs[name] = (P(), P(None, None, TP_AXIS))
+            elif shard == "row":
+                specs[name] = (P(None, TP_AXIS, None), P())
+            else:
+                specs[name] = (P(), P())
+        return specs
 
     def _install(self, slot, lora_model):
         from nmvllm_tpu.lora.layers import clear_lora_slot, set_lora_slot
@@ -129,7 +147,7 @@ class ModelRunner:
         self.model = None
         self.params = None
         self._param_specs = None
-        self._kv_spec = P(TP_AXIS, None, None, None)
+        self._kv_spec = P(None, None, TP_AXIS, None, None)
         self._step_fns: Dict[Any, Any] = {}
         self._rng = jax.random.PRNGKey(self.model_config.seed)
         self.max_blocks_per_seq = cdiv(self.scheduler_config.max_model_len,
@@ -361,8 +379,7 @@ class ModelRunner:
 
     # -------------------------------------------------------- compiled steps
     def _specs_tuple(self):
-        kv_specs = [(self._kv_spec, self._kv_spec)
-                    for _ in range(len(self.model.layers))]
+        kv_specs = [self._kv_spec for _ in range(len(self.model.layers))]
         return self._param_specs, kv_specs
 
     def _get_decode_fn(self, flags_key, use_lora: bool = False):
@@ -391,8 +408,7 @@ class ModelRunner:
             logits = model.compute_logits(params, x[:, 0, :])
             return logits, kv_caches
 
-        lora_specs = (P(), jax.tree.map(lambda _: P(),
-                                        self._lora_stack_template()))
+        lora_specs = (P(), self._lora_spec_tree())
         sharded_fwd = shard_map_fn(
             fwd, mesh,
             in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(),
@@ -415,6 +431,11 @@ class ModelRunner:
     def _lora_stack_template(self):
         return (self.lora_state.stacks
                 if getattr(self, "lora_state", None) else {})
+
+    def _lora_spec_tree(self):
+        if getattr(self, "lora_state", None) is None:
+            return {}
+        return self.lora_state.stack_specs()
 
     def _lora_args(self, rows, batch_pad: int):
         if getattr(self, "lora_state", None) is None:
@@ -486,8 +507,7 @@ class ModelRunner:
                 prompt_lp = None
             return logits, prompt_lp, kv_caches
 
-        lora_specs = (P(), jax.tree.map(lambda _: P(),
-                                        self._lora_stack_template()))
+        lora_specs = (P(), self._lora_spec_tree())
         prompt_lp_spec = ((P(), P(), P())
                           if num_prompt_logprobs > 0 else None)
         sharded_fwd = shard_map_fn(
@@ -556,8 +576,7 @@ class ModelRunner:
                 params, x.reshape(b * s, x.shape[-1]))
             return logits.reshape(b, s, -1), kv_caches
 
-        lora_specs = (P(), jax.tree.map(lambda _: P(),
-                                        self._lora_stack_template()))
+        lora_specs = (P(), self._lora_spec_tree())
         sharded_fwd = shard_map_fn(
             fwd, mesh,
             in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),

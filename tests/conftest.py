@@ -6,8 +6,11 @@ kernels run in interpreter mode on CPU automatically (ops/utils.py).
 """
 import os
 
-# Must be set before jax initializes.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The suite runs on a virtual 8-device CPU mesh — never the TPU tunnel
+# chip. The axon-environment escape hatch lives in axon_guard.py (early
+# ``-p`` plugin, see pytest.ini); by the time this file runs the
+# environment is already clean.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

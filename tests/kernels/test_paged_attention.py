@@ -12,21 +12,53 @@ from nmvllm_tpu.ops.paged_attention import (paged_attention,
 
 def _make_inputs(key, batch, num_q_heads, num_kv_heads, head_dim, block_size,
                  num_blocks, max_ctx, dtype, kv_dtype=None):
-    kq, kk, kv, kl, kb = jax.random.split(key, 5)
+    kq, kk, kl, kb = jax.random.split(key, 4)
     q = jax.random.normal(kq, (batch, num_q_heads, head_dim), dtype)
     kv_dtype = kv_dtype or dtype
-    k_cache = jax.random.normal(
-        kk, (num_kv_heads, num_blocks, block_size, head_dim),
-        jnp.float32).astype(kv_dtype)
-    v_cache = jax.random.normal(
-        kv, (num_kv_heads, num_blocks, block_size, head_dim),
+    kv_cache = jax.random.normal(
+        kk, (num_blocks, 2, num_kv_heads, block_size, head_dim),
         jnp.float32).astype(kv_dtype)
     context_lens = jax.random.randint(kl, (batch,), 1, max_ctx + 1, jnp.int32)
     max_bpp = -(-max_ctx // block_size)
     # Random (possibly shared-free) page assignment.
     block_tables = jax.random.randint(kb, (batch, max_bpp), 0, num_blocks,
                                       jnp.int32)
-    return q, k_cache, v_cache, block_tables, context_lens
+    return q, kv_cache, block_tables, context_lens
+
+
+def _dense_check(q, kv_cache, bt, cl, scale, out, **kw):
+    """Independent dense check: gather pages with numpy, run f64 softmax."""
+    q = np.asarray(q, np.float64)
+    kvc = np.asarray(kv_cache.astype(jnp.float32), np.float64)
+    bt = np.asarray(bt)
+    cl = np.asarray(cl)
+    b, hq, d = q.shape
+    hkv = kvc.shape[2]
+    bs = kvc.shape[3]
+    g = hq // hkv
+    for i in range(b):
+        ctx = int(cl[i])
+        pages = bt[i]
+        k = kvc[pages, 0].transpose(1, 0, 2, 3).reshape(hkv, -1, d)[:, :ctx]
+        v = kvc[pages, 1].transpose(1, 0, 2, 3).reshape(hkv, -1, d)[:, :ctx]
+        k = k * kw.get("k_scale", 1.0)
+        v = v * kw.get("v_scale", 1.0)
+        for h in range(hq):
+            s = (q[i, h] @ k[h // g].T) * scale
+            cap = kw.get("logit_soft_cap", 0.0)
+            if cap:
+                s = cap * np.tanh(s / cap)
+            slopes = kw.get("alibi_slopes")
+            if slopes is not None:
+                s = s + slopes[h] * (np.arange(ctx) - (ctx - 1))
+            w = kw.get("sliding_window", 0)
+            if w:
+                s[:max(0, ctx - w)] = -np.inf
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            o = p @ v[h // g]
+            np.testing.assert_allclose(np.asarray(out)[i, h], o,
+                                       atol=3e-2, rtol=3e-2)
 
 
 @pytest.mark.parametrize("batch", [1, 7])
@@ -36,37 +68,79 @@ def _make_inputs(key, batch, num_q_heads, num_kv_heads, head_dim, block_size,
 def test_paged_attention_matches_reference(rng, batch, heads, head_dim,
                                            block_size):
     num_q, num_kv = heads
-    q, k_cache, v_cache, bt, cl = _make_inputs(
+    q, kv_cache, bt, cl = _make_inputs(
         rng, batch, num_q, num_kv, head_dim, block_size,
         num_blocks=32, max_ctx=70, dtype=jnp.float32)
     scale = head_dim**-0.5
-    ref = paged_attention_reference(q, k_cache, v_cache, bt, cl, scale=scale)
-    out = paged_attention(q, k_cache, v_cache, bt, cl, scale=scale,
+    ref = paged_attention_reference(q, kv_cache, bt, cl, scale=scale)
+    out = paged_attention(q, kv_cache, bt, cl, scale=scale,
                           pages_per_compute_block=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
+    _dense_check(q, kv_cache, bt, cl, scale, out)
 
 
 def test_paged_attention_single_page(rng):
-    q, k_cache, v_cache, bt, cl = _make_inputs(
+    q, kv_cache, bt, cl = _make_inputs(
         rng, 2, 4, 2, 128, 16, num_blocks=8, max_ctx=16, dtype=jnp.float32)
     scale = 0.1
-    ref = paged_attention_reference(q, k_cache, v_cache, bt, cl, scale=scale)
-    out = paged_attention(q, k_cache, v_cache, bt, cl, scale=scale,
+    ref = paged_attention_reference(q, kv_cache, bt, cl, scale=scale)
+    out = paged_attention(q, kv_cache, bt, cl, scale=scale,
                           pages_per_compute_block=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
 
 
 def test_paged_attention_fp8_kv(rng):
-    q, k_cache, v_cache, bt, cl = _make_inputs(
-        rng, 3, 4, 2, 128, 16, num_blocks=16, max_ctx=40,
+    q, kv_cache, bt, cl = _make_inputs(
+        rng, 3, 4, 2, 128, 32, num_blocks=16, max_ctx=80,
         dtype=jnp.float32, kv_dtype=jnp.float8_e4m3fn)
     scale = 128**-0.5
-    ref = paged_attention_reference(q, k_cache, v_cache, bt, cl, scale=scale,
+    ref = paged_attention_reference(q, kv_cache, bt, cl, scale=scale,
                                     k_scale=0.5, v_scale=2.0)
-    out = paged_attention(q, k_cache, v_cache, bt, cl, scale=scale,
+    out = paged_attention(q, kv_cache, bt, cl, scale=scale,
                           k_scale=0.5, v_scale=2.0,
                           pages_per_compute_block=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=6e-2, rtol=6e-2)
+
+
+def test_paged_attention_soft_cap_in_kernel(rng):
+    q, kv_cache, bt, cl = _make_inputs(
+        rng, 3, 8, 4, 128, 16, num_blocks=16, max_ctx=50, dtype=jnp.float32)
+    scale = 128**-0.5
+    ref = paged_attention_reference(q, kv_cache, bt, cl, scale=scale,
+                                    logit_soft_cap=30.0)
+    out = paged_attention(q, kv_cache, bt, cl, scale=scale,
+                          logit_soft_cap=30.0, pages_per_compute_block=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_paged_attention_sliding_window_in_kernel(rng):
+    q, kv_cache, bt, cl = _make_inputs(
+        rng, 4, 8, 2, 128, 16, num_blocks=32, max_ctx=70, dtype=jnp.float32)
+    scale = 128**-0.5
+    ref = paged_attention_reference(q, kv_cache, bt, cl, scale=scale,
+                                    sliding_window=24)
+    out = paged_attention(q, kv_cache, bt, cl, scale=scale,
+                          sliding_window=24, pages_per_compute_block=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+    _dense_check(q, kv_cache, bt, cl, scale, out, sliding_window=24)
+
+
+def test_paged_attention_alibi_in_kernel(rng):
+    num_q, num_kv = 8, 4
+    q, kv_cache, bt, cl = _make_inputs(
+        rng, 3, num_q, num_kv, 128, 16, num_blocks=16, max_ctx=60,
+        dtype=jnp.float32)
+    scale = 128**-0.5
+    slopes = np.geomspace(0.5, 1 / 256, num_q).astype(np.float32)
+    ref = paged_attention_reference(q, kv_cache, bt, cl, scale=scale,
+                                    alibi_slopes=slopes)
+    out = paged_attention(q, kv_cache, bt, cl, scale=scale,
+                          alibi_slopes=slopes, pages_per_compute_block=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+    _dense_check(q, kv_cache, bt, cl, scale, out, alibi_slopes=slopes)

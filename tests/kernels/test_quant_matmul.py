@@ -113,3 +113,56 @@ class TestW4A8Paths:
                                      group_size=G)
         rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
         assert rel < 0.02, rel
+
+
+class TestInt8Channel:
+    def _mk(self, M=16, K=256, N=256, G=128, seed=3):
+        import numpy as np
+        import jax.numpy as jnp
+        from nmvllm_tpu.ops.quant_matmul import pack_weights
+        rng = np.random.default_rng(seed)
+        w_int = rng.integers(0, 16, (K, N))
+        qw = pack_weights(jnp.asarray(w_int), 4)
+        scales = jnp.asarray(np.abs(rng.normal(0, 0.02, (K // G, N))) + 1e-3,
+                             jnp.float32)
+        zeros = jnp.full((K // G, N), 8, jnp.int32)
+        x = jnp.asarray(rng.normal(0, 1, (M, K)), jnp.float32)
+        return x, w_int, qw, scales, zeros, G, K
+
+    def test_int8_channel_matches_dense(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from nmvllm_tpu.ops.quant_matmul import int8_channel_matmul
+        x, w_int, _, _, _, G, K = self._mk()
+        rng = np.random.default_rng(7)
+        w8 = jnp.asarray(rng.integers(-127, 128, (K, 256)), jnp.int8)
+        ch = jnp.asarray(np.abs(rng.normal(0, 0.01, (256,))) + 1e-4,
+                         jnp.float32)
+        out = int8_channel_matmul(x, w8, ch)
+        ref = x @ (w8.astype(jnp.float32) * ch[None, :])
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.02, rel  # activation-quant noise only
+
+    def test_requantize_channel_close_to_grouped(self):
+        """INT4-group -> int8-channel requantization adds only sub-INT4
+        rounding error (docs/PERF_NOTES.md channel-mode analysis)."""
+        import jax.numpy as jnp
+        from nmvllm_tpu.ops.quant_matmul import (
+            int8_channel_matmul, quant_matmul_reference,
+            requantize_grouped_to_int8_channel)
+        x, w_int, qw, scales, zeros, G, K = self._mk()
+        w8, ch = requantize_grouped_to_int8_channel(
+            qw, scales, zeros, bits=4, group_size=G, k=K)
+        # Weight-level: dequantized int8-channel vs dequantized int4-group.
+        w_ref = (jnp.asarray(w_int) - 8).astype(jnp.float32) * \
+            jnp.repeat(scales, G, axis=0)
+        w_req = w8.astype(jnp.float32) * ch[None, :]
+        wrel = float(jnp.linalg.norm(w_req - w_ref) /
+                     jnp.linalg.norm(w_ref))
+        assert wrel < 0.01, wrel
+        # Output-level through the serving kernel.
+        out = int8_channel_matmul(x, w8, ch)
+        ref = quant_matmul_reference(x, qw, scales, zeros, bits=4,
+                                     group_size=G)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.03, rel

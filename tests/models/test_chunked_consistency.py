@@ -31,9 +31,9 @@ def make_kv(runner, num_blocks=16):
     model = runner.model
     kv = []
     for _ in range(len(model.layers)):
-        shape = (model.total_num_kv_heads, num_blocks, 16, model.head_dim)
-        kv.append((jnp.zeros(shape, jnp.float32),
-                   jnp.zeros(shape, jnp.float32)))
+        shape = (num_blocks, 2, model.total_num_kv_heads, 16,
+                 model.head_dim)
+        kv.append(jnp.zeros(shape, jnp.float32))
     return kv
 
 

@@ -27,10 +27,9 @@ def test_embedding_pooled_forward():
 
     kv = []
     for _ in range(len(runner.model.layers)):
-        shape = (runner.model.total_num_kv_heads, 8, 16,
+        shape = (8, 2, runner.model.total_num_kv_heads, 16,
                  runner.model.head_dim)
-        kv.append((jnp.zeros(shape, jnp.float32),
-                   jnp.zeros(shape, jnp.float32)))
+        kv.append(jnp.zeros(shape, jnp.float32))
     meta = SequenceGroupMetadata(
         request_id="e", is_prompt=True,
         seq_data={0: SequenceData(list(range(3, 20)))},
