@@ -78,17 +78,16 @@ def run_decode_bench(model_name: str, quantization, batch: int,
     num_blocks = batch * blocks_per_seq + 1
     kv_caches = []
     for _ in range(num_layers):
-        shape = (model.total_num_kv_heads, num_blocks, block_size,
+        shape = (num_blocks, 2, model.total_num_kv_heads, block_size,
                  model.head_dim)
-        kv_caches.append((jnp.zeros(shape, jnp.bfloat16),
-                          jnp.zeros(shape, jnp.bfloat16)))
+        kv_caches.append(jnp.zeros(shape, jnp.bfloat16))
 
     import functools
     from jax.sharding import PartitionSpec as P
     from nmvllm_tpu.worker.runner import shard_map_fn
 
     param_specs = model.specs()
-    kv_specs = [(P("tp"), P("tp")) for _ in range(num_layers)]
+    kv_specs = [P(None, None, "tp") for _ in range(num_layers)]
 
     def fwd(params, kv_caches, tokens, positions, slots, block_tables, ctx):
         meta = AttentionMetadata(

@@ -135,6 +135,11 @@ class Scheduler:
         self.running: Deque[SequenceGroup] = deque()
         self.swapped: Deque[SequenceGroup] = deque()
         self.num_cumulative_preemption = 0
+        # Called with seq_id whenever a sequence's resources are released
+        # (finish/abort/preempt-recompute); used by stateful (Mamba) models
+        # to free recurrent-state slots (reference: finished_requests_ids
+        # plumbing for the Jamba cache).
+        self.free_seq_hooks = []
         self.prev_time = 0.0
         self.prev_prompt = False
         self.last_prompt_latency = 0.0
@@ -173,6 +178,8 @@ class Scheduler:
 
     def free_seq(self, seq: Sequence) -> None:
         self.block_manager.free(seq)
+        for hook in self.free_seq_hooks:
+            hook(seq.seq_id)
 
     def free_finished_seq_groups(self) -> None:
         self.running = deque(g for g in self.running if not g.is_finished())

@@ -61,6 +61,13 @@ class LLMEngine:
 
         self.scheduler = Scheduler(self.scheduler_config, self.cache_config,
                                    engine_config.lora_config)
+        if getattr(self.executor.runner.model, "has_state_layers", False):
+            # Stateful (Mamba/Jamba) models: free recurrent-state slots
+            # with the sequence, and preempt by recompute only (swapped-in
+            # sequences would resume with stale SSM state).
+            self.scheduler.free_seq_hooks.append(
+                self.executor.runner.free_state_slot)
+            self.scheduler.user_specified_preemption_mode = "recompute"
         self.stop_checker = StopChecker(self.scheduler_config.max_model_len)
         self.output_processor = SingleStepOutputProcessor(
             self.detokenizer, self.stop_checker, self.scheduler,

@@ -93,10 +93,11 @@ class TPUExecutor:
                          num_cpu_blocks: int) -> None:
         self.config.cache_config.num_gpu_blocks = num_gpu_blocks
         self.config.cache_config.num_cpu_blocks = num_cpu_blocks
-        self.cache_engine = CacheEngine(self.config.cache_config,
-                                        self.config.model_config,
-                                        self.config.parallel_config,
-                                        self.mesh)
+        self.cache_engine = CacheEngine(
+            self.config.cache_config, self.config.model_config,
+            self.config.parallel_config, self.mesh,
+            model=self.runner.model,
+            num_state_slots=self.runner.num_state_slots)
         self.cache_engine.allocate()
         if self.draft_runner is not None:
             self.draft_cache_engine = CacheEngine(

@@ -188,6 +188,9 @@ def load_safetensors_weights(model, params, model_dir: str, mesh,
                     _load_split_qkv(model, params, path,
                                     np.ascontiguousarray(arr.T), put)
                     continue
+                elif transform == "conv1d_dwt":
+                    # HF depthwise Conv1d weight (D, 1, W) -> ours (W, D).
+                    arr = np.ascontiguousarray(arr[:, 0, :].T)
                 elif transform == "pad_vocab_1d":
                     target = _get_in(params, path)
                     pad = target.shape[0] - arr.shape[0]

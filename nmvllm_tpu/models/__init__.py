@@ -59,6 +59,7 @@ _GENERATION_MODELS: Dict[str, str] = {
     "QuantMixtralForCausalLM":
         "nmvllm_tpu.models.mixtral:MixtralForCausalLM",
     "ArcticForCausalLM": "nmvllm_tpu.models.arctic:ArcticForCausalLM",
+    "JambaForCausalLM": "nmvllm_tpu.models.jamba:JambaForCausalLM",
 }
 
 _EMBEDDING_MODELS: Dict[str, str] = {

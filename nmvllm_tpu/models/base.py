@@ -19,12 +19,16 @@ class AttentionMetadata:
       seq_lens:     (B,) int32 number of new tokens this step per row.
       prefix_lens:  (B,) int32 tokens already cached before this step
                     (nonzero only for chunked prefill / prefix cache hits).
+      state_slots:  (B,) int32 recurrent-state slot per row (Mamba/Jamba
+                    layers; INT32_MAX on padding rows so state scatters
+                    drop). None for pure-attention models.
     """
     slot_mapping: jax.Array
     block_tables: jax.Array
     context_lens: jax.Array
     seq_lens: jax.Array
     prefix_lens: jax.Array
+    state_slots: Optional[jax.Array] = None
 
 
 # KV cache for one layer: one fused array

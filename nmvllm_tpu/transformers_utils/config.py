@@ -102,6 +102,21 @@ def _debug_mixtral():
                          max_position_embeddings=2048)
 
 
+@register_preset("debug-jamba")
+def _debug_jamba():
+    from transformers import JambaConfig
+    return JambaConfig(architectures=["JambaForCausalLM"],
+                       hidden_size=128, intermediate_size=256,
+                       num_hidden_layers=4, num_attention_heads=2,
+                       num_key_value_heads=1, vocab_size=512,
+                       attn_layer_offset=1, attn_layer_period=2,
+                       expert_layer_offset=1, expert_layer_period=2,
+                       num_experts=4, num_experts_per_tok=2,
+                       mamba_d_state=16, mamba_d_conv=4, mamba_expand=2,
+                       mamba_dt_rank=8, max_position_embeddings=2048,
+                       use_mamba_kernels=False)
+
+
 @register_preset("mixtral-8x7b")
 def _mixtral_8x7b():
     from transformers import MixtralConfig

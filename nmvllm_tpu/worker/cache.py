@@ -29,10 +29,16 @@ KVCaches = List[jax.Array]
 class CacheEngine:
 
     def __init__(self, cache_config: CacheConfig, model_config: ModelConfig,
-                 parallel_config: ParallelConfig, mesh) -> None:
+                 parallel_config: ParallelConfig, mesh,
+                 model=None, num_state_slots: int = 0) -> None:
         self.cache_config = cache_config
         self.model_config = model_config
         self.mesh = mesh
+        # Stateful (Mamba/Jamba) models describe a heterogeneous per-layer
+        # cache layout; plain models get uniform paged KV arrays.
+        self.state_layout = None
+        if model is not None and hasattr(model, "state_cache_layout"):
+            self.state_layout = model.state_cache_layout(num_state_slots)
         self.num_layers = model_config.get_num_layers(parallel_config)
         self.total_kv_heads = model_config.get_total_num_kv_heads()
         self.head_dim = model_config.get_head_size()
@@ -64,15 +70,25 @@ class CacheEngine:
         sharding = NamedSharding(self.mesh,
                                  P(None, None, TP_AXIS, None, None))
 
-        @jax.jit
-        def _zeros():
-            return jnp.zeros(shape, self.dtype)
+        def _alloc(shp, shard, dtype):
+            return jax.jit(lambda: jnp.zeros(shp, dtype),
+                           out_shardings=NamedSharding(self.mesh, shard))()
 
         self.kv_caches = []
         with self.mesh:
-            for _ in range(self.num_layers):
-                kv = jax.jit(_zeros, out_shardings=sharding)()
-                self.kv_caches.append(kv)
+            for li in range(self.num_layers):
+                desc = (self.state_layout[li]
+                        if self.state_layout is not None else "kv")
+                if desc == "kv":
+                    self.kv_caches.append(
+                        _alloc(shape, P(None, None, TP_AXIS, None, None),
+                               self.dtype))
+                else:
+                    # ((conv_shape, conv_pspec), (ssm_shape, ssm_pspec))
+                    # recurrent state pools; f32 for scan stability.
+                    entries = tuple(_alloc(shp, spec, jnp.float32)
+                                    for shp, spec in desc)
+                    self.kv_caches.append(entries)
         if self.num_cpu_blocks > 0:
             # Host swap pool: (layers, cpu_blocks, 2, H, bs, d) in numpy.
             self.cpu_pool = np.zeros(
@@ -89,7 +105,10 @@ class CacheEngine:
             return
         src = jnp.asarray([s for s, _ in src_to_dst], jnp.int32)
         dst = jnp.asarray([d for _, d in src_to_dst], jnp.int32)
-        self.kv_caches = _copy_blocks_op(self.kv_caches, src, dst)
+        paged = [c for c in self.kv_caches if not isinstance(c, tuple)]
+        copied = iter(_copy_blocks_op(paged, src, dst))
+        self.kv_caches = [c if isinstance(c, tuple) else next(copied)
+                          for c in self.kv_caches]
 
     def swap_out(self, src_to_dst: List[Tuple[int, int]]) -> None:
         if not src_to_dst:
@@ -98,6 +117,8 @@ class CacheEngine:
         host_ids = [d for _, d in src_to_dst]
         gather = jnp.asarray(dev_ids, jnp.int32)
         for li, kv in enumerate(self.kv_caches):
+            if isinstance(kv, tuple):  # recurrent state is never paged
+                continue
             pages = np.asarray(kv[gather])  # (P, 2, H, bs, d)
             if "float8" in self.dtype_name:
                 pages = pages.view(np.uint8)
@@ -111,6 +132,9 @@ class CacheEngine:
         dev_ids = jnp.asarray([d for _, d in src_to_dst], jnp.int32)
         new_caches = []
         for li, kv in enumerate(self.kv_caches):
+            if isinstance(kv, tuple):
+                new_caches.append(kv)
+                continue
             host_pages = self.cpu_pool[li][host_ids]
             if "float8" in self.dtype_name:
                 pages = jnp.asarray(host_pages).view(self.dtype)

@@ -152,6 +152,11 @@ class ModelRunner:
         self._rng = jax.random.PRNGKey(self.model_config.seed)
         self.max_blocks_per_seq = cdiv(self.scheduler_config.max_model_len,
                                        self.block_size)
+        # Recurrent-state slot pool (Mamba/Jamba layers): seq_id -> slot.
+        # Freed via the scheduler's free_seq hook (engine wiring).
+        self.num_state_slots = 2 * self.scheduler_config.max_num_seqs
+        self._state_slots: Dict[int, int] = {}
+        self._state_free: List[int] = list(range(self.num_state_slots))
 
     # ------------------------------------------------------------------ load
     def load_model(self) -> None:
@@ -379,6 +384,9 @@ class ModelRunner:
 
     # -------------------------------------------------------- compiled steps
     def _specs_tuple(self):
+        if hasattr(self.model, "cache_pspecs"):
+            # Heterogeneous caches (Jamba: paged KV + recurrent state).
+            return self._param_specs, self.model.cache_pspecs(self._kv_spec)
         kv_specs = [self._kv_spec for _ in range(len(self.model.layers))]
         return self._param_specs, kv_specs
 
@@ -393,12 +401,13 @@ class ModelRunner:
         vocab_size = self.vocab_size
 
         def fwd(params, kv_caches, tokens, positions, slots, block_tables,
-                ctx, lora_indices, lora_stacks):
+                ctx, state_slots, lora_indices, lora_stacks):
             from nmvllm_tpu.lora.context import lora_scope
             meta = AttentionMetadata(
                 slot_mapping=slots, block_tables=block_tables,
                 context_lens=ctx, seq_lens=jnp.ones_like(ctx),
-                prefix_lens=jnp.zeros_like(ctx))
+                prefix_lens=jnp.zeros_like(ctx),
+                state_slots=state_slots)
             scope = (lora_scope(lora_indices, lora_stacks) if use_lora
                      else contextlib.nullcontext())
             with scope:
@@ -411,16 +420,18 @@ class ModelRunner:
         lora_specs = (P(), self._lora_spec_tree())
         sharded_fwd = shard_map_fn(
             fwd, mesh,
-            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(),
+            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),
                       *lora_specs),
             out_specs=(P(), kv_specs))
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
-                 ctx, sampling_tensors, lora_indices, lora_stacks):
+                 ctx, state_slots, sampling_tensors, lora_indices,
+                 lora_stacks):
             logits, kv_caches = sharded_fwd(params, kv_caches, tokens,
                                             positions, slots, block_tables,
-                                            ctx, lora_indices, lora_stacks)
+                                            ctx, state_slots, lora_indices,
+                                            lora_stacks)
             out = sample(logits, sampling_tensors, vocab_size=vocab_size,
                          **flags)
             return kv_caches, out
@@ -445,6 +456,34 @@ class ModelRunner:
         use = bool(idx.any())
         return use, jnp.asarray(idx), self.lora_state.stacks
 
+    # -------------------------------------------------- recurrent state
+    def _model_is_stateful(self) -> bool:
+        return bool(getattr(self.model, "has_state_layers", False))
+
+    def state_slot_for(self, seq_id: int, create: bool = False) -> int:
+        if seq_id in self._state_slots:
+            return self._state_slots[seq_id]
+        if not create:
+            raise KeyError(f"no state slot for seq {seq_id}")
+        if not self._state_free:
+            raise RuntimeError("recurrent-state slot pool exhausted")
+        slot = self._state_free.pop()
+        self._state_slots[seq_id] = slot
+        return slot
+
+    def free_state_slot(self, seq_id: int) -> None:
+        slot = self._state_slots.pop(seq_id, None)
+        if slot is not None:
+            self._state_free.append(slot)
+
+    def _state_slots_for_rows(self, rows, batch_pad: int,
+                              create: bool = False) -> np.ndarray:
+        out = np.full((batch_pad,), np.iinfo(np.int32).max, np.int32)
+        if self._model_is_stateful():
+            for i, (meta, sid) in enumerate(rows):
+                out[i] = self.state_slot_for(sid, create=create)
+        return out
+
     def _get_prefill_fn(self, flags_key, has_prefix: bool, do_sample: bool,
                         n_samples: int = 1, use_lora: bool = False,
                         num_prompt_logprobs: int = 0,
@@ -460,13 +499,13 @@ class ModelRunner:
         vocab_size = self.vocab_size
 
         def fwd(params, kv_caches, tokens, positions, slots, block_tables,
-                ctx, seq_lens, prefix_lens, pixel_values, lora_indices,
-                lora_stacks):
+                ctx, seq_lens, prefix_lens, state_slots, pixel_values,
+                lora_indices, lora_stacks):
             from nmvllm_tpu.lora.context import lora_scope
             meta = AttentionMetadata(
                 slot_mapping=slots, block_tables=block_tables,
                 context_lens=ctx, seq_lens=seq_lens,
-                prefix_lens=prefix_lens)
+                prefix_lens=prefix_lens, state_slots=state_slots)
             scope = (lora_scope(lora_indices, lora_stacks) if use_lora
                      else contextlib.nullcontext())
             mm_kw = {"pixel_values": pixel_values} if has_image else {}
@@ -513,17 +552,17 @@ class ModelRunner:
         sharded_fwd = shard_map_fn(
             fwd, mesh,
             in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),
-                      P(), P(), *lora_specs),
+                      P(), P(), P(), *lora_specs),
             out_specs=(P(), prompt_lp_spec, kv_specs))
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
-                 ctx, seq_lens, prefix_lens, pixel_values,
+                 ctx, seq_lens, prefix_lens, state_slots, pixel_values,
                  sampling_tensors, lora_indices, lora_stacks):
             logits, prompt_lp, kv_caches = sharded_fwd(
                 params, kv_caches, tokens, positions, slots, block_tables,
-                ctx, seq_lens, prefix_lens, pixel_values, lora_indices,
-                lora_stacks)
+                ctx, seq_lens, prefix_lens, state_slots, pixel_values,
+                lora_indices, lora_stacks)
             if do_sample:
                 out = sample(logits, sampling_tensors,
                              vocab_size=vocab_size, **flags)
@@ -753,12 +792,14 @@ class ModelRunner:
         step = self._get_decode_fn(flags_key, use_lora)
         logger.debug("decode step: B=%d rows=%d flags=%s lora=%s", b,
                      len(prep.rows), flags, use_lora)
+        state_slots = self._state_slots_for_rows(prep.rows, b)
         kv_caches, out = step(self.params, kv_caches,
                               jnp.asarray(prep.tokens),
                               jnp.asarray(prep.positions),
                               jnp.asarray(prep.slot_mapping),
                               jnp.asarray(prep.block_tables),
-                              jnp.asarray(prep.context_lens), tensors,
+                              jnp.asarray(prep.context_lens),
+                              jnp.asarray(state_slots), tensors,
                               lora_idx, lora_stacks)
         sampler_output = self._to_sampler_output(out, prep.rows, metas)
         return kv_caches, sampler_output
@@ -917,11 +958,19 @@ class ModelRunner:
                      use_lora, has_image)
         pv = (jnp.asarray(pixel_values) if has_image
               else jnp.zeros((1, 1), jnp.float32))
+        if self._model_is_stateful() and len(seq_ids) > 1:
+            raise ValueError(
+                "best_of/beam groups are not supported for stateful "
+                "(Mamba) models: sibling sequences would need "
+                "copy-on-fork of the recurrent state.")
+        state_slots = self._state_slots_for_rows([(meta, seq_id)], 1,
+                                                 create=True)
         kv_caches, out, prompt_lp = step(
             self.params, kv_caches, jnp.asarray(tokens),
             jnp.asarray(positions), jnp.asarray(slots),
             jnp.asarray(block_tables), jnp.asarray(ctx),
-            jnp.asarray(seq_lens), jnp.asarray(prefix_lens), pv, tensors,
+            jnp.asarray(seq_lens), jnp.asarray(prefix_lens),
+            jnp.asarray(state_slots), pv, tensors,
             lora_idx, lora_stacks)
         plp_list = None
         if prompt_lp is not None:
