@@ -8,23 +8,23 @@ scales (+ optional asymmetric zero points) are dequantized in VMEM and fed to
 the MXU, so HBM traffic is the *packed* weight size — the kernel targets the
 HBM-bandwidth roofline the way Marlin does on GPU.
 
-Canonical packed layout (the analogue of ``gptq_marlin_repack``; every
-checkpoint format is converted to it once at load):
-  * K-major words ``(K // vals_per_word, N) int32``; word ``j`` holds k-rows
-    ``j*vpw .. j*vpw+vpw-1`` LSB-first — exactly the order Mosaic's
-    ``pltpu.bitcast(int32 → int4/int8)`` expands to, so in-kernel unpacking
-    is ONE hardware bitcast + dtype convert (no shift/mask chains).
-  * values are stored *bias-signed*: the two's-complement nibble/byte equals
-    ``v - 2^(bits-1)``. For 4-bit this is a nibble-wise XOR 0x8 of the raw
-    GPTQ encoding, so GPTQ qweight ingestion is ``qweight ^ 0x88888888``.
-  * ``scales``: ``(K // group_size, N) float32``; ``zeros``:
-    ``(K // group_size, N) int32`` (raw unsigned zero points; symmetric
-    checkpoints store ``2^(bits-1)`` and the kernel skips the correction).
+Canonical 4-bit packed layout (the analogue of ``gptq_marlin_repack``;
+every checkpoint format is converted to it once at load): the PAIRED
+UNSIGNED layout — pair partners sit 16 bits apart in each int32 word, so
+the kernel extracts two weights with ONE masked shift, then a
+``pltpu.bitcast(int32 → int16)`` (free) and ``int16 → bf16`` astype (same
+(16,128) tile geometry — NO sublane relayout, which was the measured wall
+of every earlier dequant path, docs/PERF_NOTES.md). Zero points (incl.
+the symmetric 2^(bits-1)) fold into a host-side
+``group_sums(x) @ (scales * zeros)`` correction so the kernel sees only
+unsigned values. Activations are permuted per scale group to match the
+pair order (static gather, cached).
 
-Kernel: grid ``(M/bm, N/bn, K/bk)``; a rolled ``fori_loop`` bitcasts +
-scales each group into a VMEM dequant scratch (≈3 VPU ops/element), then a
-single full-depth MXU dot per k-block accumulates into f32 scratch.
-Asymmetric zeros add ``(2^(b-1) - z) * s`` per group row-block.
+``scales``: ``(K // group_size, N) float32``; ``zeros``:
+``(K // group_size, N) int32`` (raw unsigned zero points).
+
+8-bit layers are served as plain bias-signed int8 via XLA fused dequant
+(measured faster than any Pallas W8 variant at decode batch sizes).
 """
 import functools
 from typing import Optional, Tuple
@@ -38,20 +38,59 @@ from nmvllm_tpu.ops.utils import pallas_interpret, use_pallas
 from nmvllm_tpu.utils import round_up
 
 
+def _pair_order_w4(k: int):
+    """Natural k-row order of the paired kernel's dequantized rows: the
+    [P0;P1;P2;P3] concat over 8-row word groups puts natural rows
+    (8j+2m, 8j+2m+1) into pair-slab m."""
+    import numpy as np
+    order = []
+    words = k // 8
+    for m in range(4):
+        for j in range(words):
+            order += [8 * j + 2 * m, 8 * j + 2 * m + 1]
+    return np.asarray(order)
+
+
+@functools.lru_cache(maxsize=None)
+def _w4_x_perm(k: int, block: int):
+    """Activation column permutation matching the paired layout, applied
+    per k-block of ``block`` rows (numpy; cached)."""
+    import numpy as np
+    base = _pair_order_w4(block)
+    return np.concatenate([base + s for s in range(0, k, block)])
+
+
 def pack_weights(w_int: jax.Array, bits: int,
                  group_size: int = 0) -> jax.Array:
     """Pack unsigned integer weights (values in [0, 2^bits)) into the
-    canonical bias-signed sequential layout.
+    canonical layout.
+
+    4-bit: the PAIRED layout — pair partners sit 16 bits apart
+    (natural row 8j+2m at bits [4m..4m+3], row 8j+2m+1 at
+    [16+4m..16+4m+3]) so the kernel extracts two weights with one masked
+    shift, then a relayout-free int32->int16 bitcast + int16->bf16
+    convert feeds the MXU (docs/PERF_NOTES.md "relayout-free paired
+    dequant"). Values stay UNSIGNED; zero points fold into a host-side
+    correction term.
+
+    8-bit: sequential bias-signed words (legacy layout; the 8-bit path
+    serves unpacked int8 instead).
 
     Args:
       w_int: (K, N) integer array (K-major weight).
-      bits: 4 or 8. group_size is accepted for API stability (layout is
-        group-independent).
+      bits: 4 or 8. group_size is accepted for API stability.
     Returns: (K // (32//bits), N) int32.
     """
     k, n = w_int.shape
     vpw = 32 // bits
     assert k % vpw == 0, (k, vpw)
+    if bits == 4:
+        w = w_int.astype(jnp.uint32)
+        packed = jnp.zeros((k // 8, n), jnp.uint32)
+        for m in range(4):
+            packed = packed | (w[2 * m::8] << (4 * m))
+            packed = packed | (w[2 * m + 1::8] << (16 + 4 * m))
+        return packed.astype(jnp.int32)
     half = 1 << (bits - 1)
     mask = (1 << bits) - 1
     w = (w_int.astype(jnp.int32) - half) & mask  # bias-signed bit pattern
@@ -65,16 +104,39 @@ def unpack_weights(packed: jax.Array, bits: int, group_size: int,
                    k: int) -> jax.Array:
     """Inverse of pack_weights → (K, N) int32 unsigned values."""
     vpw = 32 // bits
-    half = 1 << (bits - 1)
     mask = (1 << bits) - 1
     n = packed.shape[1]
     p = packed.astype(jnp.uint32)
+    if bits == 4:
+        out = jnp.zeros((k, n), jnp.uint32)
+        for m in range(4):
+            out = out.at[2 * m::8].set((p >> (4 * m)) & mask)
+            out = out.at[2 * m + 1::8].set((p >> (16 + 4 * m)) & mask)
+        return out.astype(jnp.int32)
+    half = 1 << (bits - 1)
     shifts = (jnp.arange(vpw, dtype=jnp.uint32) * bits)[:, None, None]
     vals = ((p[None, :, :] >> shifts) & mask).astype(jnp.int32)
     # Undo bias-signing: stored bits are (v - half) mod 2^bits.
     vals = (vals + half) & mask
     # (vpw, K/vpw, N) -> natural (K, N): row k = j*vpw + i.
     return vals.transpose(1, 0, 2).reshape(k, n)
+
+
+def pack_weights_sequential(w_int: jax.Array, bits: int,
+                            group_size: int = 0) -> jax.Array:
+    """LEGACY sequential bias-signed packing (LSB-first fields along K,
+    stored value = v - 2^(bits-1)). Kept for the w4a8_matmul experiment
+    kernel; the serving paths use the paired layout (pack_weights)."""
+    k, n = w_int.shape
+    vpw = 32 // bits
+    assert k % vpw == 0, (k, vpw)
+    half = 1 << (bits - 1)
+    mask = (1 << bits) - 1
+    w = (w_int.astype(jnp.int32) - half) & mask
+    w = w.astype(jnp.uint32).reshape(k // vpw, vpw, n)
+    shifts = (jnp.arange(vpw, dtype=jnp.uint32) * bits)[None, :, None]
+    packed = jnp.sum(w << shifts, axis=1, dtype=jnp.uint32)
+    return packed.astype(jnp.int32)
 
 
 def pack_fields(fields: jax.Array, bits: int, group_size: int) -> jax.Array:
@@ -149,6 +211,121 @@ def _quant_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _w4_paired_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, deq_ref, *,
+                      group_size: int, bk: int):
+    """Relayout-free paired W4 dequant-GEMM (docs/PERF_NOTES.md).
+
+    Per scale group: ONE masked shift per 2 weights extracts int16 pairs
+    (pltpu.bitcast int32->int16 is free; int16->bf16 astype shares the
+    (16,128) tile geometry so no sublane relayout), scale-multiply in the
+    activation dtype, one full-depth MXU dot per k-block. Zero points
+    (incl. the symmetric 2^(bits-1)) fold into a host-side
+    ``gsum @ (scales*zeros)`` correction, so the kernel only sees
+    unsigned values.
+    """
+    g = group_size
+    gpb = bk // g
+    wpg = g // 8
+    cdtype = deq_ref.dtype
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    g0 = pl.program_id(2) * gpb
+    mask = jnp.int32(0x000F000F)
+
+    def per_group(gi, _):
+        w = w_ref[pl.ds(pl.multiple_of(gi * wpg, wpg), wpg), :]
+        parts = []
+        for m in range(4):
+            p = jax.lax.shift_right_logical(w, jnp.int32(4 * m)) & mask
+            parts.append(pltpu.bitcast(p, jnp.int16))
+        wd = jnp.concatenate(parts, axis=0).astype(cdtype)
+        sg = s_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
+        deq_ref[pl.ds(pl.multiple_of(gi * g, g), g), :] = wd * sg
+        return 0
+
+    jax.lax.fori_loop(0, gpb, per_group, 0, unroll=False)
+    prec = (jax.lax.Precision.HIGHEST if cdtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    acc_ref[:] += jnp.dot(x_ref[:].astype(cdtype), deq_ref[:],
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
+                            block_m, block_n, block_k):
+    m, k = x.shape
+    n = qweight.shape[1]
+    g = group_size
+
+    # Host-side zero-point correction: out -= sum_g (sum_k x_gk) s_g z_g.
+    xf = x.astype(jnp.float32)
+    gsum = jnp.sum(xf.reshape(m, k // g, g), axis=-1)         # (M, K/g)
+    corr = jnp.dot(gsum, scales.astype(jnp.float32) *
+                   zeros.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)        # (M, N)
+
+    xp = jnp.take(x, _w4_x_perm(k, g), axis=1)
+
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    if block_m <= 0:
+        block_m = min(round_up(m, sublane), 256)
+    bm = min(block_m, round_up(m, sublane))
+    m_pad = round_up(m, bm)
+    if m_pad != m:
+        xp = jnp.pad(xp, ((0, m_pad - m), (0, 0)))
+    bk = g
+    d = g
+    limit = block_k if block_k > 0 else 2048
+    while d <= min(limit, k):
+        if k % d == 0:
+            bk = d
+        d += g
+    bn = min(block_n, n)
+    while n % bn != 0:
+        bn //= 2
+    assert n % bn == 0 and bn >= 128, (n, bn)
+
+    grid = (m_pad // bm, n // bn, k // bk)
+    kernel = functools.partial(_w4_paired_kernel, group_size=g, bk=bk)
+    acc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 8, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // g, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        # XLA:CPU (interpret mode) lacks a bf16 dot thunk under shard_map;
+        # run the interpreted dot in f32 there.
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
+                        pltpu.VMEM((bk, bn),
+                                   jnp.float32 if pallas_interpret()
+                                   else x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=(m_pad * k * x.dtype.itemsize + k * n // 2 +
+                            m_pad * n * 4),
+            transcendentals=0),
+        interpret=pallas_interpret(),
+    )(xp, qweight, scales)
+    return (acc[:m] - corr).astype(x.dtype)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("bits", "group_size", "symmetric",
                                     "block_m", "block_n", "block_k"))
@@ -175,6 +352,15 @@ def quant_matmul(
     assert qweight.shape[0] == k // vpw
     g = group_size
     assert k % g == 0
+    if bits == 4:
+        if g % 8 != 0:
+            # Paired layout needs whole 8-row words per group.
+            return quant_matmul_reference(x, qweight, scales, zeros,
+                                          bits=bits, group_size=g)
+        # Paired relayout-free kernel (the production 4-bit path).
+        return _quant_matmul_w4_paired(
+            x, qweight, scales, zeros, group_size=g, block_m=block_m,
+            block_n=block_n, block_k=block_k)
 
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     if block_m <= 0:
@@ -619,10 +805,25 @@ def requantize_grouped_to_int8_channel(
     return w8, ch_scale.astype(jnp.float32)
 
 
+def _unpack_weights_sequential(packed: jax.Array, bits: int,
+                               k: int) -> jax.Array:
+    """Inverse of pack_weights_sequential -> (K, N) int32 unsigned."""
+    vpw = 32 // bits
+    half = 1 << (bits - 1)
+    mask = (1 << bits) - 1
+    n = packed.shape[1]
+    p = packed.astype(jnp.uint32)
+    shifts = (jnp.arange(vpw, dtype=jnp.uint32) * bits)[:, None, None]
+    vals = ((p[None, :, :] >> shifts) & mask).astype(jnp.int32)
+    vals = (vals + half) & mask
+    return vals.transpose(1, 0, 2).reshape(k, n)
+
+
 def _w4a8_reference_acc(xq_perm, qweight, scales, g, k):
     """int32-exact reference of the kernel accumulation (permuted int8
-    activations x bias-signed int4 weights, per-group f32 scaling)."""
-    w_int = unpack_weights(qweight, 4, g, k)          # (K, N) unsigned
+    activations x bias-signed int4 weights, per-group f32 scaling).
+    LEGACY sequential layout (pack_weights_sequential)."""
+    w_int = _unpack_weights_sequential(qweight, 4, k)  # (K, N) unsigned
     w_signed = (w_int - 8).astype(jnp.int32)          # bias-signed values
     perm = _w4a8_perm(k, g)
     w_perm = w_signed[perm]                           # kernel k-order

@@ -45,19 +45,16 @@ def unpack_gptq_qzeros(qzeros: np.ndarray, bits: int) -> np.ndarray:
     return out + 1
 
 
-_XOR_BIAS = {4: 0x88888888, 8: 0x80808080, 2: 0xAAAAAAAA}
-
-
 def gptq_to_canonical(qweight: np.ndarray, qzeros: np.ndarray,
                       scales: np.ndarray, g_idx, bits: int,
                       group_size: int):
     """Repack a GPTQ checkpoint layer to the canonical kernel layout.
 
-    GPTQ's sequential LSB-first nibble packing is already the canonical
-    word order; converting unsigned nibbles to the bias-signed encoding is
-    a single XOR with 2^(bits-1) replicated per field. Act-order (g_idx)
-    checkpoints are dequantized and re-quantized group-contiguous (a pure
-    load-time transform, replacing the runtime activation permutation the
+    4-bit weights go to the PAIRED unsigned layout (pair partners 16
+    bits apart — see ops/quant_matmul.py pack_weights) serving the
+    relayout-free Pallas kernel. Act-order (g_idx) checkpoints are
+    dequantized and re-quantized group-contiguous (a pure load-time
+    transform, replacing the runtime activation permutation the
     reference's exllama kernel does).
     """
     import jax.numpy as jnp
@@ -81,9 +78,12 @@ def gptq_to_canonical(qweight: np.ndarray, qzeros: np.ndarray,
         w8 = (w_int - 128).astype(np.int8)
         return (jnp.asarray(w8), jnp.asarray(scales.astype(np.float32)),
                 jnp.asarray(zeros.astype(np.int32)))
-    packed = (qweight.view(np.uint32) ^
-              np.uint32(_XOR_BIAS[bits])).view(np.int32)
-    return (jnp.asarray(packed), jnp.asarray(scales.astype(np.float32)),
+    # 4-bit: GPTQ sequential nibbles -> the PAIRED unsigned layout
+    # (ops/quant_matmul.py pack_weights; relayout-free kernel).
+    w_int = unpack_gptq_qweight(qweight, bits)
+    from nmvllm_tpu.ops.quant_matmul import pack_weights
+    packed = pack_weights(jnp.asarray(w_int), bits, g)
+    return (packed, jnp.asarray(scales.astype(np.float32)),
             jnp.asarray(zeros.astype(np.int32)))
 
 

@@ -71,10 +71,14 @@ class TestW4A8Paths:
     def _mk(self, M=16, K=512, N=256, G=128, seed=0):
         import numpy as np
         import jax.numpy as jnp
-        from nmvllm_tpu.ops.quant_matmul import pack_weights
+        from nmvllm_tpu.ops.quant_matmul import (pack_weights,
+                                                 pack_weights_sequential)
         rng = np.random.default_rng(seed)
         w_int = rng.integers(0, 16, (K, N))
-        qw = pack_weights(jnp.asarray(w_int), 4)
+        # Legacy sequential layout for the w4a8 experiment kernel; paired
+        # canonical layout for the serving-path reference.
+        qw = pack_weights_sequential(jnp.asarray(w_int), 4)
+        self.qw_paired = pack_weights(jnp.asarray(w_int), 4)
         scales = jnp.asarray(rng.normal(0, 0.02, (K // G, N)), jnp.float32)
         zeros = jnp.full((K // G, N), 8, jnp.int32)
         x = jnp.asarray(rng.normal(0, 1, (M, K)), jnp.float32)
@@ -86,8 +90,8 @@ class TestW4A8Paths:
                                                  w4a8_matmul)
         x, _, qw, scales, zeros, G, K = self._mk()
         out = w4a8_matmul(x, qw, scales, group_size=G)
-        ref = quant_matmul_reference(x, qw, scales, zeros, bits=4,
-                                     group_size=G)
+        ref = quant_matmul_reference(x, self.qw_paired, scales, zeros,
+                                     bits=4, group_size=G)
         rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
         assert rel < 0.02, rel  # activation-quant noise only
 
@@ -109,8 +113,8 @@ class TestW4A8Paths:
         x, w_int, qw, scales, zeros, G, K = self._mk()
         w8 = jnp.asarray(w_int - 8, jnp.int8)
         out = int8_grouped_matmul(x, w8, scales, group_size=G)
-        ref = quant_matmul_reference(x, qw, scales, zeros, bits=4,
-                                     group_size=G)
+        ref = quant_matmul_reference(x, self.qw_paired, scales, zeros,
+                                     bits=4, group_size=G)
         rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
         assert rel < 0.02, rel
 
