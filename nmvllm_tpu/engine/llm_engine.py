@@ -172,7 +172,7 @@ class LLMEngine:
             # Expand each image placeholder to num_image_tokens repeats
             # (reference: llava input processor / image_feature_size).
             tok = model.image_token_index
-            n = model.num_image_tokens
+            n = mapped_mm.get("num_image_tokens") or model.num_image_tokens
             expanded = []
             for t in prompt_token_ids:
                 expanded.extend([tok] * n if t == tok else [t])

@@ -188,6 +188,8 @@ def load_safetensors_weights(model, params, model_dir: str, mesh,
                     _load_split_qkv(model, params, path,
                                     np.ascontiguousarray(arr.T), put)
                     continue
+                elif transform == "squeeze0":
+                    arr = arr[0]
                 elif transform == "conv1d_dwt":
                     # HF depthwise Conv1d weight (D, 1, W) -> ours (W, D).
                     arr = np.ascontiguousarray(arr[:, 0, :].T)

@@ -60,6 +60,7 @@ _GENERATION_MODELS: Dict[str, str] = {
         "nmvllm_tpu.models.mixtral:MixtralForCausalLM",
     "ArcticForCausalLM": "nmvllm_tpu.models.arctic:ArcticForCausalLM",
     "JambaForCausalLM": "nmvllm_tpu.models.jamba:JambaForCausalLM",
+    "Phi3VForCausalLM": "nmvllm_tpu.models.phi3v:Phi3VForCausalLM",
 }
 
 _EMBEDDING_MODELS: Dict[str, str] = {

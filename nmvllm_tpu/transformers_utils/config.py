@@ -102,6 +102,24 @@ def _debug_mixtral():
                          max_position_embeddings=2048)
 
 
+@register_preset("debug-phi3v")
+def _debug_phi3v():
+    from types import SimpleNamespace
+    from transformers import Phi3Config
+    cfg = Phi3Config(architectures=["Phi3VForCausalLM"],
+                     hidden_size=256, intermediate_size=512,
+                     num_hidden_layers=2, num_attention_heads=2,
+                     num_key_value_heads=1, vocab_size=512,
+                     max_position_embeddings=2048)
+    cfg.image_token_id = 500
+    cfg.num_crops = 4
+    cfg.vision_config = SimpleNamespace(
+        hidden_size=64, intermediate_size=128, num_attention_heads=2,
+        num_hidden_layers=2, image_size=32, patch_size=8,
+        layer_norm_eps=1e-5)
+    return cfg
+
+
 @register_preset("debug-jamba")
 def _debug_jamba():
     from transformers import JambaConfig

@@ -487,9 +487,9 @@ class ModelRunner:
     def _get_prefill_fn(self, flags_key, has_prefix: bool, do_sample: bool,
                         n_samples: int = 1, use_lora: bool = False,
                         num_prompt_logprobs: int = 0,
-                        has_image: bool = False):
+                        has_image: bool = False, image_key=None):
         key = ("prefill", flags_key, has_prefix, do_sample, n_samples,
-               use_lora, num_prompt_logprobs, has_image)
+               use_lora, num_prompt_logprobs, has_image, image_key)
         if key in self._step_fns:
             return self._step_fns[key]
         flags = dict(flags_key)
@@ -509,6 +509,9 @@ class ModelRunner:
             scope = (lora_scope(lora_indices, lora_stacks) if use_lora
                      else contextlib.nullcontext())
             mm_kw = {"pixel_values": pixel_values} if has_image else {}
+            if has_image and image_key is not None:
+                # Static crop-grid metadata (phi3v HD transform).
+                mm_kw["image_sizes"] = image_key
             with scope:
                 x, kv_caches = model.forward(params, tokens, positions,
                                              kv_caches, meta,
@@ -949,10 +952,14 @@ class ModelRunner:
             raise ValueError(
                 "Vision prompts must prefill in a single chunk; disable "
                 "chunked prefill or raise max_num_batched_tokens.")
+        img_sizes = mm.get("image_sizes") if isinstance(mm, dict) else None
+        image_key = (tuple(int(v) for v in np.asarray(img_sizes).reshape(-1))
+                     if img_sizes is not None else None)
         step = self._get_prefill_fn(flags_key, has_prefix, meta.do_sample,
                                     n_samples=len(rows), use_lora=use_lora,
                                     num_prompt_logprobs=num_plp,
-                                    has_image=has_image)
+                                    has_image=has_image,
+                                    image_key=image_key)
         logger.debug("prefill step: T=%d chunk=%d prefix=%s flags=%s "
                      "lora=%s image=%s", t, chunk, has_prefix, flags,
                      use_lora, has_image)
