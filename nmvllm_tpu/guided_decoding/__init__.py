@@ -8,8 +8,8 @@ the host; each step the automaton's allowed-token mask for every guided row
 is shipped with the sampling tensors and applied in-graph (the
 ``banned_tokens`` mechanism generalized to an allow-list mask). The native
 backend implements `choice` via a token trie and `json`/`regex` via a
-dependency-free regex->DFA compiler (regex_fsm.py); `grammar` is staged
-for a later round.
+dependency-free regex->DFA compiler (regex_fsm.py); `grammar` via a
+Lark-subset CFG -> char-level Earley recognizer (grammar_fsm.py).
 """
 import asyncio
 from typing import List, Optional
@@ -56,9 +56,9 @@ def _processor_factory(json_c, regex_c, choice_c, grammar_c,
         pattern = schema_to_regex(json_c)
         return lambda tok: RegexLogitsProcessor(tok, pattern)
     if grammar_c is not None:
-        raise ValueError(
-            "guided_grammar is not yet supported by the native TPU "
-            "guided-decoding backend.")
+        from nmvllm_tpu.guided_decoding.grammar_fsm import (
+            GrammarLogitsProcessor)
+        return lambda tok: GrammarLogitsProcessor(tok, grammar_c)
     rf_type = getattr(response_format, "type", None) if response_format \
         is not None else None
     if rf_type is None and isinstance(response_format, dict):

@@ -271,7 +271,13 @@ def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
                    zeros.astype(jnp.float32),
                    preferred_element_type=jnp.float32)        # (M, N)
 
-    xp = jnp.take(x, _w4_x_perm(k, g), axis=1)
+    # Pair-order permutation, expressed as reshape/transpose (NOT a
+    # gather — XLA lowers arbitrary column gathers to per-column copies
+    # on TPU). Within each group, natural row 8j+t maps to slab t//2,
+    # position (j, t%2): (m, nG, wpg, 4, 2) -> (m, nG, 4, wpg, 2).
+    wpg8 = g // 8
+    xp = x.reshape(m, k // g, wpg8, 4, 2).transpose(0, 1, 3, 2, 4)
+    xp = xp.reshape(m, k)
 
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     if block_m <= 0:
@@ -339,7 +345,7 @@ def quant_matmul(
     group_size: int,
     symmetric: bool = False,
     block_m: int = 0,
-    block_n: int = 512,
+    block_n: int = 0,
     block_k: int = 0,
 ) -> jax.Array:
     """y[M, N] = x @ dequant(qweight)."""
@@ -360,7 +366,7 @@ def quant_matmul(
         # Paired relayout-free kernel (the production 4-bit path).
         return _quant_matmul_w4_paired(
             x, qweight, scales, zeros, group_size=g, block_m=block_m,
-            block_n=block_n, block_k=block_k)
+            block_n=block_n or 1024, block_k=block_k)
 
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     if block_m <= 0:
@@ -380,7 +386,7 @@ def quant_matmul(
             bk = d
         d += g
     assert k % bk == 0 and bk % g == 0, (k, bk, g)
-    bn = min(block_n, n)
+    bn = min(block_n or 512, n)
     while n % bn != 0:
         bn //= 2
     assert n % bn == 0 and bn >= 128, (n, bn)
