@@ -17,8 +17,9 @@ the kernel extracts two weights with ONE masked shift, then a
 of every earlier dequant path, docs/PERF_NOTES.md). Zero points (incl.
 the symmetric 2^(bits-1)) fold into a host-side
 ``group_sums(x) @ (scales * zeros)`` correction so the kernel sees only
-unsigned values. Activations are permuted per scale group to match the
-pair order (static gather, cached).
+unsigned values. The slab-major packing reproduces the natural row order
+in-kernel, so activations go in unpermuted (column gathers and odd
+transposes are slow on TPU).
 
 ``scales``: ``(K // group_size, N) float32``; ``zeros``:
 ``(K // group_size, N) int32`` (raw unsigned zero points).
@@ -38,26 +39,9 @@ from nmvllm_tpu.ops.utils import pallas_interpret, use_pallas
 from nmvllm_tpu.utils import round_up
 
 
-def _pair_order_w4(k: int):
-    """Natural k-row order of the paired kernel's dequantized rows: the
-    [P0;P1;P2;P3] concat over 8-row word groups puts natural rows
-    (8j+2m, 8j+2m+1) into pair-slab m."""
-    import numpy as np
-    order = []
-    words = k // 8
-    for m in range(4):
-        for j in range(words):
-            order += [8 * j + 2 * m, 8 * j + 2 * m + 1]
-    return np.asarray(order)
-
-
-@functools.lru_cache(maxsize=None)
-def _w4_x_perm(k: int, block: int):
-    """Activation column permutation matching the paired layout, applied
-    per k-block of ``block`` rows (numpy; cached)."""
-    import numpy as np
-    base = _pair_order_w4(block)
-    return np.concatenate([base + s for s in range(0, k, block)])
+def _w4_group(group_size: int, k: int) -> int:
+    g = group_size if group_size and group_size > 0 else k
+    return g
 
 
 def pack_weights(w_int: jax.Array, bits: int,
@@ -65,11 +49,14 @@ def pack_weights(w_int: jax.Array, bits: int,
     """Pack unsigned integer weights (values in [0, 2^bits)) into the
     canonical layout.
 
-    4-bit: the PAIRED layout — pair partners sit 16 bits apart
-    (natural row 8j+2m at bits [4m..4m+3], row 8j+2m+1 at
-    [16+4m..16+4m+3]) so the kernel extracts two weights with one masked
-    shift, then a relayout-free int32->int16 bitcast + int16->bf16
-    convert feeds the MXU (docs/PERF_NOTES.md "relayout-free paired
+    4-bit: the PAIRED SLAB-MAJOR layout. Within each scale group of g
+    rows (w = g/8 words, slab stride s = g/4): word j holds natural rows
+    ``m*s + 2j + r`` at bit ``4m + 16r`` (m = slab 0..3, r = pair half).
+    The kernel extracts two weights with ONE masked shift per slab, and
+    the [P0;P1;P2;P3] sublane concat reproduces the NATURAL row order —
+    no activation permutation is needed (column gathers/odd transposes
+    are slow on TPU), and the int32->int16 bitcast + int16->bf16 convert
+    are relayout-free (docs/PERF_NOTES.md "relayout-free paired
     dequant"). Values stay UNSIGNED; zero points fold into a host-side
     correction term.
 
@@ -78,19 +65,23 @@ def pack_weights(w_int: jax.Array, bits: int,
 
     Args:
       w_int: (K, N) integer array (K-major weight).
-      bits: 4 or 8. group_size is accepted for API stability.
+      bits: 4 or 8.
+      group_size: scale-group length along K (4-bit layout block;
+        0/None/-1 = per-channel, i.e. one block of K rows).
     Returns: (K // (32//bits), N) int32.
     """
     k, n = w_int.shape
     vpw = 32 // bits
     assert k % vpw == 0, (k, vpw)
     if bits == 4:
-        w = w_int.astype(jnp.uint32)
-        packed = jnp.zeros((k // 8, n), jnp.uint32)
+        g = _w4_group(group_size, k)
+        assert k % g == 0 and g % 8 == 0, (k, g)
+        w = w_int.astype(jnp.uint32).reshape(k // g, 4, g // 8, 2, n)
+        packed = jnp.zeros((k // g, g // 8, n), jnp.uint32)
         for m in range(4):
-            packed = packed | (w[2 * m::8] << (4 * m))
-            packed = packed | (w[2 * m + 1::8] << (16 + 4 * m))
-        return packed.astype(jnp.int32)
+            for r in range(2):
+                packed = packed | (w[:, m, :, r] << (4 * m + 16 * r))
+        return packed.reshape(k // 8, n).astype(jnp.int32)
     half = 1 << (bits - 1)
     mask = (1 << bits) - 1
     w = (w_int.astype(jnp.int32) - half) & mask  # bias-signed bit pattern
@@ -108,11 +99,14 @@ def unpack_weights(packed: jax.Array, bits: int, group_size: int,
     n = packed.shape[1]
     p = packed.astype(jnp.uint32)
     if bits == 4:
-        out = jnp.zeros((k, n), jnp.uint32)
+        g = _w4_group(group_size, k)
+        p = p.reshape(k // g, g // 8, n)
+        out = jnp.zeros((k // g, 4, g // 8, 2, n), jnp.uint32)
         for m in range(4):
-            out = out.at[2 * m::8].set((p >> (4 * m)) & mask)
-            out = out.at[2 * m + 1::8].set((p >> (16 + 4 * m)) & mask)
-        return out.astype(jnp.int32)
+            for r in range(2):
+                out = out.at[:, m, :, r].set(
+                    (p >> (4 * m + 16 * r)) & mask)
+        return out.reshape(k, n).astype(jnp.int32)
     half = 1 << (bits - 1)
     shifts = (jnp.arange(vpw, dtype=jnp.uint32) * bits)[:, None, None]
     vals = ((p[None, :, :] >> shifts) & mask).astype(jnp.int32)
@@ -271,13 +265,9 @@ def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
                    zeros.astype(jnp.float32),
                    preferred_element_type=jnp.float32)        # (M, N)
 
-    # Pair-order permutation, expressed as reshape/transpose (NOT a
-    # gather — XLA lowers arbitrary column gathers to per-column copies
-    # on TPU). Within each group, natural row 8j+t maps to slab t//2,
-    # position (j, t%2): (m, nG, wpg, 4, 2) -> (m, nG, 4, wpg, 2).
-    wpg8 = g // 8
-    xp = x.reshape(m, k // g, wpg8, 4, 2).transpose(0, 1, 3, 2, 4)
-    xp = xp.reshape(m, k)
+    # Slab-major packing reproduces the natural row order in-kernel:
+    # activations go in unpermuted.
+    xp = x
 
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     if block_m <= 0:
@@ -893,5 +883,5 @@ def quantize_weights_to_packed(
         zeros_arr = zero[:, 0, :].astype(jnp.int32)
         q = jnp.clip(jnp.round(wt / jnp.maximum(scale, 1e-10)) + zero, 0,
                      qmax)
-    qweight = pack_weights(q.reshape(k, n).astype(jnp.int32), bits)
+    qweight = pack_weights(q.reshape(k, n).astype(jnp.int32), bits, g)
     return qweight, scale[:, 0, :].astype(jnp.float32), zeros_arr

@@ -78,7 +78,7 @@ class TestW4A8Paths:
         # Legacy sequential layout for the w4a8 experiment kernel; paired
         # canonical layout for the serving-path reference.
         qw = pack_weights_sequential(jnp.asarray(w_int), 4)
-        self.qw_paired = pack_weights(jnp.asarray(w_int), 4)
+        self.qw_paired = pack_weights(jnp.asarray(w_int), 4, G)
         scales = jnp.asarray(rng.normal(0, 0.02, (K // G, N)), jnp.float32)
         zeros = jnp.full((K // G, N), 8, jnp.int32)
         x = jnp.asarray(rng.normal(0, 1, (M, K)), jnp.float32)
@@ -126,7 +126,7 @@ class TestInt8Channel:
         from nmvllm_tpu.ops.quant_matmul import pack_weights
         rng = np.random.default_rng(seed)
         w_int = rng.integers(0, 16, (K, N))
-        qw = pack_weights(jnp.asarray(w_int), 4)
+        qw = pack_weights(jnp.asarray(w_int), 4, G)
         scales = jnp.asarray(np.abs(rng.normal(0, 0.02, (K // G, N))) + 1e-3,
                              jnp.float32)
         zeros = jnp.full((K // G, N), 8, jnp.int32)
