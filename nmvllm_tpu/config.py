@@ -458,7 +458,8 @@ class EngineConfig:
 class LoadConfig:
     """Weight-loading strategy (reference: vllm/config.py:604).
 
-    load_format: auto | safetensors | dummy | sharded_state | orbax
+    load_format: auto | safetensors | dummy | sharded_state | orbax |
+                 tensorizer
     """
     load_format: str = "auto"
     download_dir: Optional[str] = None
@@ -466,6 +467,6 @@ class LoadConfig:
 
     def __post_init__(self):
         valid = ("auto", "safetensors", "pt", "dummy", "sharded_state",
-                 "orbax")
+                 "orbax", "tensorizer")
         if self.load_format not in valid:
             raise ValueError(f"load_format must be one of {valid}.")

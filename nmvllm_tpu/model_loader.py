@@ -419,6 +419,41 @@ def load_sharded_state(model, mesh, path: str):
     return ckptr.restore(os.path.abspath(path), target)
 
 
+def load_tensorizer_weights(model, params, uri: str,
+                            extra_config: Dict[str, Any]):
+    """Stream a tensorizer-serialized checkpoint into the params tree
+    (reference: model_loader/tensorizer.py TensorizerLoader:336 —
+    streamed, optionally encrypted tensors). Requires the optional
+    ``tensorizer`` package; tensor names map through the same
+    hf_name_map as safetensors loading."""
+    try:
+        from tensorizer import TensorDeserializer
+        from tensorizer.stream_io import open_stream
+    except ImportError as e:
+        raise ImportError(
+            "load_format='tensorizer' requires the optional `tensorizer` "
+            "package (reference model_loader/tensorizer.py). It is not "
+            "installed in this environment; use safetensors / "
+            "sharded_state (orbax) loading instead.") from e
+    name_map = model.hf_name_map()
+    stream = open_stream(uri, mode="rb",
+                         **(extra_config.get("stream_params") or {}))
+    with TensorDeserializer(stream, lazy_load=True,
+                            **(extra_config.get("deserializer_params")
+                               or {})) as des:
+        for name, arr in des.items():
+            if name not in name_map:
+                continue
+            path, transform = name_map[name]
+            np_arr = np.asarray(arr)
+            if transform == "transpose":
+                np_arr = np.ascontiguousarray(np_arr.T)
+            target = _get_in(params, path)
+            a = jnp.asarray(np_arr).astype(target.dtype)
+            _set_in(params, path, jax.device_put(a, target.sharding))
+    return params
+
+
 def get_model(engine_config: EngineConfig, mesh):
     """Build the model and its (sharded) params per LoadConfig."""
     model = build_model(engine_config)
@@ -429,6 +464,14 @@ def get_model(engine_config: EngineConfig, mesh):
                           exists(os.path.join(model_config.model,
                                               "_CHECKPOINT_METADATA"))):
         params = load_sharded_state(model, mesh, model_config.model)
+        if hasattr(model, "post_process_weights"):
+            params = model.post_process_weights(params)
+        return model, params
+    if fmt == "tensorizer":
+        params = init_params_on_mesh(model, mesh, model_config.seed)
+        params = load_tensorizer_weights(
+            model, params, model_config.model,
+            (load_config.model_loader_extra_config or {}))
         if hasattr(model, "post_process_weights"):
             params = model.post_process_weights(params)
         return model, params
