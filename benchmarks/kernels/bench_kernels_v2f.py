@@ -74,8 +74,9 @@ def bench_quant_shapes(reps):
         def many(x):
             def body(i, xx):
                 y = quant_matmul(xx, qw, s, z, bits=4, group_size=G)
-                return xx + y[:, :K].astype(jnp.bfloat16) * \
-                    jnp.bfloat16(1e-8)
+                kk2 = min(K, y.shape[1])
+                return xx.at[:, :kk2].add(
+                    y[:, :kk2].astype(jnp.bfloat16) * jnp.bfloat16(1e-8))
             return jax.lax.fori_loop(0, reps, body, x)
 
         dt = timed(many, x) / reps

@@ -30,6 +30,7 @@ def write_to_kv_cache(kv_cache: jax.Array, key: jax.Array, value: jax.Array,
     update).
     """
     num_blocks, _, num_kv_heads, block_size, head_dim = kv_cache.shape
+    t = key.shape[0]
     # Negative sentinel slots (padding rows) must be remapped to a value
     # PAST the end: JAX scatter `mode="drop"` only drops out-of-bounds
     # indices, while negative indices WRAP to the end of the cache.
@@ -37,10 +38,26 @@ def write_to_kv_cache(kv_cache: jax.Array, key: jax.Array, value: jax.Array,
                              slot_mapping)
     blocks = slot_mapping // block_size
     offs = slot_mapping % block_size
-    # (T, 2, H, d) stacked new vectors; scatter rows at [block, :, :, off].
+    # Flatten to a SINGLE-dim row scatter: multi-dim scatters with two
+    # index vectors lower catastrophically on TPU (~1 ms/layer measured);
+    # a flat row scatter is the same op the pre-fused layout used.
+    flat = kv_cache.reshape(num_blocks * 2 * num_kv_heads * block_size,
+                            head_dim)
+    # Row of (token, kv_half, head): ((block*2 + kvi)*H + h)*bs + off.
+    kvi = jnp.arange(2, dtype=jnp.int32)[None, :, None]
+    h = jnp.arange(num_kv_heads, dtype=jnp.int32)[None, None, :]
+    rows = ((blocks[:, None, None] * 2 + kvi) * num_kv_heads + h) * \
+        block_size + offs[:, None, None]              # (T, 2, H)
+    # Padding rows: block = huge -> row index overflows past the end and
+    # the scatter drops it (guard the multiply against int32 overflow by
+    # recomputing the sentinel post-transform).
+    rows = jnp.where(blocks[:, None, None] >= num_blocks,
+                     jnp.iinfo(jnp.int32).max, rows)
     kv_new = jnp.stack([key, value], axis=1).astype(kv_cache.dtype)
-    return kv_cache.at[blocks, :, :, offs].set(
-        kv_new, mode="drop", unique_indices=True)
+    flat = flat.at[rows.reshape(-1)].set(
+        kv_new.reshape(t * 2 * num_kv_heads, head_dim), mode="drop",
+        unique_indices=True)
+    return flat.reshape(kv_cache.shape)
 
 
 def copy_blocks(caches: List[jax.Array], src_ids: jax.Array,
