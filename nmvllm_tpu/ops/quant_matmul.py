@@ -205,17 +205,18 @@ def _quant_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _w4_paired_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, deq_ref, *,
-                      group_size: int, bk: int):
+def _w4_paired_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
+                      deq_ref, *, group_size: int, bk: int):
     """Relayout-free paired W4 dequant-GEMM (docs/PERF_NOTES.md).
 
     Per scale group: ONE masked shift per 2 weights extracts int16 pairs
     (pltpu.bitcast int32->int16 is free; int16->bf16 astype shares the
-    (16,128) tile geometry so no sublane relayout), scale-multiply in the
-    activation dtype, one full-depth MXU dot per k-block. Zero points
-    (incl. the symmetric 2^(bits-1)) fold into a host-side
-    ``gsum @ (scales*zeros)`` correction, so the kernel only sees
-    unsigned values.
+    (16,128) tile geometry so no sublane relayout), zero-point subtract +
+    scale-multiply in the activation dtype (u and z are 4-bit ints —
+    exact in bf16), one full-depth MXU dot per k-block. The subtraction
+    lives IN-KERNEL because the host-side gsum@(s*z) correction measured
+    0.5-1.7 ms of small-op XLA latency per call (docs/PERF_NOTES.md
+    "per-op fixed costs").
     """
     g = group_size
     gpb = bk // g
@@ -237,7 +238,8 @@ def _w4_paired_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, deq_ref, *,
             parts.append(pltpu.bitcast(p, jnp.int16))
         wd = jnp.concatenate(parts, axis=0).astype(cdtype)
         sg = s_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
-        deq_ref[pl.ds(pl.multiple_of(gi * g, g), g), :] = wd * sg
+        zg = z_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
+        deq_ref[pl.ds(pl.multiple_of(gi * g, g), g), :] = (wd - zg) * sg
         return 0
 
     jax.lax.fori_loop(0, gpb, per_group, 0, unroll=False)
@@ -257,16 +259,9 @@ def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
     m, k = x.shape
     n = qweight.shape[1]
     g = group_size
-
-    # Host-side zero-point correction: out -= sum_g (sum_k x_gk) s_g z_g.
-    xf = x.astype(jnp.float32)
-    gsum = jnp.sum(xf.reshape(m, k // g, g), axis=-1)         # (M, K/g)
-    corr = jnp.dot(gsum, scales.astype(jnp.float32) *
-                   zeros.astype(jnp.float32),
-                   preferred_element_type=jnp.float32)        # (M, N)
-
-    # Slab-major packing reproduces the natural row order in-kernel:
-    # activations go in unpermuted.
+    # Slab-major packing reproduces the natural row order in-kernel;
+    # zero points subtract in-kernel: activations go in unpermuted and
+    # there is no host-side epilogue beyond the dtype cast.
     xp = x
 
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
@@ -300,6 +295,8 @@ def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k // g, bn), lambda i, j, kk: (0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // g, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
@@ -318,8 +315,8 @@ def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
                             m_pad * n * 4),
             transcendentals=0),
         interpret=pallas_interpret(),
-    )(xp, qweight, scales)
-    return (acc[:m] - corr).astype(x.dtype)
+    )(xp, qweight, scales, zeros)
+    return acc[:m].astype(x.dtype)
 
 
 @functools.partial(jax.jit,
