@@ -29,3 +29,18 @@ print(post("/v1/completions", {
                     "properties": {"name": {"type": "string"},
                                    "count": {"type": "integer"}},
                     "required": ["name", "count"]}}))
+
+
+def grammar_example():
+    """guided_grammar: Lark-subset CFG constraint (native Earley backend,
+    guided_decoding/grammar_fsm.py). Works offline and over the server
+    via the OpenAI `guided_grammar` extension field."""
+    from nmvllm_tpu.guided_decoding.grammar_fsm import GrammarLogitsProcessor
+    grammar = r"""
+    start : "(" NUMBER ("," NUMBER)* ")"
+    NUMBER: /[0-9]+/
+    """
+    # Attach through SamplingParams.logits_processors or the server's
+    # guided_grammar request field; see tests/entrypoints/
+    # test_guided_grammar.py for the mask-level API.
+    return grammar

@@ -20,11 +20,16 @@ import jax.numpy as jnp
 from nmvllm_tpu.ops.utils import pallas_interpret, use_pallas
 
 
-def _write_kernel(slots_ref, k_ref, v_ref, kv_hbm, kv_out, sem, *,
-                  block_size: int):
-    """Per-token DMA writes into the aliased cache (TPU scatters
-    serialize per index row — measured 0.7-1.2 ms/layer for the
-    flat/5-D scatter forms; two small DMAs per token are ~1 us each)."""
+def _write_kernel(slots_ref, k_ref, v_ref, kv_hbm, kv_out, page_buf, sem,
+                  *, block_size: int):
+    """Per-token page read-modify-write into the aliased cache.
+
+    TPU scatters serialize per index row (0.7-1.2 ms/layer measured for
+    the flat/5-D scatter forms) and DMA cannot target a dynamic sublane
+    offset inside a tiled page, so: DMA the whole page into VMEM, insert
+    the token's K and V rows at the in-page offset, DMA it back. Pages
+    are ~128 KB — two page copies per token are ~3 us. Sequential grid
+    order keeps same-page tokens (chunked prefill) correct."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     t = pl.program_id(0)
@@ -34,14 +39,15 @@ def _write_kernel(slots_ref, k_ref, v_ref, kv_hbm, kv_out, sem, *,
     def _():
         block = slot // block_size
         off = slot % block_size
-        cp1 = pltpu.make_async_copy(
-            k_ref.at[t], kv_out.at[block, 0, :, off], sem)
-        cp1.start()
-        cp1.wait()
-        cp2 = pltpu.make_async_copy(
-            v_ref.at[t], kv_out.at[block, 1, :, off], sem)
-        cp2.start()
-        cp2.wait()
+        cp_in = pltpu.make_async_copy(kv_hbm.at[block], page_buf, sem)
+        cp_in.start()
+        cp_in.wait()
+        # page_buf: (2, H, bs, d); insert the new rows at sublane `off`.
+        page_buf[0, :, pl.ds(off, 1), :] = k_ref[t][:, None, :]
+        page_buf[1, :, pl.ds(off, 1), :] = v_ref[t][:, None, :]
+        cp_out = pltpu.make_async_copy(page_buf, kv_out.at[block], sem)
+        cp_out.start()
+        cp_out.wait()
 
 
 @functools.lru_cache(maxsize=None)
@@ -62,7 +68,10 @@ def _write_fn(shape, dtype_name, kv_dtype_name, t, block_size):
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+            scratch_shapes=[
+                pltpu.VMEM((2, h, bs, d), jnp.dtype(kv_dtype_name)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct(shape, jnp.dtype(kv_dtype_name)),
         input_output_aliases={3: 0},
