@@ -15,6 +15,8 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "NMVLLM_PALLAS_INTERPRET": lambda: bool(os.getenv("NMVLLM_PALLAS_INTERPRET", "")),
     # Disable Pallas kernels entirely and use the jnp reference paths.
     "NMVLLM_DISABLE_PALLAS": lambda: bool(os.getenv("NMVLLM_DISABLE_PALLAS", "")),
+    # Disable post-load q/k/v and gate/up projection fusion.
+    "NMVLLM_DISABLE_FUSION": lambda: bool(os.getenv("NMVLLM_DISABLE_FUSION", "")),
     # Serve symmetric INT4 weight-only linears through int8 MXU dots
     # (per-token int8 activation quant — the Machete-class successor to
     # the Marlin W4A16 path). "1"/"grouped": int8-stored weights with

@@ -57,6 +57,9 @@ def build_model(engine_config: EngineConfig):
     parallel = engine_config.parallel_config
     from nmvllm_tpu.parallel.mesh import set_expert_parallel
     set_expert_parallel(parallel.expert_parallel_size)
+    from nmvllm_tpu.layers.fused import set_fusion_enabled
+    # Multi-LoRA keys adapter stacks on the individual projection names.
+    set_fusion_enabled(engine_config.lora_config is None)
     arch_cls = resolve_model_cls(model_config.architectures)
     quant_cfg, method_factory = _get_quant_method_factory(engine_config)
     dtype = jnp.dtype(STR_DTYPE_TO_JNP[model_config.dtype])
@@ -454,6 +457,13 @@ def load_tensorizer_weights(model, params, uri: str,
     return params
 
 
+def _finalize(model, params):
+    """Serving-time param-tree transforms (projection fusion)."""
+    if hasattr(model, "finalize_for_serving"):
+        params = model.finalize_for_serving(params)
+    return params
+
+
 def get_model(engine_config: EngineConfig, mesh):
     """Build the model and its (sharded) params per LoadConfig."""
     model = build_model(engine_config)
@@ -466,7 +476,7 @@ def get_model(engine_config: EngineConfig, mesh):
         params = load_sharded_state(model, mesh, model_config.model)
         if hasattr(model, "post_process_weights"):
             params = model.post_process_weights(params)
-        return model, params
+        return model, _finalize(model, params)
     if fmt == "tensorizer":
         params = init_params_on_mesh(model, mesh, model_config.seed)
         params = load_tensorizer_weights(
@@ -474,14 +484,14 @@ def get_model(engine_config: EngineConfig, mesh):
             (load_config.model_loader_extra_config or {}))
         if hasattr(model, "post_process_weights"):
             params = model.post_process_weights(params)
-        return model, params
+        return model, _finalize(model, params)
     params = init_params_on_mesh(model, mesh, model_config.seed)
     is_local_ckpt = os.path.isdir(model_config.model)
     if fmt == "dummy" or (fmt == "auto" and not is_local_ckpt):
         # Presets / benchmarks: random weights (DummyModelLoader:309).
         if hasattr(model, "post_process_weights"):
             params = model.post_process_weights(params)
-        return model, params
+        return model, _finalize(model, params)
     if is_local_ckpt:
         params = load_safetensors_weights(model, params, model_config.model,
                                           mesh, model_config.dtype,
@@ -489,6 +499,6 @@ def get_model(engine_config: EngineConfig, mesh):
                                           quantization)
         if hasattr(model, "post_process_weights"):
             params = model.post_process_weights(params)
-        return model, params
+        return model, _finalize(model, params)
     raise ValueError(
         f"Cannot load weights for {model_config.model} with format {fmt}")

@@ -177,8 +177,9 @@ class DeepseekV2Attention:
 
         flat_k = kf.reshape(b * t, self.kv_heads, _CACHE_HEAD_DIM)
         flat_v = vf.reshape(b * t, self.kv_heads, _CACHE_HEAD_DIM)
-        kv_cache = write_to_kv_cache(
-            kv_cache, flat_k, flat_v, meta.slot_mapping.reshape(b * t))
+        if is_prefill:
+            kv_cache = write_to_kv_cache(
+                kv_cache, flat_k, flat_v, meta.slot_mapping.reshape(b * t))
 
         if is_prefill:
             if has_prefix:
@@ -189,10 +190,11 @@ class DeepseekV2Attention:
                 o = prefill_attention(qf, kf, vf, positions, meta.seq_lens,
                                       scale=self.scale)
         else:
-            o = paged_attention(
+            o, kv_cache = paged_attention(
                 qf.reshape(b, self.heads, _CACHE_HEAD_DIM), kv_cache,
                 meta.block_tables, meta.context_lens,
-                scale=self.scale)
+                scale=self.scale, new_k=flat_k, new_v=flat_v,
+                write_slots=meta.slot_mapping.reshape(b * t))
             o = o.reshape(b, 1, self.heads, _CACHE_HEAD_DIM)
         o = o[..., :self.v_head_dim].reshape(
             b, t, self.heads * self.v_head_dim)

@@ -88,6 +88,8 @@ class Attention:
                              method=method_factory(f"{prefix}.o_proj"),
                              params_dtype=dtype,
                              name=f"{prefix}.o_proj")
+        self._qkv_fused = None   # set by finalize_fusion post-load
+        self._qkv_widths = None
 
     def init(self, rng):
         ks = jax.random.split(rng, 4)
@@ -97,17 +99,41 @@ class Attention:
                 "o_proj": self.o_proj.init(ks[3])}
 
     def specs(self):
+        if self._qkv_fused is not None:
+            return {"qkv_proj": self._qkv_fused.specs(),
+                    "o_proj": self.o_proj.specs()}
         return {"q_proj": self.q_proj.specs(), "k_proj": self.k_proj.specs(),
                 "v_proj": self.v_proj.specs(), "o_proj": self.o_proj.specs()}
+
+    def finalize_fusion(self, params_sa, tp: int):
+        """Fuse q/k/v into one projection post-load (layers/fused.py:
+        ~0.4 ms fixed latency per serial kernel call on this stack)."""
+        from nmvllm_tpu.layers.fused import try_fuse
+        res = try_fuse(
+            [self.q_proj, self.k_proj, self.v_proj],
+            [params_sa["q_proj"], params_sa["k_proj"],
+             params_sa["v_proj"]], tp)
+        if res is None:
+            return params_sa
+        self._qkv_fused, fused_params, self._qkv_widths = res
+        out = {k: v for k, v in params_sa.items()
+               if k not in ("q_proj", "k_proj", "v_proj")}
+        out["qkv_proj"] = fused_params
+        return out
 
     def __call__(self, params, rotary: RotaryEmbedding, rotary_params,
                  x: jax.Array, positions: jax.Array, kv_cache: KVCache,
                  meta: AttentionMetadata, *, is_prefill: bool,
                  has_prefix: bool) -> Tuple[jax.Array, KVCache]:
         b, t, _ = x.shape
-        q = self.q_proj(params["q_proj"], x)
-        k = self.k_proj(params["k_proj"], x)
-        v = self.v_proj(params["v_proj"], x)
+        if self._qkv_fused is not None:
+            from nmvllm_tpu.layers.fused import split_fused
+            qkv = self._qkv_fused(params["qkv_proj"], x)
+            q, k, v = split_fused(qkv, self._qkv_widths)
+        else:
+            q = self.q_proj(params["q_proj"], x)
+            k = self.k_proj(params["k_proj"], x)
+            v = self.v_proj(params["v_proj"], x)
         if self.clip_qkv is not None:
             q = jnp.clip(q, -self.clip_qkv, self.clip_qkv)
             k = jnp.clip(k, -self.clip_qkv, self.clip_qkv)
@@ -124,10 +150,10 @@ class Attention:
             flat_k = flat_k.astype(jnp.float32) / self.k_scale
         if self.v_scale != 1.0:
             flat_v = flat_v.astype(jnp.float32) / self.v_scale
-        kv_cache = write_to_kv_cache(
-            kv_cache, flat_k, flat_v, meta.slot_mapping.reshape(b * t))
 
         if is_prefill:
+            kv_cache = write_to_kv_cache(
+                kv_cache, flat_k, flat_v, meta.slot_mapping.reshape(b * t))
             if has_prefix:
                 o = prefill_attention_with_paged_prefix(
                     q, k, v, positions, meta.seq_lens, kv_cache,
@@ -144,13 +170,17 @@ class Attention:
                                       attn_logit_soft_cap,
                                       alibi_slopes=self.alibi_slopes)
         else:
-            o = paged_attention(
+            # Decode: the cache write happens INSIDE the attention kernel
+            # (one kernel call instead of two per layer).
+            o, kv_cache = paged_attention(
                 q.reshape(b, self.heads, self.head_dim), kv_cache,
                 meta.block_tables, meta.context_lens, scale=self.scale,
                 k_scale=self.k_scale, v_scale=self.v_scale,
                 logit_soft_cap=self.attn_logit_soft_cap,
                 sliding_window=self.sliding_window,
-                alibi_slopes=self.alibi_slopes)
+                alibi_slopes=self.alibi_slopes,
+                new_k=flat_k, new_v=flat_v,
+                write_slots=meta.slot_mapping.reshape(b * t))
             o = o.reshape(b, 1, self.heads, self.head_dim)
         o = o.reshape(b, t, self.heads * self.head_dim)
         return self.o_proj(params["o_proj"], o), kv_cache
@@ -177,6 +207,8 @@ class LlamaMLP:
                                 name=f"{prefix}.down_proj")
         act = getattr(cfg, "hidden_act", "silu")
         self.act_fn = get_act_fn(act)
+        self._gu_fused = None
+        self._gu_widths = None
 
     def init(self, rng):
         ks = jax.random.split(rng, 3)
@@ -185,11 +217,35 @@ class LlamaMLP:
                 "down_proj": self.down_proj.init(ks[2])}
 
     def specs(self):
+        if self._gu_fused is not None:
+            return {"gate_up_proj": self._gu_fused.specs(),
+                    "down_proj": self.down_proj.specs()}
         return {"gate_proj": self.gate_proj.specs(),
                 "up_proj": self.up_proj.specs(),
                 "down_proj": self.down_proj.specs()}
 
+    def finalize_fusion(self, params_mlp, tp: int):
+        """Fuse gate/up post-load (layers/fused.py; the reference's
+        MergedColumnParallelLinear, linear.py:341)."""
+        from nmvllm_tpu.layers.fused import try_fuse
+        res = try_fuse(
+            [self.gate_proj, self.up_proj],
+            [params_mlp["gate_proj"], params_mlp["up_proj"]], tp)
+        if res is None:
+            return params_mlp
+        self._gu_fused, fused_params, self._gu_widths = res
+        out = {k: v for k, v in params_mlp.items()
+               if k not in ("gate_proj", "up_proj")}
+        out["gate_up_proj"] = fused_params
+        return out
+
     def __call__(self, params, x):
+        if self._gu_fused is not None:
+            from nmvllm_tpu.layers.fused import split_fused
+            gu = self._gu_fused(params["gate_up_proj"], x)
+            gate, up = split_fused(gu, self._gu_widths)
+            return self.down_proj(params["down_proj"],
+                                  self.act_fn(gate) * up)
         gate = self.act_fn(self.gate_proj(params["gate_proj"], x))
         up = self.up_proj(params["up_proj"], x)
         return self.down_proj(params["down_proj"], gate * up)
@@ -361,6 +417,26 @@ class LlamaForCausalLM:
                             embedding_params=params["embed_tokens"],
                             logit_scale=self.logit_scale,
                             logit_soft_cap=self.logit_soft_cap)
+
+    def finalize_for_serving(self, params):
+        """Post-load horizontal fusion of q/k/v and gate/up projections
+        (layers/fused.py) — applied by the loader after weights land;
+        skipped when multi-LoRA is active."""
+        from nmvllm_tpu.layers.fused import fusion_enabled
+        if not fusion_enabled():
+            return params
+        for i, layer in enumerate(self.layers):
+            lp = params["layers"][i]
+            sa = getattr(layer, "self_attn", None)
+            if sa is not None and hasattr(sa, "finalize_fusion") and \
+                    "q_proj" in lp.get("self_attn", {}):
+                lp["self_attn"] = sa.finalize_fusion(lp["self_attn"],
+                                                     self.tp_size)
+            mlp = getattr(layer, "mlp", None)
+            if mlp is not None and hasattr(mlp, "finalize_fusion") and \
+                    "gate_proj" in lp.get("mlp", {}):
+                lp["mlp"] = mlp.finalize_fusion(lp["mlp"], self.tp_size)
+        return params
 
     # -- weight loading (HF checkpoint name -> params path) -----------------
     def hf_name_map(self) -> Dict[str, Tuple]:

@@ -42,9 +42,15 @@ def _write_kernel(slots_ref, k_ref, v_ref, kv_hbm, kv_out, page_buf, sem,
         cp_in = pltpu.make_async_copy(kv_hbm.at[block], page_buf, sem)
         cp_in.start()
         cp_in.wait()
-        # page_buf: (2, H, bs, d); insert the new rows at sublane `off`.
-        page_buf[0, :, pl.ds(off, 1), :] = k_ref[t][:, None, :]
-        page_buf[1, :, pl.ds(off, 1), :] = v_ref[t][:, None, :]
+        # page_buf: (2, H, bs, d); merge the new rows at sublane `off`
+        # via a select (dynamic sublane stores crash the Mosaic compiler).
+        page = page_buf[:]
+        h, bs, d = page.shape[1], page.shape[2], page.shape[3]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (bs, d), 0)
+        sel = (pos == off)[None, None, :, :]
+        new = jnp.stack([k_ref[t], v_ref[t]])[:, :, None, :]  # (2,H,1,d)
+        page_buf[:] = jnp.where(sel, jnp.broadcast_to(new, page.shape),
+                                page)
         cp_out = pltpu.make_async_copy(page_buf, kv_out.at[block], sem)
         cp_out.start()
         cp_out.wait()

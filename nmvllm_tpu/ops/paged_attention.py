@@ -47,15 +47,21 @@ def _decode_kernel(
     # scalar prefetch
     block_tables_ref,  # (B, max_bpp) int32, SMEM
     context_lens_ref,  # (B,) int32, SMEM
+    write_slots_ref,   # (B,) int32, SMEM (-1 = no write / padding row)
     # inputs
     q_ref,     # (1, R, d) VMEM, R = H * G_pad
     alibi_ref,  # (R, 128) f32 VMEM (slopes broadcast along lanes)
-    kv_hbm,    # (num_blocks, 2, H, bs, d) ANY/HBM
+    new_k_ref,  # (1, H, d) VMEM — this row's new K
+    new_v_ref,  # (1, H, d) VMEM
+    kv_hbm,    # (num_blocks, 2, H, bs, d) ANY/HBM (aliased with kv_out)
     # outputs
     o_ref,     # (1, R, d) VMEM
+    kv_out,    # (num_blocks, 2, H, bs, d) ANY/HBM, aliased to kv_hbm
     # scratch
     kv_buf,    # (2, ppcb, 2, H, bs, d) VMEM, cache dtype
+    page_buf,  # (2, H, bs, d) VMEM — RMW staging for the in-kernel write
     sems,      # DMA sems (2, ppcb)
+    wsem,      # write DMA sem
     *,
     scale: float,
     k_scale: float,
@@ -68,6 +74,7 @@ def _decode_kernel(
     logit_soft_cap: float,
     sliding_window: int,
     has_alibi: bool,
+    fused_write: bool,
 ):
     b = pl.program_id(0)
     ctx = context_lens_ref[b]
@@ -78,6 +85,34 @@ def _decode_kernel(
     cols = ppcb * h * bs
     rows = h * g_pad
     num_sb = pl.cdiv(ctx, sb_tokens)
+
+    if fused_write:
+        # Insert this row's new K/V before attending (replaces a separate
+        # write_to_kv_cache kernel call — ~0.5 ms of fixed per-call
+        # latency per layer on this stack). Each program only writes its
+        # own (CoW-exclusive) last block, so sequential grid order keeps
+        # programs race-free.
+        wslot = write_slots_ref[b]
+
+        @pl.when(wslot >= 0)
+        def _():
+            wblock = wslot // bs
+            woff = wslot % bs
+            cp_in = pltpu.make_async_copy(kv_hbm.at[wblock], page_buf,
+                                          wsem)
+            cp_in.start()
+            cp_in.wait()
+            page = page_buf[:]
+            pos_sel = jax.lax.broadcasted_iota(
+                jnp.int32, (bs, head_dim), 0)[None, None, :, :] == woff
+            new = jnp.stack([new_k_ref[0], new_v_ref[0]])  # (2, H, d)
+            new = new[:, :, None, :].astype(page.dtype)
+            page_buf[:] = jnp.where(
+                pos_sel, jnp.broadcast_to(new, page.shape), page)
+            cp_out = pltpu.make_async_copy(page_buf, kv_out.at[wblock],
+                                           wsem)
+            cp_out.start()
+            cp_out.wait()
     # Sliding window: skip superblocks that are entirely out of window.
     # (Also required for correctness: a fully-masked superblock would feed
     # exp(-inf - -inf) = NaN into the online softmax.)
@@ -196,8 +231,32 @@ def paged_attention(
     logit_soft_cap: float = 0.0,
     sliding_window: int = 0,
     alibi_slopes=None,
-) -> jax.Array:
-    """Flash-decoding paged attention. Returns (B, num_q_heads, head_dim)."""
+    new_k=None,              # (B, H_kv, head_dim): fuse the cache write
+    new_v=None,
+    write_slots=None,        # (B,) int32 linear slots; -1 = padding row
+):
+    """Flash-decoding paged attention.
+
+    Returns (B, num_q_heads, head_dim); with ``new_k/new_v/write_slots``
+    the token's K/V rows are written into the cache IN-KERNEL before
+    attending (replacing a separate write_to_kv_cache call) and the
+    return is ``(out, kv_cache)``.
+    """
+    fused_write = new_k is not None
+    if fused_write and pallas_interpret():
+        # The interpreter does not alias input/output buffers, so the
+        # in-kernel write would be invisible to the same call's reads:
+        # write via the scatter path and attend without fusion.
+        from nmvllm_tpu.ops.cache_ops import _write_to_kv_cache_scatter
+        kv_cache = _write_to_kv_cache_scatter(kv_cache, new_k, new_v,
+                                              write_slots)
+        o = paged_attention(
+            q, kv_cache, block_tables, context_lens, scale=scale,
+            k_scale=k_scale, v_scale=v_scale,
+            pages_per_compute_block=pages_per_compute_block,
+            logit_soft_cap=logit_soft_cap, sliding_window=sliding_window,
+            alibi_slopes=alibi_slopes)
+        return o, kv_cache
     # Mosaic requires lane-aligned (128) head_dim for the page DMA slices;
     # fall back to the jnp path otherwise (reference pallas.py:103 has the
     # same head_size % 128 constraint).
@@ -207,18 +266,28 @@ def paged_attention(
     sublane_tile = {4: 8, 2: 16, 1: 32}[kv_cache.dtype.itemsize]
     if (not use_pallas() or q.shape[-1] % 128 != 0
             or kv_cache.shape[3] % sublane_tile != 0):
-        return paged_attention_reference(
+        if fused_write:
+            from nmvllm_tpu.ops.cache_ops import (
+                _write_to_kv_cache_scatter)
+            kv_cache = _write_to_kv_cache_scatter(kv_cache, new_k, new_v,
+                                                  write_slots)
+        o = paged_attention_reference(
             q, kv_cache, block_tables, context_lens, scale=scale,
             k_scale=k_scale, v_scale=v_scale,
             logit_soft_cap=logit_soft_cap, sliding_window=sliding_window,
             alibi_slopes=alibi_slopes)
+        return (o, kv_cache) if fused_write else o
     batch, num_q_heads, head_dim = q.shape
     num_blocks, _, num_kv_heads, block_size, _ = kv_cache.shape
     assert num_q_heads % num_kv_heads == 0
     group = num_q_heads // num_kv_heads
-    # Pad the per-head query group to a sublane tile unless it is 1 (pure
-    # MQA/MHA rows are already dense: R = H).
-    g_pad = group if group == 1 else max(8, group)
+    # Rows = H * G; only pad the per-head group when the TOTAL row count
+    # would drop under a sublane tile (tiny models) — per-head boundaries
+    # inside a tile are handled by the block-diagonal mask, and smaller
+    # row counts halve the masked-score VPU work.
+    import math
+    g_pad = group if num_kv_heads * group >= 8 else math.ceil(
+        8 / num_kv_heads)
     rows = num_kv_heads * g_pad
     max_bpp = block_tables.shape[1]
     ppcb = pages_per_compute_block or default_pages_per_compute_block(
@@ -247,21 +316,42 @@ def paged_attention(
     else:
         slopes_in = jnp.zeros((8, 128), jnp.float32)
 
+    if fused_write:
+        nk = new_k.astype(kv_cache.dtype)
+        nv = new_v.astype(kv_cache.dtype)
+        ws = write_slots.astype(jnp.int32)
+    else:
+        nk = jnp.zeros((batch, num_kv_heads, head_dim), kv_cache.dtype)
+        nv = nk
+        ws = jnp.full((batch,), -1, jnp.int32)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(batch,),
         in_specs=[
             pl.BlockSpec((1, rows, head_dim), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_kv_heads, head_dim),
+                         lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_kv_heads, head_dim),
+                         lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, rows, head_dim), lambda b, *_: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((1, rows, head_dim), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, ppcb, 2, num_kv_heads, block_size, head_dim),
                        kv_cache.dtype),
+            pltpu.VMEM((2, num_kv_heads, block_size, head_dim),
+                       kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2, ppcb)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     kernel = functools.partial(
@@ -270,13 +360,20 @@ def paged_attention(
         pages_per_compute_block=ppcb, block_size=block_size,
         num_kv_heads=num_kv_heads, g_pad=g_pad, head_dim=head_dim,
         logit_soft_cap=float(logit_soft_cap),
-        sliding_window=int(sliding_window), has_alibi=has_alibi)
+        sliding_window=int(sliding_window), has_alibi=has_alibi,
+        fused_write=fused_write)
     ctx_bytes = 2 * num_kv_heads * block_size * head_dim * \
         kv_cache.dtype.itemsize
-    out = pl.pallas_call(
+    out, kv_cache = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, rows, head_dim), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, rows, head_dim), q.dtype),
+            jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+        ],
+        # Operand order incl. scalar prefetch: bt(0), cl(1), ws(2), q(3),
+        # slopes(4), nk(5), nv(6), kv(7) -> kv aliases output 1.
+        input_output_aliases={7: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
@@ -285,9 +382,10 @@ def paged_attention(
             transcendentals=batch * rows * max_bpp * block_size),
         interpret=pallas_interpret(),
     )(block_tables.astype(jnp.int32), context_lens.astype(jnp.int32),
-      q_r, slopes_in, kv_cache)
+      ws, q_r, slopes_in, nk, nv, kv_cache)
     out = out.reshape(batch, num_kv_heads, g_pad, head_dim)[:, :, :group, :]
-    return out.reshape(batch, num_q_heads, head_dim)
+    out = out.reshape(batch, num_q_heads, head_dim)
+    return (out, kv_cache) if fused_write else out
 
 
 def paged_attention_reference(

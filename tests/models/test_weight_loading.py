@@ -10,6 +10,13 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+
+@pytest.fixture(autouse=True)
+def _no_fusion(monkeypatch):
+    # These tests inspect per-projection params post-load; disable the
+    # serving-time q/k/v / gate/up fusion (layers/fused.py).
+    monkeypatch.setenv("NMVLLM_DISABLE_FUSION", "1")
+
 from nmvllm_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
                                LoadConfig, ModelConfig, ParallelConfig,
                                SchedulerConfig)
