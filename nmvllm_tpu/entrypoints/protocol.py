@@ -36,10 +36,42 @@ class UsageInfo(BaseModel):
     completion_tokens: Optional[int] = 0
 
 
+class FunctionCall(BaseModel):
+    name: str
+    arguments: str
+
+
+class ToolCall(BaseModel):
+    id: str = Field(default_factory=lambda: f"chatcmpl-tool-{random_uuid()}")
+    type: str = "function"
+    function: FunctionCall
+
+
 class ChatMessage(BaseModel):
     role: str
     # str, or OpenAI content-part list ({type: text|image_url, ...}).
     content: Optional[Union[str, List[Dict[str, Any]]]] = None
+    tool_calls: Optional[List[ToolCall]] = None
+
+
+class FunctionDefinition(BaseModel):
+    name: str
+    description: Optional[str] = None
+    parameters: Optional[Dict[str, Any]] = None
+
+
+class ChatCompletionToolsParam(BaseModel):
+    type: str = "function"
+    function: FunctionDefinition
+
+
+class ChatCompletionNamedFunction(BaseModel):
+    name: str
+
+
+class ChatCompletionNamedToolChoiceParam(BaseModel):
+    type: str = "function"
+    function: ChatCompletionNamedFunction
 
 
 class ResponseFormat(BaseModel):
@@ -124,6 +156,11 @@ class StreamOptions(BaseModel):
 class ChatCompletionRequest(_SamplingMixin):
     model: str
     messages: List[ChatMessage]
+    # Named tool choice -> guided json on the function's parameter schema
+    # (reference serving_chat.py:530, protocol.py:337 named-only).
+    tools: Optional[List[ChatCompletionToolsParam]] = None
+    tool_choice: Optional[Union[str,
+                                ChatCompletionNamedToolChoiceParam]] = "none"
     stream: Optional[bool] = False
     stream_options: Optional[StreamOptions] = None
     logprobs: Optional[bool] = False

@@ -176,12 +176,26 @@ class OpenAIServingChat(OpenAIServing):
         err = self._validate_prompt(prompt_ids, request.max_tokens)
         if err:
             return err
+        tool_fn = self._named_tool(request)
+        if isinstance(tool_fn, ErrorResponse):
+            return tool_fn
         try:
             sampling_params = request.to_sampling_params(
                 self.max_model_len - len(prompt_ids))
-            guided = await self._maybe_guided_processors(request)
-            if guided:
-                sampling_params.logits_processors.extend(guided)
+            if tool_fn is not None:
+                # Constrain generation to the tool's parameter schema
+                # (reference: tool_choice -> guided json).
+                from nmvllm_tpu.guided_decoding.json_schema import (
+                    schema_to_regex)
+                from nmvllm_tpu.guided_decoding.regex_fsm import (
+                    RegexLogitsProcessor)
+                pattern = schema_to_regex(tool_fn.parameters or {})
+                sampling_params.logits_processors.append(
+                    RegexLogitsProcessor(self.tokenizer, pattern))
+            else:
+                guided = await self._maybe_guided_processors(request)
+                if guided:
+                    sampling_params.logits_processors.extend(guided)
         except ValueError as e:
             return ErrorResponse(message=str(e), type="BadRequestError")
         request_id = f"chatcmpl-{random_uuid()}"
@@ -194,6 +208,28 @@ class OpenAIServingChat(OpenAIServing):
         return await self._full_chat(request, generator, request_id,
                                      prompt_ids)
 
+    def _named_tool(self, request):
+        """Resolve a named tool_choice to its FunctionDefinition (or an
+        ErrorResponse; None = no tool constraint). Named-only, like the
+        reference (protocol.py:337)."""
+        tc = getattr(request, "tool_choice", None)
+        if tc is None or tc == "none" or tc == "auto":
+            return None
+        if isinstance(tc, str):
+            return ErrorResponse(
+                message="Only named tool_choice objects (or 'none') are "
+                        "supported.", type="BadRequestError", code=400)
+        if not request.tools:
+            return ErrorResponse(
+                message="`tools` must be set when using `tool_choice`.",
+                type="BadRequestError", code=400)
+        for tool in request.tools:
+            if tool.function.name == tc.function.name:
+                return tool.function
+        return ErrorResponse(
+            message=f"Tool {tc.function.name!r} not found in `tools`.",
+            type="BadRequestError", code=400)
+
     async def _full_chat(self, request, generator, request_id, prompt_ids):
         final: Optional[RequestOutput] = None
         async for output in generator:
@@ -205,10 +241,21 @@ class OpenAIServingChat(OpenAIServing):
             if request.logprobs and out.logprobs:
                 logprobs = self._chat_logprobs(out.logprobs,
                                                request.top_logprobs or 0)
+            tool_fn = self._named_tool(request)
+            if tool_fn is not None and not isinstance(tool_fn,
+                                                      ErrorResponse):
+                from nmvllm_tpu.entrypoints.protocol import (FunctionCall,
+                                                             ToolCall)
+                message = ChatMessage(
+                    role=self.response_role, content=None,
+                    tool_calls=[ToolCall(function=FunctionCall(
+                        name=tool_fn.name, arguments=out.text))])
+            else:
+                message = ChatMessage(role=self.response_role,
+                                      content=out.text)
             choices.append(ChatCompletionResponseChoice(
                 index=out.index,
-                message=ChatMessage(role=self.response_role,
-                                    content=out.text),
+                message=message,
                 logprobs=logprobs,
                 finish_reason=out.finish_reason,
                 stop_reason=out.stop_reason))
