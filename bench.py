@@ -168,7 +168,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="auto",
                         choices=["auto", "llama3-8b-int4", "debug"])
-    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--batch", type=int, default=48)
     parser.add_argument("--context-len", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--block-size", type=int, default=32)

@@ -113,7 +113,8 @@ def _set_in(tree, path, value):
 
 
 _QUANT_SUFFIXES = (".qweight", ".qzeros", ".scales", ".g_idx",
-                   ".weight_scale", ".input_scale")
+                   ".weight_scale", ".input_scale", ".lookup_table",
+                   ".codes", ".codebooks")
 
 
 def load_safetensors_weights(model, params, model_dir: str, mesh,
@@ -296,6 +297,20 @@ def _load_quant_groups(model, params, name_map, quant_groups, quant_name,
         if "weight_scale" in tensors:  # FP8-serialized checkpoint
             put(layer_path + ("weight",), tensors.get("weight"), cast=True)
             put(layer_path + ("weight_scale",), tensors["weight_scale"])
+            continue
+        if quant_name == "squeezellm":
+            # LUT-decode to dense (reference squeezellm.py; extra_formats).
+            from nmvllm_tpu.quantization.extra_formats import (
+                squeezellm_decode)
+            dense = squeezellm_decode(tensors["qweight"],
+                                      tensors["lookup_table"])
+            put(layer_path + ("weight",), dense, cast=True)
+            continue
+        if quant_name == "aqlm":
+            from nmvllm_tpu.quantization.extra_formats import aqlm_decode
+            dense = aqlm_decode(tensors["codes"], tensors["codebooks"],
+                                tensors["scales"])
+            put(layer_path + ("weight",), dense, cast=True)
             continue
         if quant_name == "awq":
             qw, scales, zeros = awq_to_canonical(

@@ -28,7 +28,8 @@ def register_quantization(name: str):
 
 def _populate() -> None:
     # Imports deferred so the registry module is import-cheap.
-    from nmvllm_tpu.quantization import (awq, compressed_tensors, fp8, gptq,
+    from nmvllm_tpu.quantization import (awq, compressed_tensors,
+                                         extra_formats, fp8, gptq,
                                          int8_w8a8)  # noqa: F401
 
 
