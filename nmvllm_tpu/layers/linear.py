@@ -91,17 +91,25 @@ class Linear(Module):
         return specs
 
     def __call__(self, params: Dict[str, Any], x, *,
-                 inside_shard_map: bool = True):
+                 inside_shard_map: bool = True, prologue=None, aux=None,
+                 eps: float = 1e-6):
         from nmvllm_tpu.lora.context import maybe_apply_lora
         bias = params.get("bias")
+        if prologue is not None and not getattr(self.method,
+                                                "supports_prologue", False):
+            from nmvllm_tpu.ops.quant_matmul import apply_prologue_jnp
+            x = apply_prologue_jnp(prologue, x, aux, eps)
+            prologue, aux = None, None
+        kw = ({"prologue": prologue, "aux": aux, "eps": eps}
+              if prologue is not None else {})
         if self.shard == "row":
             # Bias must be added once, after the cross-shard reduction.
-            y = self.method.apply(params, x, None)
+            y = self.method.apply(params, x, None, **kw)
             y = maybe_apply_lora(self.name, x, y)
             if inside_shard_map:
                 y = jax.lax.psum(y, TP_AXIS)
             if bias is not None:
                 y = y + bias
             return y
-        y = self.method.apply(params, x, bias)
+        y = self.method.apply(params, x, bias, **kw)
         return maybe_apply_lora(self.name, x, y)

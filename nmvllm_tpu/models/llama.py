@@ -124,13 +124,21 @@ class Attention:
     def __call__(self, params, rotary: RotaryEmbedding, rotary_params,
                  x: jax.Array, positions: jax.Array, kv_cache: KVCache,
                  meta: AttentionMetadata, *, is_prefill: bool,
-                 has_prefix: bool) -> Tuple[jax.Array, KVCache]:
+                 has_prefix: bool, norm=None) -> Tuple[jax.Array, KVCache]:
         b, t, _ = x.shape
         if self._qkv_fused is not None:
             from nmvllm_tpu.layers.fused import split_fused
-            qkv = self._qkv_fused(params["qkv_proj"], x)
+            if norm is not None:
+                qkv = self._qkv_fused(params["qkv_proj"], x,
+                                      prologue="rmsnorm", aux=norm[0],
+                                      eps=norm[1])
+            else:
+                qkv = self._qkv_fused(params["qkv_proj"], x)
             q, k, v = split_fused(qkv, self._qkv_widths)
         else:
+            if norm is not None:
+                from nmvllm_tpu.ops.quant_matmul import apply_prologue_jnp
+                x = apply_prologue_jnp("rmsnorm", x, norm[0], norm[1])
             q = self.q_proj(params["q_proj"], x)
             k = self.k_proj(params["k_proj"], x)
             v = self.v_proj(params["v_proj"], x)
@@ -207,6 +215,9 @@ class LlamaMLP:
                                 name=f"{prefix}.down_proj")
         act = getattr(cfg, "hidden_act", "silu")
         self.act_fn = get_act_fn(act)
+        self._act_prologue = {"silu": "silu_mul", "gelu": "gelu_mul",
+                              "gelu_new": "gelu_mul",
+                              "gelu_pytorch_tanh": "gelu_mul"}.get(act)
         self._gu_fused = None
         self._gu_widths = None
 
@@ -239,13 +250,27 @@ class LlamaMLP:
         out["gate_up_proj"] = fused_params
         return out
 
-    def __call__(self, params, x):
+    def __call__(self, params, x, *, norm=None):
+        """``norm=(weight, eps)`` fuses the preceding RMSNorm into the
+        gate_up kernel (critical-path node removal, layers/fused.py)."""
         if self._gu_fused is not None:
             from nmvllm_tpu.layers.fused import split_fused
-            gu = self._gu_fused(params["gate_up_proj"], x)
+            if norm is not None:
+                gu = self._gu_fused(params["gate_up_proj"], x,
+                                    prologue="rmsnorm", aux=norm[0],
+                                    eps=norm[1])
+            else:
+                gu = self._gu_fused(params["gate_up_proj"], x)
             gate, up = split_fused(gu, self._gu_widths)
+            if self._act_prologue is not None:
+                return self.down_proj(params["down_proj"], gate,
+                                      prologue=self._act_prologue,
+                                      aux=up)
             return self.down_proj(params["down_proj"],
                                   self.act_fn(gate) * up)
+        if norm is not None:
+            from nmvllm_tpu.ops.quant_matmul import apply_prologue_jnp
+            x = apply_prologue_jnp("rmsnorm", x, norm[0], norm[1])
         gate = self.act_fn(self.gate_proj(params["gate_proj"], x))
         up = self.up_proj(params["up_proj"], x)
         return self.down_proj(params["down_proj"], gate * up)
@@ -287,8 +312,42 @@ class LlamaDecoderLayer:
                 self.post_attention_layernorm.specs(),
         }
 
+    def _fuse_norms(self) -> bool:
+        """Fold the two RMSNorms into the qkv / gate_up kernel prologues
+        (saves two serial reduce nodes per layer; only when the fused
+        projections run the prologue-capable quantized kernel — the
+        unquantized path keeps exact legacy numerics)."""
+        sa = self.self_attn
+        return (sa._qkv_fused is not None
+                and getattr(sa._qkv_fused.method, "supports_prologue",
+                            False)
+                and getattr(self.mlp, "_gu_fused", None) is not None
+                and type(self.input_layernorm) is RMSNorm
+                and type(self.post_attention_layernorm) is RMSNorm
+                and not self.input_layernorm.zero_centered
+                and not self.post_attention_layernorm.zero_centered
+                and sa.hidden_size <= 8192)
+
     def __call__(self, params, rotary, rotary_params, x, positions, kv_cache,
                  meta, residual, *, is_prefill: bool, has_prefix: bool):
+        if self._fuse_norms():
+            if residual is None:
+                residual = x
+            else:
+                residual = (x.astype(jnp.float32) +
+                            residual.astype(jnp.float32)).astype(x.dtype)
+            norm1 = (params["input_layernorm"]["weight"],
+                     self.input_layernorm.eps)
+            x, kv_cache = self.self_attn(
+                params["self_attn"], rotary, rotary_params, residual,
+                positions, kv_cache, meta, is_prefill=is_prefill,
+                has_prefix=has_prefix, norm=norm1)
+            residual = (x.astype(jnp.float32) +
+                        residual.astype(jnp.float32)).astype(x.dtype)
+            norm2 = (params["post_attention_layernorm"]["weight"],
+                     self.post_attention_layernorm.eps)
+            x = self.mlp(params["mlp"], residual, norm=norm2)
+            return x, residual, kv_cache
         if residual is None:
             residual = x
             x = self.input_layernorm(params["input_layernorm"], x)

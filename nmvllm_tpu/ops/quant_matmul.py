@@ -254,8 +254,78 @@ def _w4_paired_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:]
 
 
+def apply_prologue_jnp(prologue, x, aux, eps):
+    """jnp reference/fallback of the kernel prologues."""
+    xf = x.astype(jnp.float32)
+    if prologue == "silu_mul":
+        return (jax.nn.silu(xf) * aux.astype(jnp.float32)).astype(x.dtype)
+    if prologue == "gelu_mul":
+        return (jax.nn.gelu(xf, approximate=True) *
+                aux.astype(jnp.float32)).astype(x.dtype)
+    if prologue == "rmsnorm":
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        out = xf * jax.lax.rsqrt(var + eps)
+        return (out * aux.astype(jnp.float32)[None, :]).astype(x.dtype)
+    raise ValueError(f"unknown prologue {prologue!r}")
+
+
+def _w4_paired_prologue_kernel(x_ref, aux_ref, w_ref, s_ref, z_ref, o_ref,
+                               acc_ref, deq_ref, *, group_size: int,
+                               bk: int, prologue: str, eps: float):
+    """Paired W4 kernel with a fused activation prologue: the standalone
+    silu*up / RMSNorm XLA nodes sit on the decode critical path at
+    ~0.4 ms fixed latency each (docs/PERF_NOTES.md) — absorbing them
+    into the GEMM removes serial steps. ``rmsnorm`` requires bk == K
+    (full rows for the variance)."""
+    g = group_size
+    gpb = bk // g
+    wpg = g // 8
+    cdtype = deq_ref.dtype
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    g0 = pl.program_id(2) * gpb
+    mask = jnp.int32(0x000F000F)
+
+    def per_group(gi, _):
+        w = w_ref[pl.ds(pl.multiple_of(gi * wpg, wpg), wpg), :]
+        parts = []
+        for m in range(4):
+            p = jax.lax.shift_right_logical(w, jnp.int32(4 * m)) & mask
+            parts.append(pltpu.bitcast(p, jnp.int16))
+        wd = jnp.concatenate(parts, axis=0).astype(cdtype)
+        sg = s_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
+        zg = z_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
+        deq_ref[pl.ds(pl.multiple_of(gi * g, g), g), :] = (wd - zg) * sg
+        return 0
+
+    jax.lax.fori_loop(0, gpb, per_group, 0, unroll=False)
+
+    xf = x_ref[:].astype(jnp.float32)
+    if prologue == "silu_mul":
+        act = xf * jax.lax.logistic(xf) * aux_ref[:].astype(jnp.float32)
+    elif prologue == "gelu_mul":
+        act = jax.nn.gelu(xf, approximate=True) *             aux_ref[:].astype(jnp.float32)
+    else:  # rmsnorm (bk == K)
+        var = jnp.mean(xf * xf, axis=1, keepdims=True)
+        act = xf * jax.lax.rsqrt(var + eps) *             aux_ref[:].astype(jnp.float32)
+    act = act.astype(cdtype)
+    prec = (jax.lax.Precision.HIGHEST if cdtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    acc_ref[:] += jnp.dot(act, deq_ref[:],
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
 def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
-                            block_m, block_n, block_k):
+                            block_m, block_n, block_k, prologue=None,
+                            aux=None, eps=1e-6):
     m, k = x.shape
     n = qweight.shape[1]
     g = group_size
@@ -273,40 +343,41 @@ def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
         xp = jnp.pad(xp, ((0, m_pad - m), (0, 0)))
     bk = g
     d = g
-    limit = block_k if block_k > 0 else 2048
+    if prologue == "rmsnorm":
+        limit = k  # full rows needed for the variance
+    else:
+        limit = block_k if block_k > 0 else 2048
     while d <= min(limit, k):
         if k % d == 0:
             bk = d
         d += g
+    if prologue == "rmsnorm":
+        assert bk == k, (bk, k)
     bn = min(block_n, n)
     while n % bn != 0:
         bn //= 2
     assert n % bn == 0 and bn >= 128, (n, bn)
 
     grid = (m_pad // bm, n // bn, k // bk)
-    kernel = functools.partial(_w4_paired_kernel, group_size=g, bk=bk)
-    acc = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 8, bn), lambda i, j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // g, bn), lambda i, j, kk: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // g, bn), lambda i, j, kk: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+    x_spec = pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                          memory_space=pltpu.VMEM)
+    common_specs = [
+        pl.BlockSpec((bk // 8, bn), lambda i, j, kk: (kk, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k // g, bn), lambda i, j, kk: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k // g, bn), lambda i, j, kk: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    deq_dtype = jnp.float32 if pallas_interpret() else x.dtype
+    kw = dict(
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
         # XLA:CPU (interpret mode) lacks a bf16 dot thunk under shard_map;
         # run the interpreted dot in f32 there.
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
-                        pltpu.VMEM((bk, bn),
-                                   jnp.float32 if pallas_interpret()
-                                   else x.dtype)],
+                        pltpu.VMEM((bk, bn), deq_dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -315,13 +386,35 @@ def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
                             m_pad * n * 4),
             transcendentals=0),
         interpret=pallas_interpret(),
-    )(xp, qweight, scales, zeros)
+    )
+    if prologue is None:
+        kernel = functools.partial(_w4_paired_kernel, group_size=g, bk=bk)
+        acc = pl.pallas_call(
+            kernel, grid=grid, in_specs=[x_spec] + common_specs, **kw,
+        )(xp, qweight, scales, zeros)
+        return acc[:m].astype(x.dtype)
+    if prologue == "rmsnorm":
+        aux_in = aux.reshape(1, k).astype(jnp.float32)
+        aux_spec = pl.BlockSpec((1, bk), lambda i, j, kk: (0, kk),
+                                memory_space=pltpu.VMEM)
+    else:
+        aux_in = aux
+        if m_pad != m:
+            aux_in = jnp.pad(aux_in, ((0, m_pad - m), (0, 0)))
+        aux_spec = x_spec
+    kernel = functools.partial(_w4_paired_prologue_kernel, group_size=g,
+                               bk=bk, prologue=prologue, eps=float(eps))
+    acc = pl.pallas_call(
+        kernel, grid=grid, in_specs=[x_spec, aux_spec] + common_specs,
+        **kw,
+    )(xp, aux_in, qweight, scales, zeros)
     return acc[:m].astype(x.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("bits", "group_size", "symmetric",
-                                    "block_m", "block_n", "block_k"))
+                                    "block_m", "block_n", "block_k",
+                                    "prologue", "eps"))
 def quant_matmul(
     x: jax.Array,          # (M, K) activations (bf16/f32)
     qweight: jax.Array,    # (K // vpw, N) int32 packed (bias-signed)
@@ -334,9 +427,14 @@ def quant_matmul(
     block_m: int = 0,
     block_n: int = 0,
     block_k: int = 0,
+    prologue=None,         # None | "silu_mul" | "gelu_mul" | "rmsnorm"
+    aux=None,              # (M, K) gate partner / (K,) norm weight
+    eps: float = 1e-6,
 ) -> jax.Array:
-    """y[M, N] = x @ dequant(qweight)."""
+    """y[M, N] = prologue(x) @ dequant(qweight)."""
     if not use_pallas():
+        if prologue is not None:
+            x = apply_prologue_jnp(prologue, x, aux, eps)
         return quant_matmul_reference(x, qweight, scales, zeros, bits=bits,
                                       group_size=group_size)
     m, k = x.shape
@@ -348,12 +446,17 @@ def quant_matmul(
     if bits == 4:
         if g % 8 != 0:
             # Paired layout needs whole 8-row words per group.
+            if prologue is not None:
+                x = apply_prologue_jnp(prologue, x, aux, eps)
             return quant_matmul_reference(x, qweight, scales, zeros,
                                           bits=bits, group_size=g)
         # Paired relayout-free kernel (the production 4-bit path).
         return _quant_matmul_w4_paired(
             x, qweight, scales, zeros, group_size=g, block_m=block_m,
-            block_n=block_n or 1024, block_k=block_k)
+            block_n=block_n or 1024, block_k=block_k,
+            prologue=prologue, aux=aux, eps=eps)
+    if prologue is not None:
+        x = apply_prologue_jnp(prologue, x, aux, eps)
 
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     if block_m <= 0:

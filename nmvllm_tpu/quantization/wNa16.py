@@ -83,10 +83,23 @@ class WNA16LinearMethod(LinearMethodBase):
             jnp.iinfo(jnp.int32).min, jnp.iinfo(jnp.int32).max, jnp.int32)
         return {"qweight": qweight, "scales": scales, "zeros": zeros}
 
-    def apply(self, params: Dict[str, Any], x, bias=None):
+    @property
+    def supports_prologue(self) -> bool:
+        """Fused activation/norm prologues on the paired kernel (4-bit
+        exact path only)."""
+        return self.bits == 4 and not self.a8_int8_store
+
+    def apply(self, params: Dict[str, Any], x, bias=None, *,
+              prologue=None, aux=None, eps: float = 1e-6):
         orig_shape = x.shape
         x2 = x.reshape(-1, orig_shape[-1])
+        if aux is not None and aux.ndim == x.ndim:
+            aux = aux.reshape(-1, orig_shape[-1])
         g = self._resolve_group(orig_shape[-1])
+        if prologue is not None and not self.supports_prologue:
+            from nmvllm_tpu.ops.quant_matmul import apply_prologue_jnp
+            x2 = apply_prologue_jnp(prologue, x2, aux, eps)
+            prologue, aux = None, None
         if self.bits == 8:
             w8 = params["qweight"]            # (K, N) bias-signed int8
             s = jnp.repeat(params["scales"].astype(jnp.float32), g, axis=0)
@@ -107,7 +120,8 @@ class WNA16LinearMethod(LinearMethodBase):
         else:
             y = quant_matmul(x2, params["qweight"], params["scales"],
                              params["zeros"], bits=self.bits,
-                             group_size=g, symmetric=self.symmetric)
+                             group_size=g, symmetric=self.symmetric,
+                             prologue=prologue, aux=aux, eps=eps)
         y = y.reshape(*orig_shape[:-1], y.shape[-1])
         if bias is not None:
             y = y + bias

@@ -9,7 +9,15 @@ pytestmark = pytest.mark.e2e
 
 
 @pytest.fixture(scope="module")
-def serving():
+def loop():
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+    yield loop
+    loop.close()
+
+
+@pytest.fixture(scope="module")
+def serving(loop):
     from nmvllm_tpu.engine.arg_utils import AsyncEngineArgs
     from nmvllm_tpu.engine.async_llm_engine import AsyncLLMEngine
     from nmvllm_tpu.entrypoints.serving import OpenAIServingChat
@@ -18,7 +26,7 @@ def serving():
         model="debug-llama", num_gpu_blocks_override=64, max_num_seqs=8,
         max_model_len=256, disable_log_stats=True))
     chat = OpenAIServingChat(engine, ["debug-llama"])
-    asyncio.get_event_loop().run_until_complete(chat._post_init())
+    loop.run_until_complete(chat._post_init())
     return chat
 
 
@@ -37,7 +45,7 @@ TOOLS = [{
 }]
 
 
-def _run(serving, **overrides):
+def _run(serving, loop, **overrides):
     from nmvllm_tpu.entrypoints.protocol import ChatCompletionRequest
     body = dict(model="debug-llama",
                 messages=[{"role": "user", "content": "Weather in Paris"}],
@@ -46,12 +54,11 @@ def _run(serving, **overrides):
                              "function": {"name": "get_weather"}})
     body.update(overrides)
     req = ChatCompletionRequest(**body)
-    return asyncio.get_event_loop().run_until_complete(
-        serving.create_chat_completion(req))
+    return loop.run_until_complete(serving.create_chat_completion(req))
 
 
-def test_named_tool_choice_emits_schema_valid_call(serving):
-    resp = _run(serving)
+def test_named_tool_choice_emits_schema_valid_call(serving, loop):
+    resp = _run(serving, loop)
     choice = resp.choices[0]
     assert choice.message.content is None
     (call,) = choice.message.tool_calls
@@ -61,14 +68,14 @@ def test_named_tool_choice_emits_schema_valid_call(serving):
     assert isinstance(args["days"], int)
 
 
-def test_unknown_tool_rejected(serving):
-    resp = _run(serving, tool_choice={"type": "function",
+def test_unknown_tool_rejected(serving, loop):
+    resp = _run(serving, loop, tool_choice={"type": "function",
                                       "function": {"name": "nope"}})
     from nmvllm_tpu.entrypoints.protocol import ErrorResponse
     assert isinstance(resp, ErrorResponse)
 
 
-def test_tool_choice_none_is_plain_chat(serving):
-    resp = _run(serving, tool_choice="none")
+def test_tool_choice_none_is_plain_chat(serving, loop):
+    resp = _run(serving, loop, tool_choice="none")
     assert resp.choices[0].message.tool_calls is None
     assert resp.choices[0].message.content is not None

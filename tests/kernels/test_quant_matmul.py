@@ -170,3 +170,39 @@ class TestInt8Channel:
                                      group_size=G)
         rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
         assert rel < 0.03, rel
+
+
+class TestPrologues:
+    """Fused activation prologues (silu*up / gelu*up / rmsnorm) on the
+    paired W4 kernel vs jnp reference composition."""
+
+    def _mk(self, M=8, K=256, N=256, G=128, seed=11):
+        import numpy as np
+        import jax.numpy as jnp
+        from nmvllm_tpu.ops.quant_matmul import pack_weights
+        rng = np.random.default_rng(seed)
+        w_int = rng.integers(0, 16, (K, N))
+        qw = pack_weights(jnp.asarray(w_int), 4, G)
+        scales = jnp.asarray(np.abs(rng.normal(0, 0.02, (K // G, N)))
+                             + 1e-3, jnp.float32)
+        zeros = jnp.full((K // G, N), 8, jnp.int32)
+        x = jnp.asarray(rng.normal(0, 1, (M, K)), jnp.float32)
+        u = jnp.asarray(rng.normal(0, 1, (M, K)), jnp.float32)
+        gamma = jnp.asarray(np.abs(rng.normal(1, 0.1, (K,))), jnp.float32)
+        return x, u, gamma, qw, scales, zeros, G
+
+    @pytest.mark.parametrize("prologue", ["silu_mul", "gelu_mul",
+                                          "rmsnorm"])
+    def test_prologue_matches_composition(self, prologue):
+        import numpy as np
+        import jax.numpy as jnp
+        from nmvllm_tpu.ops.quant_matmul import (apply_prologue_jnp,
+                                                 quant_matmul)
+        x, u, gamma, qw, scales, zeros, G = self._mk()
+        aux = gamma if prologue == "rmsnorm" else u
+        fused = quant_matmul(x, qw, scales, zeros, bits=4, group_size=G,
+                             prologue=prologue, aux=aux, eps=1e-5)
+        pre = apply_prologue_jnp(prologue, x, aux, 1e-5)
+        ref = quant_matmul(pre, qw, scales, zeros, bits=4, group_size=G)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)

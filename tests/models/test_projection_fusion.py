@@ -50,3 +50,28 @@ def test_quantized_fusion():
     assert sa._qkv_fused is not None
     out = llm.generate(["Quantized fusion"], SP)[0].outputs[0]
     assert len(out.token_ids) == 6
+
+
+def test_quantized_norm_act_fusion_close(monkeypatch):
+    """GPTQ path with RMSNorm/act prologues fused into the kernels is
+    logprob-close to the unfused composition (numerics differ by one
+    bf16 rounding of the norm input)."""
+    def probs(**env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        llm = LLM(model="debug-llama", num_gpu_blocks_override=64,
+                  max_num_seqs=8, max_model_len=256,
+                  quantization="gptq", seed=0)
+        out = llm.generate(["Norm fusion probe"], SP)[0].outputs[0]
+        lp = out.logprobs[0][out.token_ids[0]].logprob
+        layer = llm.llm_engine.executor.runner.model.layers[0]
+        fused = layer._fuse_norms()
+        for k in env:
+            monkeypatch.delenv(k, raising=False)
+        return out.token_ids, lp, fused
+
+    toks_f, lp_f, fused_on = probs()
+    assert fused_on
+    toks_u, lp_u, fused_off = probs(NMVLLM_DISABLE_FUSION="1")
+    assert not fused_off
+    assert abs(lp_f - lp_u) < 0.15, (lp_f, lp_u)
