@@ -52,6 +52,8 @@ _GENERATION_MODELS: Dict[str, str] = {
     "DbrxForCausalLM": "nmvllm_tpu.models.dbrx:DbrxForCausalLM",
     "LlavaForConditionalGeneration":
         "nmvllm_tpu.models.llava:LlavaForConditionalGeneration",
+    "LlavaNextForConditionalGeneration":
+        "nmvllm_tpu.models.llava_next:LlavaNextForConditionalGeneration",
     "ChatGLMForConditionalGeneration":
         "nmvllm_tpu.models.chatglm:ChatGLMForCausalLM",
     "ChatGLMForCausalLM": "nmvllm_tpu.models.chatglm:ChatGLMForCausalLM",

@@ -443,6 +443,24 @@ def _debug_llava():
     return cfg
 
 
+@register_preset("debug-llava-next")
+def _debug_llava_next():
+    from transformers import CLIPVisionConfig, LlavaNextConfig
+    text = _llama_config(hidden_size=256, intermediate_size=512,
+                         num_hidden_layers=2, num_attention_heads=2,
+                         num_key_value_heads=1, vocab_size=512,
+                         max_position_embeddings=2048, head_dim=128)
+    vision = CLIPVisionConfig(hidden_size=64, intermediate_size=128,
+                              num_hidden_layers=2, num_attention_heads=2,
+                              image_size=64, patch_size=16)
+    cfg = LlavaNextConfig(
+        architectures=["LlavaNextForConditionalGeneration"],
+        text_config=text.to_dict(), vision_config=vision.to_dict(),
+        image_token_index=500,
+        image_grid_pinpoints=[[64, 128], [128, 64], [128, 128]])
+    return cfg
+
+
 @register_preset("debug-phi3")
 def _debug_phi3():
     from transformers import Phi3Config
