@@ -48,9 +48,12 @@ def _decode_kernel(
     block_tables_ref,  # (B, max_bpp) int32, SMEM
     context_lens_ref,  # (B,) int32, SMEM
     write_slots_ref,   # (B,) int32, SMEM (-1 = no write / padding row)
-    # inputs
+    # inputs (bso_ref is present ONLY when blocksparse is enabled — the
+    # wrappers below fix the operand list so dense models keep the
+    # minimal per-call operand set)
     q_ref,     # (1, R, d) VMEM, R = H * G_pad
     alibi_ref,  # (R, 128) f32 VMEM (slopes broadcast along lanes)
+    bso_ref,   # (R, 128) i32 VMEM: per-row blocksparse vertical offsets
     new_k_ref,  # (1, H, d) VMEM — this row's new K
     new_v_ref,  # (1, H, d) VMEM
     kv_hbm,    # (num_blocks, 2, H, bs, d) ANY/HBM (aliased with kv_out)
@@ -74,6 +77,7 @@ def _decode_kernel(
     logit_soft_cap: float,
     sliding_window: int,
     has_alibi: bool,
+    blocksparse,         # None or (block, local_blocks, vert_stride)
     fused_write: bool,
 ):
     b = pl.program_id(0)
@@ -188,8 +192,22 @@ def _decode_kernel(
         valid = head_ok & (pos < ctx)
         if sliding_window > 0:
             valid &= pos > ctx - 1 - sliding_window
+        if blocksparse is not None:
+            # Local + vertically-strided key blocks (reference
+            # blocksparse_attention/utils.py:141); the query block is
+            # always local to itself so qb's own superblock survives.
+            bs_blk, bs_local, bs_vert = blocksparse
+            kb = pos // bs_blk
+            qb = (ctx - 1) // bs_blk
+            valid &= ((qb - kb) < bs_local) | (
+                jax.lax.rem(kb + bso_ref[:, 0:1] + 1, bs_vert) == 0)
         s = jnp.where(valid, s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        if blocksparse is not None:
+            # A superblock between the vertical stripes and the local
+            # window can be fully masked; keep the running max finite so
+            # exp(-inf - m) stays 0 instead of NaN.
+            m_new = jnp.maximum(m_new, -1e30)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
@@ -205,6 +223,16 @@ def _decode_kernel(
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _decode_kernel_dense(block_tables_ref, context_lens_ref,
+                         write_slots_ref, q_ref, alibi_ref, new_k_ref,
+                         new_v_ref, kv_hbm, o_ref, kv_out, kv_buf,
+                         page_buf, sems, wsem, **kw):
+    """Operand layout without the blocksparse offsets input."""
+    _decode_kernel(block_tables_ref, context_lens_ref, write_slots_ref,
+                   q_ref, alibi_ref, None, new_k_ref, new_v_ref, kv_hbm,
+                   o_ref, kv_out, kv_buf, page_buf, sems, wsem, **kw)
+
+
 def default_pages_per_compute_block(num_kv_heads: int,
                                     block_size: int) -> int:
     """Target ~4K score columns per superblock: per-superblock fixed cost
@@ -217,7 +245,7 @@ def default_pages_per_compute_block(num_kv_heads: int,
     jax.jit,
     static_argnames=("scale", "k_scale", "v_scale",
                      "pages_per_compute_block", "logit_soft_cap",
-                     "sliding_window"))
+                     "sliding_window", "blocksparse"))
 def paged_attention(
     q: jax.Array,            # (B, num_q_heads, head_dim)
     kv_cache: jax.Array,     # (num_blocks, 2, H_kv, block_size, head_dim)
@@ -231,6 +259,8 @@ def paged_attention(
     logit_soft_cap: float = 0.0,
     sliding_window: int = 0,
     alibi_slopes=None,
+    blocksparse=None,        # static (block, local_blocks, vert_stride)
+    bs_head_offsets=None,    # (num_q_heads,) int32, or None (homo heads)
     new_k=None,              # (B, H_kv, head_dim): fuse the cache write
     new_v=None,
     write_slots=None,        # (B,) int32 linear slots; -1 = padding row
@@ -255,7 +285,8 @@ def paged_attention(
             k_scale=k_scale, v_scale=v_scale,
             pages_per_compute_block=pages_per_compute_block,
             logit_soft_cap=logit_soft_cap, sliding_window=sliding_window,
-            alibi_slopes=alibi_slopes)
+            alibi_slopes=alibi_slopes, blocksparse=blocksparse,
+            bs_head_offsets=bs_head_offsets)
         return o, kv_cache
     # Mosaic requires lane-aligned (128) head_dim for the page DMA slices;
     # fall back to the jnp path otherwise (reference pallas.py:103 has the
@@ -275,7 +306,8 @@ def paged_attention(
             q, kv_cache, block_tables, context_lens, scale=scale,
             k_scale=k_scale, v_scale=v_scale,
             logit_soft_cap=logit_soft_cap, sliding_window=sliding_window,
-            alibi_slopes=alibi_slopes)
+            alibi_slopes=alibi_slopes, blocksparse=blocksparse,
+            bs_head_offsets=bs_head_offsets)
         return (o, kv_cache) if fused_write else o
     batch, num_q_heads, head_dim = q.shape
     num_blocks, _, num_kv_heads, block_size, _ = kv_cache.shape
@@ -316,6 +348,21 @@ def paged_attention(
     else:
         slopes_in = jnp.zeros((8, 128), jnp.float32)
 
+    has_bso = blocksparse is not None
+    if has_bso and bs_head_offsets is not None:
+        # Per-row (kv_head, group) vertical offsets; padded group rows
+        # reuse the last real head's offset (their outputs are discarded).
+        offs = bs_head_offsets.astype(jnp.int32).reshape(
+            num_kv_heads, group)
+        if g_pad != group:
+            offs = jnp.pad(offs, ((0, 0), (0, g_pad - group)),
+                           mode="edge")
+        bso_in = (jnp.broadcast_to(offs.reshape(rows, 1), (rows, 128)),)
+    elif has_bso:
+        bso_in = (jnp.zeros((rows, 128), jnp.int32),)
+    else:
+        bso_in = ()
+
     if fused_write:
         nk = new_k.astype(kv_cache.dtype)
         nv = new_v.astype(kv_cache.dtype)
@@ -332,6 +379,8 @@ def paged_attention(
             pl.BlockSpec((1, rows, head_dim), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if has_bso else [])
+        + [
             pl.BlockSpec((1, num_kv_heads, head_dim),
                          lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -355,13 +404,13 @@ def paged_attention(
         ],
     )
     kernel = functools.partial(
-        _decode_kernel,
+        _decode_kernel if has_bso else _decode_kernel_dense,
         scale=float(scale), k_scale=float(k_scale), v_scale=float(v_scale),
         pages_per_compute_block=ppcb, block_size=block_size,
         num_kv_heads=num_kv_heads, g_pad=g_pad, head_dim=head_dim,
         logit_soft_cap=float(logit_soft_cap),
         sliding_window=int(sliding_window), has_alibi=has_alibi,
-        fused_write=fused_write)
+        blocksparse=blocksparse, fused_write=fused_write)
     ctx_bytes = 2 * num_kv_heads * block_size * head_dim * \
         kv_cache.dtype.itemsize
     out, kv_cache = pl.pallas_call(
@@ -372,8 +421,9 @@ def paged_attention(
             jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
         ],
         # Operand order incl. scalar prefetch: bt(0), cl(1), ws(2), q(3),
-        # slopes(4), nk(5), nv(6), kv(7) -> kv aliases output 1.
-        input_output_aliases={7: 1},
+        # slopes(4), [bso(5) if blocksparse], nk, nv, kv -> kv (last
+        # operand) aliases output 1.
+        input_output_aliases={(8 if has_bso else 7): 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
@@ -382,7 +432,7 @@ def paged_attention(
             transcendentals=batch * rows * max_bpp * block_size),
         interpret=pallas_interpret(),
     )(block_tables.astype(jnp.int32), context_lens.astype(jnp.int32),
-      ws, q_r, slopes_in, nk, nv, kv_cache)
+      ws, q_r, slopes_in, *bso_in, nk, nv, kv_cache)
     out = out.reshape(batch, num_kv_heads, g_pad, head_dim)[:, :, :group, :]
     out = out.reshape(batch, num_q_heads, head_dim)
     return (out, kv_cache) if fused_write else out
@@ -400,6 +450,8 @@ def paged_attention_reference(
     logit_soft_cap: float = 0.0,
     sliding_window: int = 0,
     alibi_slopes=None,
+    blocksparse=None,        # static (block, local_blocks, vert_stride)
+    bs_head_offsets=None,    # (num_q_heads,) int32, or None (homo heads)
 ) -> jax.Array:
     """jnp reference (gather pages -> dense attention). Used by tests and as
     the automatic non-TPU fallback.
@@ -444,6 +496,22 @@ def paged_attention_reference(
         mask &= (jnp.arange(t)[None, :] >
                  context_lens[:, None] - 1 - sliding_window)
     s = jnp.where(mask[:, None, None, :], s, _NEG_INF)
+    if blocksparse is not None:
+        # reference blocksparse_attention/utils.py:141: local blocks +
+        # per-head vertically-strided blocks (query block = last block).
+        blk, local, vert = blocksparse
+        kb = jnp.arange(t)[None, :] // blk                  # (1, t)
+        qb = (context_lens[:, None] - 1) // blk             # (B, 1)
+        local_ok = (qb - kb) < local                        # (B, t)
+        if bs_head_offsets is None:
+            allow = (local_ok | ((kb + 1) % vert == 0))[:, None, None, :]
+        else:
+            offs = bs_head_offsets.astype(jnp.int32).reshape(
+                num_kv_heads, group)
+            vert_ok = ((kb[0][None, None, :] + offs[:, :, None] + 1)
+                       % vert == 0)[None]                   # (1, h, g, t)
+            allow = local_ok[:, None, None, :] | vert_ok
+        s = jnp.where(allow, s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     # Padding rows (context_len == 0) are fully masked -> softmax NaN;
     # zero them (the Pallas kernel's zero-trip loop does the same).
