@@ -222,6 +222,21 @@ def load_safetensors_weights(model, params, model_dir: str, mesh,
                     put(path + ("up_proj", "weight"),
                         np.ascontiguousarray(b.T))
                     continue
+                elif transform == "split_gegelu":
+                    # Phi-3-Small up_proj: interleaved (gelu, linear)
+                    # output pairs (reference phi3_small.py:59 gegelu
+                    # reads [..., ::2]/[..., 1::2]) -> contiguous halves.
+                    put(path + ("gate_proj", "weight"),
+                        np.ascontiguousarray(arr[0::2].T))
+                    put(path + ("up_proj", "weight"),
+                        np.ascontiguousarray(arr[1::2].T))
+                    continue
+                elif transform == "split_gegelu_bias":
+                    put(path + ("gate_proj", "bias"),
+                        np.ascontiguousarray(arr[0::2]))
+                    put(path + ("up_proj", "bias"),
+                        np.ascontiguousarray(arr[1::2]))
+                    continue
                 put(path, arr)
 
     _load_quant_groups(model, params, name_map, quant_groups, quant_name,

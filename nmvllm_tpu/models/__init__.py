@@ -62,6 +62,10 @@ _GENERATION_MODELS: Dict[str, str] = {
         "nmvllm_tpu.models.mixtral:MixtralForCausalLM",
     "ArcticForCausalLM": "nmvllm_tpu.models.arctic:ArcticForCausalLM",
     "JambaForCausalLM": "nmvllm_tpu.models.jamba:JambaForCausalLM",
+    "MLPSpeculatorPreTrainedModel":
+        "nmvllm_tpu.models.mlp_speculator:MLPSpeculator",
+    "Phi3SmallForCausalLM":
+        "nmvllm_tpu.models.phi3_small:Phi3SmallForCausalLM",
     "Phi3VForCausalLM": "nmvllm_tpu.models.phi3v:Phi3VForCausalLM",
 }
 

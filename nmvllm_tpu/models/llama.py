@@ -60,6 +60,9 @@ class Attention:
         self.attn_logit_soft_cap = float(
             getattr(cfg, "attn_logit_softcapping", None) or 0.0)
         self.alibi_slopes = None  # set by alibi models post-init
+        # (block, local_blocks, vert_stride, homo_head) — set post-init by
+        # blocksparse models (phi3_small); None = dense attention.
+        self.blocksparse = None
         self.clip_qkv = getattr(cfg, "clip_qkv", None)  # OLMo/DBRX
         self.k_scale = k_scale
         self.v_scale = v_scale
@@ -121,6 +124,25 @@ class Attention:
         out["qkv_proj"] = fused_params
         return out
 
+    def _blocksparse_args(self):
+        """(static 3-tuple, per-head vertical offsets) for the attention
+        ops; offsets are GLOBAL q-head indices * head_sliding_step
+        (reference blocksparse_attention/utils.py:133), so under TP the
+        shard rank offsets this shard's contiguous head range."""
+        if self.blocksparse is None:
+            return None, None
+        blk, local, vert, homo = self.blocksparse
+        if homo:
+            return (blk, local, vert), None
+        step = max(1, vert // self.total_heads)
+        try:
+            from nmvllm_tpu.parallel.mesh import TP_AXIS
+            rank = jax.lax.axis_index(TP_AXIS)
+        except Exception:
+            rank = 0
+        gh = rank * self.heads + jnp.arange(self.heads, dtype=jnp.int32)
+        return (blk, local, vert), gh * step
+
     def __call__(self, params, rotary: RotaryEmbedding, rotary_params,
                  x: jax.Array, positions: jax.Array, kv_cache: KVCache,
                  meta: AttentionMetadata, *, is_prefill: bool,
@@ -159,6 +181,7 @@ class Attention:
         if self.v_scale != 1.0:
             flat_v = flat_v.astype(jnp.float32) / self.v_scale
 
+        bs3, bs_offs = self._blocksparse_args()
         if is_prefill:
             kv_cache = write_to_kv_cache(
                 kv_cache, flat_k, flat_v, meta.slot_mapping.reshape(b * t))
@@ -169,14 +192,17 @@ class Attention:
                     sliding_window=self.sliding_window,
                     logit_soft_cap=self.attn_logit_soft_cap,
                     k_scale=self.k_scale, v_scale=self.v_scale,
-                    alibi_slopes=self.alibi_slopes)
+                    alibi_slopes=self.alibi_slopes,
+                    blocksparse=bs3, bs_head_offsets=bs_offs)
             else:
                 o = prefill_attention(q, k, v, positions, meta.seq_lens,
                                       scale=self.scale,
                                       sliding_window=self.sliding_window,
                                       logit_soft_cap=self.
                                       attn_logit_soft_cap,
-                                      alibi_slopes=self.alibi_slopes)
+                                      alibi_slopes=self.alibi_slopes,
+                                      blocksparse=bs3,
+                                      bs_head_offsets=bs_offs)
         else:
             # Decode: the cache write happens INSIDE the attention kernel
             # (one kernel call instead of two per layer).
@@ -187,6 +213,7 @@ class Attention:
                 logit_soft_cap=self.attn_logit_soft_cap,
                 sliding_window=self.sliding_window,
                 alibi_slopes=self.alibi_slopes,
+                blocksparse=bs3, bs_head_offsets=bs_offs,
                 new_k=flat_k, new_v=flat_v,
                 write_slots=meta.slot_mapping.reshape(b * t))
             o = o.reshape(b, 1, self.heads, self.head_dim)

@@ -461,6 +461,53 @@ def _debug_llava_next():
     return cfg
 
 
+@register_preset("debug-mlp-speculator")
+def _debug_mlp_speculator():
+    from transformers import PretrainedConfig
+    cfg = PretrainedConfig(
+        architectures=["MLPSpeculatorPreTrainedModel"],
+        model_type="mlp_speculator")
+    cfg.emb_dim = 256            # target debug-llama hidden size
+    cfg.inner_dim = 64
+    cfg.vocab_size = 512
+    cfg.n_predict = 3
+    cfg.num_lookahead_tokens = 3
+    cfg.tie_weights = False
+    cfg.scale_input = True
+    return cfg
+
+
+@register_preset("debug-phi3-small")
+def _debug_phi3_small():
+    from transformers import PretrainedConfig
+    cfg = PretrainedConfig(
+        architectures=["Phi3SmallForCausalLM"], model_type="phi3small")
+    cfg.hidden_size = 256
+    cfg.intermediate_size = 512
+    cfg.num_hidden_layers = 4
+    cfg.num_attention_heads = 2
+    cfg.num_key_value_heads = 1
+    cfg.vocab_size = 512
+    cfg.max_position_embeddings = 2048
+    cfg.hidden_act = "gegelu"
+    cfg.gegelu_limit = 20.0
+    cfg.layer_norm_epsilon = 1e-5
+    cfg.rope_embedding_base = 10000.0
+    cfg.rope_position_scale = 1.0
+    cfg.mup_use_scaling = True
+    cfg.mup_attn_multiplier = 1.0
+    cfg.mup_embedding_multiplier = 10.0
+    cfg.mup_width_multiplier = 8.0
+    cfg.blocksparse_block_size = 16
+    cfg.blocksparse_num_local_blocks = 2
+    cfg.blocksparse_vert_stride = 4
+    cfg.blocksparse_homo_head_pattern = False
+    cfg.dense_attention_every_n_layers = 2
+    cfg.dummy_token_indices = [510, 511]
+    cfg.tie_word_embeddings = True
+    return cfg
+
+
 @register_preset("debug-phi3")
 def _debug_phi3():
     from transformers import Phi3Config
