@@ -397,6 +397,10 @@ class SpeculativeConfig:
     ngram_prompt_lookup_min: int = 0
     speculative_disable_by_batch_size: Optional[int] = None
     acceptance_method: str = "rejection_sampler"
+    # MEDUSA typical acceptance knobs (reference SpeculativeConfig
+    # typical_acceptance_sampler_posterior_{threshold,alpha}).
+    typical_acceptance_sampler_posterior_threshold: float = 0.09
+    typical_acceptance_sampler_posterior_alpha: float = 0.3
 
     @property
     def method(self) -> Optional[str]:

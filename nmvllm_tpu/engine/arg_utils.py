@@ -75,6 +75,8 @@ class EngineArgs:
     ngram_prompt_lookup_min: int = 0
     speculative_disable_by_batch_size: Optional[int] = None
     spec_decoding_acceptance_method: str = "rejection_sampler"
+    typical_acceptance_sampler_posterior_threshold: float = 0.09
+    typical_acceptance_sampler_posterior_alpha: float = 0.3
     # observability
     otlp_traces_endpoint: Optional[str] = None
     # decoding
@@ -168,7 +170,11 @@ class EngineArgs:
                 ngram_prompt_lookup_min=self.ngram_prompt_lookup_min,
                 speculative_disable_by_batch_size=(
                     self.speculative_disable_by_batch_size),
-                acceptance_method=self.spec_decoding_acceptance_method)
+                acceptance_method=self.spec_decoding_acceptance_method,
+                typical_acceptance_sampler_posterior_threshold=(
+                    self.typical_acceptance_sampler_posterior_threshold),
+                typical_acceptance_sampler_posterior_alpha=(
+                    self.typical_acceptance_sampler_posterior_alpha))
         load_config = LoadConfig(load_format=self.load_format,
                                  download_dir=self.download_dir)
         return EngineConfig(

@@ -93,8 +93,15 @@ class LLMEngine:
                     self.spec_config.num_speculative_tokens))
         elif self.spec_config is not None and self.spec_config.method == \
                 "draft_model":
-            # Marker: proposals come from the executor's draft runner.
-            self.spec_proposer = "draft_model"
+            # Marker: proposals come from the executor's draft runner, or
+            # from the KV-less MLP speculator head (reference
+            # MLPSpeculatorWorker) when the draft checkpoint is one.
+            if getattr(self.executor, "mlp_speculator", None) is not None:
+                self.spec_proposer = "mlp_speculator"
+                self.scheduler.free_seq_hooks.append(
+                    self.executor.runner.free_seq_hidden)
+            else:
+                self.spec_proposer = "draft_model"
         self.tracer = None
         if (engine_config.observability_config and
                 engine_config.observability_config.otlp_traces_endpoint):
@@ -272,10 +279,14 @@ class LLMEngine:
                         and data.get_output_len() >= sp.min_tokens)
             eligible_rows.append((eligible, data))
 
-        if self.spec_proposer == "draft_model":
+        if self.spec_proposer in ("draft_model", "mlp_speculator"):
             if not any(e for e, _ in eligible_rows):
                 return None
             k = self.spec_config.num_speculative_tokens
+            if self.spec_proposer == "mlp_speculator":
+                proposals = self.executor.propose_mlp(metas, k)
+                return [p if eligible_rows[i][0] else []
+                        for i, p in enumerate(proposals)]
             drafts = self.executor.propose_drafts(metas, k)
             proposals = [
                 (list(map(int, drafts[i])) if eligible_rows[i][0] else [])

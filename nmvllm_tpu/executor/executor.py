@@ -38,6 +38,8 @@ class TPUExecutor:
         # kept in sync by piggybacking on prefill and decode steps.
         self.draft_runner: Optional[ModelRunner] = None
         self.draft_cache_engine: Optional[CacheEngine] = None
+        self.mlp_speculator = None
+        self.mlp_speculator_params = None
         spec = engine_config.speculative_config
         if spec is not None and spec.draft_model:
             import dataclasses
@@ -48,11 +50,32 @@ class TPUExecutor:
                 model=spec.draft_model, tokenizer=mc.tokenizer,
                 dtype=mc.dtype, seed=mc.seed,
                 max_model_len=mc.max_model_len)
-            self._draft_config = dataclasses.replace(
-                engine_config, model_config=draft_mc,
-                speculative_config=None)
-            self.draft_runner = ModelRunner(self._draft_config, self.mesh)
-            self.draft_runner.load_model()
+            archs = getattr(draft_mc.hf_config, "architectures", None) or []
+            if any("MLPSpeculator" in a for a in archs):
+                # KV-less draft head conditioned on the target's hidden
+                # states (reference MLPSpeculatorWorker,
+                # spec_decode/mlp_speculator_worker.py:12).
+                import jax as _jax
+
+                from nmvllm_tpu.models.mlp_speculator import MLPSpeculator
+                self.mlp_speculator = MLPSpeculator(draft_mc.hf_config)
+                params = self.mlp_speculator.init(
+                    _jax.random.PRNGKey(mc.seed))
+                import os
+                if os.path.isdir(draft_mc.model):
+                    params = self.mlp_speculator.load_from_dir(
+                        params, draft_mc.model)
+                self.mlp_speculator_params = params
+                self._mlp_propose_jit = _jax.jit(
+                    self.mlp_speculator.propose, static_argnums=(3,))
+                self.runner.capture_hidden = True
+            else:
+                self._draft_config = dataclasses.replace(
+                    engine_config, model_config=draft_mc,
+                    speculative_config=None)
+                self.draft_runner = ModelRunner(self._draft_config,
+                                                self.mesh)
+                self.draft_runner.load_model()
 
     def _maybe_init_compile_cache(self) -> None:
         from nmvllm_tpu import envs
@@ -151,6 +174,35 @@ class TPUExecutor:
             outputs_by_request.get(m.request_id) for m in metas
         ])
         return [merged]
+
+    def propose_mlp(self, metas, k: int):
+        """MLP-speculator proposals from (last token, last hidden) — one
+        jitted chain, no draft KV (reference generate_proposals,
+        mlp_speculator.py:134). Rows with no captured hidden state (e.g.
+        resumed after preemption) get no draft this step."""
+        import numpy as np
+
+        import jax.numpy as jnp
+        rows = []
+        for meta in metas:
+            (seq_id, data), = meta.seq_data.items()
+            rows.append((seq_id, data))
+        have = [sid in self.runner.seq_hidden for sid, _ in rows]
+        if not any(have):
+            return [[] for _ in rows]
+        emb_dim = self.mlp_speculator.emb_dim
+        hid = np.zeros((len(rows), emb_dim), np.float32)
+        toks = np.zeros((len(rows),), np.int32)
+        for i, (sid, data) in enumerate(rows):
+            toks[i] = data.get_last_token_id()
+            if have[i]:
+                hid[i] = self.runner.seq_hidden[sid]
+        k = min(k, self.mlp_speculator.max_speculative_tokens)
+        drafts = np.asarray(self._mlp_propose_jit(
+            self.mlp_speculator_params, jnp.asarray(toks),
+            jnp.asarray(hid), k))
+        return [list(map(int, drafts[i])) if have[i] else []
+                for i in range(len(rows))]
 
     def propose_drafts(self, metas, k: int):
         """Greedy draft-model proposals (k tokens per decode row); writes

@@ -72,3 +72,27 @@ def rejection_sample(
         return out.astype(jnp.int32), n_acc.astype(jnp.int32)
 
     return jax.vmap(per_row)(keys, proposed, draft_probs, target_probs)
+
+
+def typical_acceptance_mask(
+    target_probs: jax.Array,    # (B, k, V) f32 p(x) at draft positions
+    proposed: jax.Array,        # (B, k) int32 draft tokens
+    posterior_threshold: float = 0.09,
+    posterior_alpha: float = 0.3,
+) -> jax.Array:
+    """Typical acceptance (reference typical_acceptance_sampler.py:100,
+    MEDUSA §3.3.1): accept draft x_i when p(x_i) clears the
+    entropy-adaptive threshold min(threshold, alpha * exp(-H(p))).
+    Deterministic — no RNG — which trades exactness of the output
+    distribution for higher acceptance. Rejection replacement is the
+    target argmax (reference _replacement_token_ids:155).
+
+    Returns a (B, k) bool acceptance mask (positionwise, before the
+    prefix-product)."""
+    p_sel = jnp.take_along_axis(target_probs, proposed[..., None],
+                                axis=-1)[..., 0]
+    entropy = -jnp.sum(
+        target_probs * jnp.log(jnp.maximum(target_probs, 1e-20)), axis=-1)
+    threshold = jnp.minimum(posterior_threshold,
+                            posterior_alpha * jnp.exp(-entropy))
+    return p_sel > threshold

@@ -157,6 +157,12 @@ class ModelRunner:
         self.num_state_slots = 2 * self.scheduler_config.max_num_seqs
         self._state_slots: Dict[int, int] = {}
         self._state_free: List[int] = list(range(self.num_state_slots))
+        # MLP-speculator support: when set (by the executor, before the
+        # first step), every compiled step also emits the target model's
+        # last hidden state per row (reference HiddenStates tracking in
+        # spec_decode_worker.py); stored host-side per sequence.
+        self.capture_hidden = False
+        self.seq_hidden: Dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------------ load
     def load_model(self) -> None:
@@ -415,25 +421,32 @@ class ModelRunner:
                                              kv_caches, meta,
                                              is_prefill=False)
             logits = model.compute_logits(params, x[:, 0, :])
+            if capture_hidden:
+                return logits, kv_caches, x[:, 0, :]
             return logits, kv_caches
 
+        capture_hidden = self.capture_hidden
         lora_specs = (P(), self._lora_spec_tree())
+        hid_spec = ((P(),) if capture_hidden else ())
         sharded_fwd = shard_map_fn(
             fwd, mesh,
             in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),
                       *lora_specs),
-            out_specs=(P(), kv_specs))
+            out_specs=(P(), kv_specs) + hid_spec)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
                  ctx, state_slots, sampling_tensors, lora_indices,
                  lora_stacks):
-            logits, kv_caches = sharded_fwd(params, kv_caches, tokens,
-                                            positions, slots, block_tables,
-                                            ctx, state_slots, lora_indices,
-                                            lora_stacks)
+            res = sharded_fwd(params, kv_caches, tokens,
+                              positions, slots, block_tables,
+                              ctx, state_slots, lora_indices,
+                              lora_stacks)
+            logits, kv_caches = res[0], res[1]
             out = sample(logits, sampling_tensors, vocab_size=vocab_size,
                          **flags)
+            if capture_hidden:
+                return kv_caches, out, res[2]
             return kv_caches, out
 
         self._step_fns[key] = step
@@ -475,6 +488,9 @@ class ModelRunner:
         slot = self._state_slots.pop(seq_id, None)
         if slot is not None:
             self._state_free.append(slot)
+
+    def free_seq_hidden(self, seq_id: int) -> None:
+        self.seq_hidden.pop(seq_id, None)
 
     def _state_slots_for_rows(self, rows, batch_pad: int,
                               create: bool = False) -> np.ndarray:
@@ -519,6 +535,7 @@ class ModelRunner:
                                              has_prefix=has_prefix,
                                              **mm_kw)
             hidden = model.select_last_token(x, seq_lens)
+            hid0 = hidden
             if do_sample:
                 if n_samples > 1:
                     # best_of siblings: same prompt logits, distinct keys.
@@ -547,30 +564,37 @@ class ModelRunner:
                 prompt_lp = (chosen, topk_ids, topk_lp)
             else:
                 prompt_lp = None
+            if capture_hidden:
+                return logits, prompt_lp, kv_caches, hid0
             return logits, prompt_lp, kv_caches
 
+        capture_hidden = self.capture_hidden
         lora_specs = (P(), self._lora_spec_tree())
         prompt_lp_spec = ((P(), P(), P())
                           if num_prompt_logprobs > 0 else None)
+        hid_spec = ((P(),) if capture_hidden else ())
         sharded_fwd = shard_map_fn(
             fwd, mesh,
             in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),
                       P(), P(), P(), *lora_specs),
-            out_specs=(P(), prompt_lp_spec, kv_specs))
+            out_specs=(P(), prompt_lp_spec, kv_specs) + hid_spec)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
                  ctx, seq_lens, prefix_lens, state_slots, pixel_values,
                  sampling_tensors, lora_indices, lora_stacks):
-            logits, prompt_lp, kv_caches = sharded_fwd(
+            res = sharded_fwd(
                 params, kv_caches, tokens, positions, slots, block_tables,
                 ctx, seq_lens, prefix_lens, state_slots, pixel_values,
                 lora_indices, lora_stacks)
+            logits, prompt_lp, kv_caches = res[0], res[1], res[2]
             if do_sample:
                 out = sample(logits, sampling_tensors,
                              vocab_size=vocab_size, **flags)
             else:
                 out = None
+            if capture_hidden:
+                return kv_caches, out, prompt_lp, res[3]
             return kv_caches, out, prompt_lp
 
         self._step_fns[key] = step
@@ -589,7 +613,17 @@ class ModelRunner:
         runs the full sampler so non-greedy/penalized rows (draft_len=0)
         still sample correctly in the same step.
         """
-        key = ("spec", num_spec, flags_key, use_lora)
+        spec_cfg = self.config.speculative_config
+        acc_method = (getattr(spec_cfg, "acceptance_method",
+                              "rejection_sampler")
+                      if spec_cfg else "rejection_sampler")
+        typ_thr = float(getattr(
+            spec_cfg, "typical_acceptance_sampler_posterior_threshold",
+            0.09) if spec_cfg else 0.09)
+        typ_alpha = float(getattr(
+            spec_cfg, "typical_acceptance_sampler_posterior_alpha", 0.3)
+            if spec_cfg else 0.3)
+        key = ("spec", num_spec, flags_key, use_lora, acc_method)
         if key in self._step_fns:
             return self._step_fns[key]
         flags = dict(flags_key)
@@ -616,14 +650,18 @@ class ModelRunner:
             b = x.shape[0]
             logits = model.compute_logits(
                 params, x.reshape(b * s, x.shape[-1]))
+            if capture_hidden:
+                return logits.reshape(b, s, -1), kv_caches, x
             return logits.reshape(b, s, -1), kv_caches
 
+        capture_hidden = self.capture_hidden
         lora_specs = (P(), self._lora_spec_tree())
+        hid_spec = ((P(),) if capture_hidden else ())
         sharded_fwd = shard_map_fn(
             fwd, mesh,
             in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),
                       P(), *lora_specs),
-            out_specs=(P(), kv_specs))
+            out_specs=(P(), kv_specs) + hid_spec)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
@@ -631,10 +669,11 @@ class ModelRunner:
                  sampling_tensors, lora_indices, lora_stacks):
             from nmvllm_tpu.layers.sampler import (_EPS,
                                                    _apply_top_k_top_p)
-            logits, kv_caches = sharded_fwd(params, kv_caches, tokens,
-                                            positions, slots, block_tables,
-                                            ctx, seq_lens, prefix_lens,
-                                            lora_indices, lora_stacks)
+            res_fwd = sharded_fwd(params, kv_caches, tokens,
+                                  positions, slots, block_tables,
+                                  ctx, seq_lens, prefix_lens,
+                                  lora_indices, lora_stacks)
+            logits, kv_caches = res_fwd[0], res_fwd[1]
             logits = logits.astype(jnp.float32)
             b = logits.shape[0]
             v_pad = logits.shape[-1]
@@ -671,7 +710,15 @@ class ModelRunner:
             u = jax.vmap(row_uniform)(keys)          # (B, 2s)
             p_draft = jnp.take_along_axis(
                 probs[:, :k, :], drafts[..., None], axis=-1)[..., 0]
-            accept_st = u[:, :k] < p_draft
+            if acc_method == "typical_acceptance":
+                # Entropy-adaptive deterministic acceptance (reference
+                # typical_acceptance_sampler.py:100, MEDUSA §3.3.1).
+                from nmvllm_tpu.spec_decode.rejection_sampler import (
+                    typical_acceptance_mask)
+                accept_st = typical_acceptance_mask(
+                    probs[:, :k, :], drafts, typ_thr, typ_alpha)
+            else:
+                accept_st = u[:, :k] < p_draft
             accept_gr = drafts == argmax_tok[:, :k]
             match = jnp.where(greedy[:, None], accept_gr, accept_st) & (
                 jnp.arange(k)[None, :] < draft_lens[:, None])
@@ -694,13 +741,23 @@ class ModelRunner:
             sampled_corr = jnp.sum(
                 (cdf < thresh).astype(jnp.int32), axis=-1).astype(jnp.int32)
             sampled_corr = jnp.minimum(sampled_corr, v_pad - 1)
-            corr = jnp.where(greedy[:, None], argmax_tok, sampled_corr)
+            if acc_method == "typical_acceptance":
+                # Replacement is the target argmax (reference
+                # _replacement_token_ids:155), not a residual sample.
+                corr = argmax_tok
+            else:
+                corr = jnp.where(greedy[:, None], argmax_tok,
+                                 sampled_corr)
             # Position 0: draft-less (or greedy) rows use the full
             # sampler's token; stochastic rows with a rejected first draft
             # use the residual sample (exactness of modified rejection
             # sampling).
-            corr0 = jnp.where(greedy | (draft_lens == 0),
-                              out0.next_tokens, sampled_corr[:, 0])
+            if acc_method == "typical_acceptance":
+                corr0 = jnp.where(draft_lens == 0, out0.next_tokens,
+                                  corr[:, 0])
+            else:
+                corr0 = jnp.where(greedy | (draft_lens == 0),
+                                  out0.next_tokens, sampled_corr[:, 0])
             corr = corr.at[:, 0].set(corr0)
 
             pos = jnp.arange(s)[None, :]
@@ -719,8 +776,11 @@ class ModelRunner:
                     lp_all, flags["num_logprobs"])
             else:
                 topk_lp = topk_ids = None
-            return kv_caches, (out_tokens, n_acc.astype(jnp.int32), lp,
-                               topk_ids, topk_lp)
+            out_t = (out_tokens, n_acc.astype(jnp.int32), lp,
+                     topk_ids, topk_lp)
+            if capture_hidden:
+                return kv_caches, out_t, res_fwd[2]
+            return kv_caches, out_t
 
         self._step_fns[key] = step
         return step
@@ -796,14 +856,19 @@ class ModelRunner:
         logger.debug("decode step: B=%d rows=%d flags=%s lora=%s", b,
                      len(prep.rows), flags, use_lora)
         state_slots = self._state_slots_for_rows(prep.rows, b)
-        kv_caches, out = step(self.params, kv_caches,
-                              jnp.asarray(prep.tokens),
-                              jnp.asarray(prep.positions),
-                              jnp.asarray(prep.slot_mapping),
-                              jnp.asarray(prep.block_tables),
-                              jnp.asarray(prep.context_lens),
-                              jnp.asarray(state_slots), tensors,
-                              lora_idx, lora_stacks)
+        res = step(self.params, kv_caches,
+                   jnp.asarray(prep.tokens),
+                   jnp.asarray(prep.positions),
+                   jnp.asarray(prep.slot_mapping),
+                   jnp.asarray(prep.block_tables),
+                   jnp.asarray(prep.context_lens),
+                   jnp.asarray(state_slots), tensors,
+                   lora_idx, lora_stacks)
+        kv_caches, out = res[0], res[1]
+        if self.capture_hidden:
+            hid = np.asarray(res[2])
+            for i, (_, sid) in enumerate(prep.rows):
+                self.seq_hidden[sid] = hid[i]
         sampler_output = self._to_sampler_output(out, prep.rows, metas)
         return kv_caches, sampler_output
 
@@ -848,15 +913,23 @@ class ModelRunner:
         flags_key = tuple(sorted(flags.items()))
         use_lora, lora_idx, lora_stacks = self._lora_args(prep.rows, b)
         step = self._get_spec_decode_fn(num_spec, flags_key, use_lora)
-        kv_caches, (out_tokens, n_acc, lp, topk_ids, topk_lp) = step(
+        res = step(
             self.params, kv_caches, jnp.asarray(tokens),
             jnp.asarray(positions), jnp.asarray(slots),
             jnp.asarray(prep.block_tables), jnp.asarray(ctx),
             jnp.asarray(seq_lens), jnp.asarray(prefix_lens),
             jnp.asarray(drafts), jnp.asarray(draft_lens), tensors,
             lora_idx, lora_stacks)
+        kv_caches, (out_tokens, n_acc, lp, topk_ids, topk_lp) = \
+            res[0], res[1]
         out_tokens = np.asarray(out_tokens)
         n_acc = np.asarray(n_acc)
+        if self.capture_hidden:
+            # Hidden of the position that produced the LAST emitted token
+            # (index n_acc) — the speculator conditions on it next step.
+            hid = np.asarray(res[2])
+            for i, (_, sid) in enumerate(prep.rows):
+                self.seq_hidden[sid] = hid[i, int(n_acc[i])]
         lp = np.asarray(lp)
         if topk_ids is not None:
             topk_ids = np.asarray(topk_ids)
@@ -972,13 +1045,18 @@ class ModelRunner:
                 "copy-on-fork of the recurrent state.")
         state_slots = self._state_slots_for_rows([(meta, seq_id)], 1,
                                                  create=True)
-        kv_caches, out, prompt_lp = step(
+        res = step(
             self.params, kv_caches, jnp.asarray(tokens),
             jnp.asarray(positions), jnp.asarray(slots),
             jnp.asarray(block_tables), jnp.asarray(ctx),
             jnp.asarray(seq_lens), jnp.asarray(prefix_lens),
             jnp.asarray(state_slots), pv, tensors,
             lora_idx, lora_stacks)
+        kv_caches, out, prompt_lp = res[0], res[1], res[2]
+        if self.capture_hidden:
+            hid = np.asarray(res[3])
+            for sid in seq_ids:
+                self.seq_hidden[sid] = hid[0]
         plp_list = None
         if prompt_lp is not None:
             # Chunk position j's logits predict chunk token j+1; entry i of

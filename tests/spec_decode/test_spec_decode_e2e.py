@@ -109,3 +109,47 @@ def test_stochastic_rows_speculate_and_reproduce(draft_spec_llm):
     assert after["num_accepted"] > before["num_accepted"]
     o2 = draft_spec_llm.generate(["near greedy probe"], sp)
     assert o1[0].outputs[0].token_ids == o2[0].outputs[0].token_ids
+
+
+def test_typical_acceptance_sampler():
+    """MEDUSA typical acceptance (reference
+    typical_acceptance_sampler.py): deterministic entropy-thresholded
+    acceptance; near-greedy rows still produce high acceptance with an
+    identical draft model."""
+    llm = LLM(model="debug-llama", num_gpu_blocks_override=64,
+              max_num_seqs=8, max_model_len=256,
+              speculative_model="debug-llama", num_speculative_tokens=3,
+              spec_decoding_acceptance_method="typical_acceptance")
+    sp = SamplingParams(temperature=0.01, seed=3, max_tokens=12)
+    llm.generate(["typical probe"], sp)  # warm the draft KV pool
+    o1 = llm.generate(["typical probe"], sp)
+    st = llm.llm_engine.spec_stats
+    assert st["num_spec_steps"] > 0
+    assert st["num_accepted"] > 0
+    o2 = llm.generate(["typical probe"], sp)
+    # Warm-state runs reproduce exactly (the cold first run can differ:
+    # rejected-draft KV rows in the draft cache are an acceptance-only
+    # approximation — the verifier gates every emitted token).
+    assert o1[0].outputs[0].token_ids == o2[0].outputs[0].token_ids
+
+
+def test_typical_acceptance_unit():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nmvllm_tpu.spec_decode.rejection_sampler import (
+        typical_acceptance_mask)
+    # Peaked target distribution: matching draft accepted, mismatch not.
+    v = 16
+    p = np.full((1, 2, v), 1e-4, np.float32)
+    p[0, :, 3] = 1.0 - 15e-4
+    mask = typical_acceptance_mask(jnp.asarray(p),
+                                   jnp.asarray([[3, 5]], jnp.int32))
+    assert bool(mask[0, 0]) and not bool(mask[0, 1])
+    # Uniform target: high entropy relaxes the threshold to
+    # alpha/v = 0.0188 < 1/v, so any draft is accepted (the leniency
+    # that distinguishes typical acceptance from rejection sampling).
+    q = np.full((1, 1, v), 1.0 / v, np.float32)
+    mask2 = typical_acceptance_mask(jnp.asarray(q),
+                                    jnp.asarray([[0]], jnp.int32))
+    assert bool(mask2[0, 0])
