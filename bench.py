@@ -47,7 +47,7 @@ def count_quant_param_bytes(params) -> int:
 
 def run_decode_bench(model_name: str, quantization, batch: int,
                      context_len: int, steps: int, block_size: int = 32,
-                     dtype: str = "bfloat16"):
+                     dtype: str = "bfloat16", num_layers_override=None):
     import jax
     import jax.numpy as jnp
     from nmvllm_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
@@ -69,6 +69,11 @@ def run_decode_bench(model_name: str, quantization, batch: int,
                                          max_num_seqs=batch),
         device_config=DeviceConfig())
     model = build_model(engine_config)
+    if num_layers_override is not None:
+        # Differential profiling: per-layer device time = slope of step
+        # time vs layer count (the scan step is ONE XLA program, so this
+        # captures on-device per-layer cost, not host dispatch).
+        model.layers = model.layers[:num_layers_override]
     params = init_params_on_mesh(model, mesh, 0)
     params_bytes = count_quant_param_bytes(params)
 
@@ -168,7 +173,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="auto",
                         choices=["auto", "llama3-8b-int4", "debug"])
-    parser.add_argument("--batch", type=int, default=48)
+    parser.add_argument("--batch", type=int, default=56)
     parser.add_argument("--context-len", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--block-size", type=int, default=32)
@@ -176,6 +181,10 @@ def main():
                         help="serve INT4 via the W4A8 int8-MXU path "
                              "(int8-stored weights, per-token act quant)")
     parser.add_argument("--no-a8", dest="a8", action="store_false")
+    parser.add_argument("--profile", action="store_true",
+                        help="differential per-layer profile: run at two "
+                             "layer counts and report on-device ms/layer "
+                             "+ non-layer (embed/head/sampler) cost")
     args = parser.parse_args()
     if args.a8 is None:
         args.a8 = False
@@ -200,8 +209,41 @@ def main():
         model_name, quant = "debug-llama", None
         batch, ctx, steps = 8, 128, args.steps
 
-    tokens_per_s, params_bytes, kv_bytes = run_decode_bench(
-        model_name, quant, batch, ctx, steps, block_size=args.block_size)
+    if args.profile:
+        full_layers = 32 if config == "llama3-8b-int4" else 2
+        lo_layers = 8 if config == "llama3-8b-int4" else 1
+        tps_lo, _, _ = run_decode_bench(
+            model_name, quant, batch, ctx, steps,
+            block_size=args.block_size, num_layers_override=lo_layers)
+        tps_hi, _, _ = run_decode_bench(
+            model_name, quant, batch, ctx, steps,
+            block_size=args.block_size)
+        ms_lo = batch / tps_lo * 1e3
+        ms_hi = batch / tps_hi * 1e3
+        per_layer = (ms_hi - ms_lo) / (full_layers - lo_layers)
+        other = ms_lo - lo_layers * per_layer
+        print(json.dumps({
+            "metric": "decode_profile",
+            "ms_per_layer": round(per_layer, 4),
+            "layer_total_ms": round(per_layer * full_layers, 3),
+            "embed_head_sampler_ms": round(other, 3),
+            "step_ms": round(ms_hi, 3),
+            "layer_fraction": round(per_layer * full_layers / ms_hi, 3),
+        }))
+        return
+
+    try:
+        tokens_per_s, params_bytes, kv_bytes = run_decode_bench(
+            model_name, quant, batch, ctx, steps,
+            block_size=args.block_size)
+    except Exception as e:  # HBM OOM at the default batch: retry smaller
+        if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in \
+                str(e).lower():
+            raise
+        batch = 32
+        tokens_per_s, params_bytes, kv_bytes = run_decode_bench(
+            model_name, quant, batch, ctx, steps,
+            block_size=args.block_size)
     hbm = detect_hbm_gbps()
     roof = roofline_tokens_per_s(params_bytes, hbm, batch, kv_bytes)
     print(json.dumps({

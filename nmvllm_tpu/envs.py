@@ -17,6 +17,12 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "NMVLLM_DISABLE_PALLAS": lambda: bool(os.getenv("NMVLLM_DISABLE_PALLAS", "")),
     # Disable post-load q/k/v and gate/up projection fusion.
     "NMVLLM_DISABLE_FUSION": lambda: bool(os.getenv("NMVLLM_DISABLE_FUSION", "")),
+    # Fuse residual adds into the W4 kernel epilogues (measured ~8%
+    # SLOWER e2e on the axon stack — off unless explicitly enabled;
+    # docs/PERF_NOTES.md "epilogue fusion A/B").
+    "NMVLLM_EPILOGUE_FUSION": lambda: bool(os.getenv("NMVLLM_EPILOGUE_FUSION", "")),
+    # Disable folding the two RMSNorms into kernel prologues (A/B knob).
+    "NMVLLM_DISABLE_NORM_FUSION": lambda: bool(os.getenv("NMVLLM_DISABLE_NORM_FUSION", "")),
     # Serve symmetric INT4 weight-only linears through int8 MXU dots
     # (per-token int8 activation quant — the Machete-class successor to
     # the Marlin W4A16 path). "1"/"grouped": int8-stored weights with

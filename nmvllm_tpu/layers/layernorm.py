@@ -107,3 +107,14 @@ class RMSNorm(Module):
         if self.zero_centered:
             w = w.astype(jnp.float32) + 1.0
         return rms_norm(x, w, self.eps, residual)
+
+
+def finalize_norm(norm, params, x, residual):
+    """Final-model-norm helper: layers that fused the residual add into
+    their kernels (llama.py epilogue_add path) hand back ``residual=None``
+    — the stream is already complete and the norm runs without the fused
+    add."""
+    if residual is None:
+        return norm(params, x)
+    out, _ = norm(params, x, residual)
+    return out

@@ -92,7 +92,7 @@ class Linear(Module):
 
     def __call__(self, params: Dict[str, Any], x, *,
                  inside_shard_map: bool = True, prologue=None, aux=None,
-                 eps: float = 1e-6):
+                 eps: float = 1e-6, epilogue_add=None):
         from nmvllm_tpu.lora.context import maybe_apply_lora
         bias = params.get("bias")
         if prologue is not None and not getattr(self.method,
@@ -102,6 +102,16 @@ class Linear(Module):
             prologue, aux = None, None
         kw = ({"prologue": prologue, "aux": aux, "eps": eps}
               if prologue is not None else {})
+        # Fused residual-add epilogue: only valid pre-psum when the
+        # caller guarantees a single shard (callers gate on tp == 1 for
+        # row-parallel layers — in-kernel adds would be multiplied by
+        # the later cross-shard reduction otherwise).
+        post_add = None
+        if epilogue_add is not None:
+            if getattr(self.method, "supports_prologue", False):
+                kw["epilogue_add"] = epilogue_add
+            else:
+                post_add = epilogue_add
         if self.shard == "row":
             # Bias must be added once, after the cross-shard reduction.
             y = self.method.apply(params, x, None, **kw)
@@ -110,6 +120,13 @@ class Linear(Module):
                 y = jax.lax.psum(y, TP_AXIS)
             if bias is not None:
                 y = y + bias
+            if post_add is not None:
+                y = (y.astype(jnp.float32) +
+                     post_add.astype(jnp.float32)).astype(y.dtype)
             return y
         y = self.method.apply(params, x, bias, **kw)
-        return maybe_apply_lora(self.name, x, y)
+        y = maybe_apply_lora(self.name, x, y)
+        if post_add is not None:
+            y = (y.astype(jnp.float32) +
+                 post_add.astype(jnp.float32)).astype(y.dtype)
+        return y

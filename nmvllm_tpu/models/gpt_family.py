@@ -203,7 +203,8 @@ class GPTStyleForCausalLM(LlamaForCausalLM):
                                     has_prefix=has_prefix)
             new_caches.append(kv)
         if residual is not None:
-            x, _ = self.norm(params["norm"], x, residual)
+            from nmvllm_tpu.layers.layernorm import finalize_norm
+            x = finalize_norm(self.norm, params["norm"], x, residual)
         else:
             x = self.norm(params["norm"], x)
         return x, new_caches

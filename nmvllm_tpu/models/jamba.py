@@ -367,7 +367,8 @@ class JambaForCausalLM(LlamaForCausalLM):
                                     residual, is_prefill=is_prefill,
                                     has_prefix=has_prefix)
             new_caches.append(kv)
-        x, _ = self.norm(params["norm"], x, residual)
+        from nmvllm_tpu.layers.layernorm import finalize_norm
+        x = finalize_norm(self.norm, params["norm"], x, residual)
         return x, new_caches
 
     def init(self, rng):

@@ -146,7 +146,8 @@ class Attention:
     def __call__(self, params, rotary: RotaryEmbedding, rotary_params,
                  x: jax.Array, positions: jax.Array, kv_cache: KVCache,
                  meta: AttentionMetadata, *, is_prefill: bool,
-                 has_prefix: bool, norm=None) -> Tuple[jax.Array, KVCache]:
+                 has_prefix: bool, norm=None,
+                 epilogue_add=None) -> Tuple[jax.Array, KVCache]:
         b, t, _ = x.shape
         if self._qkv_fused is not None:
             from nmvllm_tpu.layers.fused import split_fused
@@ -218,7 +219,8 @@ class Attention:
                 write_slots=meta.slot_mapping.reshape(b * t))
             o = o.reshape(b, 1, self.heads, self.head_dim)
         o = o.reshape(b, t, self.heads * self.head_dim)
-        return self.o_proj(params["o_proj"], o), kv_cache
+        return self.o_proj(params["o_proj"], o,
+                           epilogue_add=epilogue_add), kv_cache
 
 
 class LlamaMLP:
@@ -277,9 +279,10 @@ class LlamaMLP:
         out["gate_up_proj"] = fused_params
         return out
 
-    def __call__(self, params, x, *, norm=None):
+    def __call__(self, params, x, *, norm=None, epilogue_add=None):
         """``norm=(weight, eps)`` fuses the preceding RMSNorm into the
-        gate_up kernel (critical-path node removal, layers/fused.py)."""
+        gate_up kernel; ``epilogue_add`` fuses the residual add into the
+        down_proj kernel (critical-path node removal, layers/fused.py)."""
         if self._gu_fused is not None:
             from nmvllm_tpu.layers.fused import split_fused
             if norm is not None:
@@ -292,15 +295,17 @@ class LlamaMLP:
             if self._act_prologue is not None:
                 return self.down_proj(params["down_proj"], gate,
                                       prologue=self._act_prologue,
-                                      aux=up)
+                                      aux=up, epilogue_add=epilogue_add)
             return self.down_proj(params["down_proj"],
-                                  self.act_fn(gate) * up)
+                                  self.act_fn(gate) * up,
+                                  epilogue_add=epilogue_add)
         if norm is not None:
             from nmvllm_tpu.ops.quant_matmul import apply_prologue_jnp
             x = apply_prologue_jnp("rmsnorm", x, norm[0], norm[1])
         gate = self.act_fn(self.gate_proj(params["gate_proj"], x))
         up = self.up_proj(params["up_proj"], x)
-        return self.down_proj(params["down_proj"], gate * up)
+        return self.down_proj(params["down_proj"], gate * up,
+                              epilogue_add=epilogue_add)
 
 
 class LlamaDecoderLayer:
@@ -310,6 +315,7 @@ class LlamaDecoderLayer:
                  kv_scales: Tuple[float, float] = (1.0, 1.0),
                  norm_factory: Optional[Callable[[], Any]] = None,
                  mlp_cls: Optional[type] = None):
+        self.tp_size = tp_size
         self.self_attn = Attention(cfg, layer_idx, tp_size, method_factory,
                                    dtype, kv_cache_dtype, *kv_scales)
         mlp_cls = mlp_cls or LlamaMLP
@@ -344,6 +350,9 @@ class LlamaDecoderLayer:
         (saves two serial reduce nodes per layer; only when the fused
         projections run the prologue-capable quantized kernel — the
         unquantized path keeps exact legacy numerics)."""
+        from nmvllm_tpu import envs
+        if envs.NMVLLM_DISABLE_NORM_FUSION:
+            return False
         sa = self.self_attn
         return (sa._qkv_fused is not None
                 and getattr(sa._qkv_fused.method, "supports_prologue",
@@ -365,14 +374,32 @@ class LlamaDecoderLayer:
                             residual.astype(jnp.float32)).astype(x.dtype)
             norm1 = (params["input_layernorm"]["weight"],
                      self.input_layernorm.eps)
+            norm2 = (params["post_attention_layernorm"]["weight"],
+                     self.post_attention_layernorm.eps)
+            from nmvllm_tpu import envs
+            if self.tp_size == 1 and envs.NMVLLM_EPILOGUE_FUSION:
+                # Residual adds ride the o_proj / down_proj kernel
+                # epilogues (two fewer serial XLA nodes per layer).
+                # OFF by default: measured ~8% SLOWER e2e — inside the
+                # compiled step XLA elementwise adds are near-free while
+                # an extra Pallas operand costs real per-call time
+                # (docs/PERF_NOTES.md "epilogue fusion A/B").
+                # Single-shard only: the in-kernel add would be
+                # multiplied by the row-parallel psum under TP.
+                stream, kv_cache = self.self_attn(
+                    params["self_attn"], rotary, rotary_params, residual,
+                    positions, kv_cache, meta, is_prefill=is_prefill,
+                    has_prefix=has_prefix, norm=norm1,
+                    epilogue_add=residual)
+                x = self.mlp(params["mlp"], stream, norm=norm2,
+                             epilogue_add=stream)
+                return x, None, kv_cache
             x, kv_cache = self.self_attn(
                 params["self_attn"], rotary, rotary_params, residual,
                 positions, kv_cache, meta, is_prefill=is_prefill,
                 has_prefix=has_prefix, norm=norm1)
             residual = (x.astype(jnp.float32) +
                         residual.astype(jnp.float32)).astype(x.dtype)
-            norm2 = (params["post_attention_layernorm"]["weight"],
-                     self.post_attention_layernorm.eps)
             x = self.mlp(params["mlp"], residual, norm=norm2)
             return x, residual, kv_cache
         if residual is None:
@@ -488,7 +515,8 @@ class LlamaForCausalLM:
                                     is_prefill=is_prefill,
                                     has_prefix=has_prefix)
             new_caches.append(kv)
-        x, _ = self.norm(params["norm"], x, residual)
+        from nmvllm_tpu.layers.layernorm import finalize_norm
+        x = finalize_norm(self.norm, params["norm"], x, residual)
         return x, new_caches
 
     def select_last_token(self, hidden: jax.Array,

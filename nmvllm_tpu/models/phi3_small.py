@@ -55,7 +55,7 @@ class Phi3SmallMLP(LlamaMLP):
             l = jnp.where(jnp.isinf(l), l, jnp.clip(l, -lim, lim))
         return g * jax.nn.sigmoid(1.702 * g) * (l + 1.0)
 
-    def __call__(self, params, x, *, norm=None):
+    def __call__(self, params, x, *, norm=None, epilogue_add=None):
         assert norm is None  # LayerNorm model: norm fusion never fires
         if self._gu_fused is not None:
             from nmvllm_tpu.layers.fused import split_fused
@@ -64,7 +64,8 @@ class Phi3SmallMLP(LlamaMLP):
         else:
             g = self.gate_proj(params["gate_proj"], x)
             l = self.up_proj(params["up_proj"], x)
-        return self.down_proj(params["down_proj"], self._gegelu(g, l))
+        return self.down_proj(params["down_proj"], self._gegelu(g, l),
+                              epilogue_add=epilogue_add)
 
 
 class Phi3SmallForCausalLM(LlamaForCausalLM):

@@ -205,8 +205,8 @@ def _quant_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _w4_paired_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
-                      deq_ref, *, group_size: int, bk: int):
+def _w4_paired_kernel(x_ref, *refs, group_size: int, bk: int,
+                      has_res: bool = False):
     """Relayout-free paired W4 dequant-GEMM (docs/PERF_NOTES.md).
 
     Per scale group: ONE masked shift per 2 weights extracts int16 pairs
@@ -217,7 +217,16 @@ def _w4_paired_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
     lives IN-KERNEL because the host-side gsum@(s*z) correction measured
     0.5-1.7 ms of small-op XLA latency per call (docs/PERF_NOTES.md
     "per-op fixed costs").
+
+    ``has_res``: an extra (bm, bn) operand after x is ADDED to the final
+    accumulator (fused residual-add epilogue — removes the standalone
+    f32 residual-add XLA node from the decode critical path).
     """
+    if has_res:
+        res_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, deq_ref = refs
+    else:
+        w_ref, s_ref, z_ref, o_ref, acc_ref, deq_ref = refs
+        res_ref = None
     g = group_size
     gpb = bk // g
     wpg = g // 8
@@ -251,7 +260,13 @@ def _w4_paired_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
-        o_ref[:] = acc_ref[:]
+        out = acc_ref[:]
+        if res_ref is not None:
+            out = out + res_ref[:].astype(jnp.float32)
+        # Store stays f32: an in-kernel f32->bf16 astype would relayout
+        # the (8,128) accumulator tile to (16,128) per store (measured
+        # 15% e2e regression); the external XLA cast is fused and free.
+        o_ref[:] = out
 
 
 def apply_prologue_jnp(prologue, x, aux, eps):
@@ -269,14 +284,20 @@ def apply_prologue_jnp(prologue, x, aux, eps):
     raise ValueError(f"unknown prologue {prologue!r}")
 
 
-def _w4_paired_prologue_kernel(x_ref, aux_ref, w_ref, s_ref, z_ref, o_ref,
-                               acc_ref, deq_ref, *, group_size: int,
-                               bk: int, prologue: str, eps: float):
+def _w4_paired_prologue_kernel(x_ref, aux_ref, *refs, group_size: int,
+                               bk: int, prologue: str, eps: float,
+                               has_res: bool = False):
     """Paired W4 kernel with a fused activation prologue: the standalone
     silu*up / RMSNorm XLA nodes sit on the decode critical path at
     ~0.4 ms fixed latency each (docs/PERF_NOTES.md) — absorbing them
     into the GEMM removes serial steps. ``rmsnorm`` requires bk == K
-    (full rows for the variance)."""
+    (full rows for the variance). ``has_res``: fused residual-add
+    epilogue operand after aux."""
+    if has_res:
+        res_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, deq_ref = refs
+    else:
+        w_ref, s_ref, z_ref, o_ref, acc_ref, deq_ref = refs
+        res_ref = None
     g = group_size
     gpb = bk // g
     wpg = g // 8
@@ -320,12 +341,15 @@ def _w4_paired_prologue_kernel(x_ref, aux_ref, w_ref, s_ref, z_ref, o_ref,
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
-        o_ref[:] = acc_ref[:]
+        out = acc_ref[:]
+        if res_ref is not None:
+            out = out + res_ref[:].astype(jnp.float32)
+        o_ref[:] = out
 
 
 def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
                             block_m, block_n, block_k, prologue=None,
-                            aux=None, eps=1e-6):
+                            aux=None, eps=1e-6, epilogue_add=None):
     m, k = x.shape
     n = qweight.shape[1]
     g = group_size
@@ -369,6 +393,15 @@ def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
         pl.BlockSpec((k // g, bn), lambda i, j, kk: (0, j),
                      memory_space=pltpu.VMEM),
     ]
+    has_res = epilogue_add is not None
+    res_ops, res_specs = (), []
+    if has_res:
+        res = epilogue_add
+        if m_pad != m:
+            res = jnp.pad(res, ((0, m_pad - m), (0, 0)))
+        res_ops = (res,)
+        res_specs = [pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                                  memory_space=pltpu.VMEM)]
     deq_dtype = jnp.float32 if pallas_interpret() else x.dtype
     kw = dict(
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
@@ -388,10 +421,12 @@ def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
         interpret=pallas_interpret(),
     )
     if prologue is None:
-        kernel = functools.partial(_w4_paired_kernel, group_size=g, bk=bk)
+        kernel = functools.partial(_w4_paired_kernel, group_size=g, bk=bk,
+                                   has_res=has_res)
         acc = pl.pallas_call(
-            kernel, grid=grid, in_specs=[x_spec] + common_specs, **kw,
-        )(xp, qweight, scales, zeros)
+            kernel, grid=grid,
+            in_specs=[x_spec] + res_specs + common_specs, **kw,
+        )(xp, *res_ops, qweight, scales, zeros)
         return acc[:m].astype(x.dtype)
     if prologue == "rmsnorm":
         aux_in = aux.reshape(1, k).astype(jnp.float32)
@@ -403,11 +438,12 @@ def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
             aux_in = jnp.pad(aux_in, ((0, m_pad - m), (0, 0)))
         aux_spec = x_spec
     kernel = functools.partial(_w4_paired_prologue_kernel, group_size=g,
-                               bk=bk, prologue=prologue, eps=float(eps))
+                               bk=bk, prologue=prologue, eps=float(eps),
+                               has_res=has_res)
     acc = pl.pallas_call(
-        kernel, grid=grid, in_specs=[x_spec, aux_spec] + common_specs,
-        **kw,
-    )(xp, aux_in, qweight, scales, zeros)
+        kernel, grid=grid,
+        in_specs=[x_spec, aux_spec] + res_specs + common_specs, **kw,
+    )(xp, aux_in, *res_ops, qweight, scales, zeros)
     return acc[:m].astype(x.dtype)
 
 
@@ -430,13 +466,18 @@ def quant_matmul(
     prologue=None,         # None | "silu_mul" | "gelu_mul" | "rmsnorm"
     aux=None,              # (M, K) gate partner / (K,) norm weight
     eps: float = 1e-6,
+    epilogue_add=None,     # (M, N): fused y += epilogue_add (residual)
 ) -> jax.Array:
-    """y[M, N] = prologue(x) @ dequant(qweight)."""
+    """y[M, N] = prologue(x) @ dequant(qweight) [+ epilogue_add]."""
     if not use_pallas():
         if prologue is not None:
             x = apply_prologue_jnp(prologue, x, aux, eps)
-        return quant_matmul_reference(x, qweight, scales, zeros, bits=bits,
-                                      group_size=group_size)
+        y = quant_matmul_reference(x, qweight, scales, zeros, bits=bits,
+                                   group_size=group_size)
+        if epilogue_add is not None:
+            y = (y.astype(jnp.float32) +
+                 epilogue_add.astype(jnp.float32)).astype(y.dtype)
+        return y
     m, k = x.shape
     vpw = 32 // bits
     n = qweight.shape[1]
@@ -448,15 +489,27 @@ def quant_matmul(
             # Paired layout needs whole 8-row words per group.
             if prologue is not None:
                 x = apply_prologue_jnp(prologue, x, aux, eps)
-            return quant_matmul_reference(x, qweight, scales, zeros,
-                                          bits=bits, group_size=g)
+            y = quant_matmul_reference(x, qweight, scales, zeros,
+                                       bits=bits, group_size=g)
+            if epilogue_add is not None:
+                y = (y.astype(jnp.float32) +
+                     epilogue_add.astype(jnp.float32)).astype(y.dtype)
+            return y
         # Paired relayout-free kernel (the production 4-bit path).
         return _quant_matmul_w4_paired(
             x, qweight, scales, zeros, group_size=g, block_m=block_m,
             block_n=block_n or 1024, block_k=block_k,
-            prologue=prologue, aux=aux, eps=eps)
+            prologue=prologue, aux=aux, eps=eps,
+            epilogue_add=epilogue_add)
     if prologue is not None:
         x = apply_prologue_jnp(prologue, x, aux, eps)
+    if epilogue_add is not None:
+        y = quant_matmul(x, qweight, scales, zeros, bits=bits,
+                         group_size=group_size, symmetric=symmetric,
+                         block_m=block_m, block_n=block_n,
+                         block_k=block_k)
+        return (y.astype(jnp.float32) +
+                epilogue_add.astype(jnp.float32)).astype(y.dtype)
 
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     if block_m <= 0:

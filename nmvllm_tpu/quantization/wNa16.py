@@ -90,11 +90,15 @@ class WNA16LinearMethod(LinearMethodBase):
         return self.bits == 4 and not self.a8_int8_store
 
     def apply(self, params: Dict[str, Any], x, bias=None, *,
-              prologue=None, aux=None, eps: float = 1e-6):
+              prologue=None, aux=None, eps: float = 1e-6,
+              epilogue_add=None):
         orig_shape = x.shape
         x2 = x.reshape(-1, orig_shape[-1])
         if aux is not None and aux.ndim == x.ndim:
             aux = aux.reshape(-1, orig_shape[-1])
+        if epilogue_add is not None:
+            epilogue_add = epilogue_add.reshape(
+                -1, epilogue_add.shape[-1])
         g = self._resolve_group(orig_shape[-1])
         if prologue is not None and not self.supports_prologue:
             from nmvllm_tpu.ops.quant_matmul import apply_prologue_jnp
@@ -121,7 +125,13 @@ class WNA16LinearMethod(LinearMethodBase):
             y = quant_matmul(x2, params["qweight"], params["scales"],
                              params["zeros"], bits=self.bits,
                              group_size=g, symmetric=self.symmetric,
-                             prologue=prologue, aux=aux, eps=eps)
+                             prologue=prologue, aux=aux, eps=eps,
+                             epilogue_add=epilogue_add)
+            epilogue_add = None
+        if epilogue_add is not None:
+            import jax.numpy as _jnp
+            y = (y.astype(_jnp.float32) +
+                 epilogue_add.astype(_jnp.float32)).astype(y.dtype)
         y = y.reshape(*orig_shape[:-1], y.shape[-1])
         if bias is not None:
             y = y + bias

@@ -206,3 +206,42 @@ class TestPrologues:
         ref = quant_matmul(pre, qw, scales, zeros, bits=4, group_size=G)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_epilogue_add_fused():
+    """Fused residual-add epilogue == matmul + add (bit-exact: both add
+    the residual to the f32 accumulator before the output cast)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nmvllm_tpu.ops.quant_matmul import pack_weights, quant_matmul
+    rng = np.random.default_rng(7)
+    m, k, n, g = 16, 256, 256, 128
+    w4 = rng.integers(0, 16, (k, n)).astype(np.int32)
+    scales = (rng.random((k // g, n), np.float32) * 0.02 + 0.01)
+    zeros = np.full((k // g, n), 8, np.int32)
+    qw = pack_weights(w4, 4, g)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    res = jnp.asarray(rng.standard_normal((m, n)), jnp.bfloat16)
+    base = quant_matmul(x, qw, jnp.asarray(scales), jnp.asarray(zeros),
+                        bits=4, group_size=g)
+    fused = quant_matmul(x, qw, jnp.asarray(scales), jnp.asarray(zeros),
+                         bits=4, group_size=g, epilogue_add=res)
+    expect = (base.astype(jnp.float32) +
+              res.astype(jnp.float32)).astype(base.dtype)
+    np.testing.assert_allclose(np.asarray(fused, np.float32),
+                               np.asarray(expect, np.float32),
+                               atol=2e-2, rtol=2e-2)
+    # Prologue + epilogue together (rmsnorm in, residual out).
+    aux = jnp.asarray(rng.random((k,)), jnp.float32)
+    both = quant_matmul(x, qw, jnp.asarray(scales), jnp.asarray(zeros),
+                        bits=4, group_size=g, prologue="rmsnorm",
+                        aux=aux, epilogue_add=res)
+    pro = quant_matmul(x, qw, jnp.asarray(scales), jnp.asarray(zeros),
+                       bits=4, group_size=g, prologue="rmsnorm", aux=aux)
+    expect2 = (pro.astype(jnp.float32) +
+               res.astype(jnp.float32)).astype(pro.dtype)
+    np.testing.assert_allclose(np.asarray(both, np.float32),
+                               np.asarray(expect2, np.float32),
+                               atol=2e-2, rtol=2e-2)

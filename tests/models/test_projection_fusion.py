@@ -75,3 +75,23 @@ def test_quantized_norm_act_fusion_close(monkeypatch):
     toks_u, lp_u, fused_off = probs(NMVLLM_DISABLE_FUSION="1")
     assert not fused_off
     assert abs(lp_f - lp_u) < 0.15, (lp_f, lp_u)
+
+
+def test_epilogue_residual_fusion_close(monkeypatch):
+    """Residual adds fused into o_proj/down_proj kernel epilogues match
+    the unfused composition (same f32 accumulator math)."""
+    def probs(**env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        llm = LLM(model="debug-llama", num_gpu_blocks_override=64,
+                  max_num_seqs=8, max_model_len=256,
+                  quantization="gptq", seed=0)
+        out = llm.generate(["Epilogue probe"], SP)[0].outputs[0]
+        lp = out.logprobs[0][out.token_ids[0]].logprob
+        for k in env:
+            monkeypatch.delenv(k, raising=False)
+        return out.token_ids, lp
+
+    toks_f, lp_f = probs()
+    toks_u, lp_u = probs(NMVLLM_DISABLE_FUSION="1")
+    assert abs(lp_f - lp_u) < 0.15, (lp_f, lp_u)
