@@ -26,11 +26,32 @@ class TPUExecutor:
     def __init__(self, engine_config: EngineConfig) -> None:
         self.config = engine_config
         parallel = engine_config.parallel_config
-        self.mesh = build_mesh(parallel.data_parallel_size,
-                               parallel.tensor_parallel_size)
-        set_global_mesh(self.mesh)
-        self._maybe_init_compile_cache()
-        self.runner = ModelRunner(engine_config, self.mesh)
+        if parallel.pipeline_parallel_size > 1:
+            # PP: (pp, tp) mesh + the GPipe stage-ring runner
+            # (worker/pp_runner.py). The engine loop is unchanged — the
+            # whole ring advances inside one compiled SPMD step.
+            from nmvllm_tpu.parallel.mesh import build_pp_mesh
+            from nmvllm_tpu.worker.pp_runner import PipelineModelRunner
+            if parallel.data_parallel_size > 1:
+                raise ValueError("data_parallel_size > 1 cannot combine "
+                                 "with pipeline_parallel_size > 1 yet.")
+            if engine_config.speculative_config is not None:
+                raise ValueError("Speculative decoding is not supported "
+                                 "with pipeline_parallel_size > 1.")
+            if engine_config.lora_config is not None:
+                raise ValueError("LoRA is not supported with "
+                                 "pipeline_parallel_size > 1.")
+            self.mesh = build_pp_mesh(parallel.pipeline_parallel_size,
+                                      parallel.tensor_parallel_size)
+            set_global_mesh(self.mesh)
+            self._maybe_init_compile_cache()
+            self.runner = PipelineModelRunner(engine_config, self.mesh)
+        else:
+            self.mesh = build_mesh(parallel.data_parallel_size,
+                                   parallel.tensor_parallel_size)
+            set_global_mesh(self.mesh)
+            self._maybe_init_compile_cache()
+            self.runner = ModelRunner(engine_config, self.mesh)
         self.runner.load_model()
         self.cache_engine: Optional[CacheEngine] = None
         # Draft-model speculative decoding (reference SpecDecodeWorker /
@@ -98,7 +119,9 @@ class TPUExecutor:
         parallel_config = self.config.parallel_config
         block_bytes = CacheEngine.get_cache_block_size(
             cache_config, model_config, parallel_config)
-        # Per-device share of one (global) page:
+        # Per-device share of one (global) page: kv heads shard over tp;
+        # layers shard over pp (already divided out inside
+        # get_cache_block_size via get_num_layers).
         tp = parallel_config.tensor_parallel_size
         block_bytes_per_dev = max(block_bytes // tp, 1)
         total = device_memory_total()

@@ -1,0 +1,205 @@
+"""Pipeline-parallel serving (GPipe-style) over a (pp, tp) mesh.
+
+Reference: vllm's PP support — NCCL stage groups + IntermediateTensors
+send/recv between per-stage workers and one "virtual engine" per stage
+(parallel_state.py:832, worker_base.py:267, llm_engine.py:303). The
+TPU-native rebuild is SPMD: per-layer params are STACKED along a leading
+layer axis sharded over the ``pp`` mesh axis, every stage runs the same
+compiled program, activations hop stages via ``lax.ppermute`` (ICI
+neighbour exchange), and microbatches fill the pipeline — the canonical
+scan-over-stacked-layers JAX pipeline (no send/recv control plane, no
+per-stage processes, no virtual engines: the scheduler stays stage-
+agnostic because one compiled step advances every stage).
+
+Decode semantics: batch B splits into ``num_micro`` microbatches; tick t
+has stage s processing microbatch t - s (bubble ticks carry slot=-1 so
+the paged-KV write is a no-op and ctx=0 makes attention skip). Prefill
+runs the same schedule with T>1 tokens per row (the engine prefills one
+prompt at a time, so num_micro=1 and the pipeline drains in pp ticks).
+The last stage's head outputs are combined with one masked psum.
+"""
+import functools
+from typing import Any, List
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from nmvllm_tpu.models.base import AttentionMetadata
+from nmvllm_tpu.parallel.mesh import PP_AXIS, TP_AXIS
+
+
+def stack_layer_params(layer_params: List[Any]):
+    """[{...}, {...}, ...] (identical structure) -> {...} of (L, ...)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params)
+
+
+def pp_param_specs(model):
+    """Sharding specs for the pipeline step: stacked layers get a leading
+    PP dim on every leaf; the rest of the model is replicated over pp
+    (embed on stage 0 and head on the last stage read replicated
+    weights — their FLOPs are negligible at decode sizes)."""
+    layer_spec = model.layers[0].specs()
+    stacked = jax.tree.map(
+        lambda spec: P(PP_AXIS, *spec), layer_spec,
+        is_leaf=lambda s: isinstance(s, P))
+    other = {k: v for k, v in model.specs().items() if k != "layers"}
+    return {"layers": stacked, **other}
+
+
+def pp_kv_spec():
+    return P(PP_AXIS, None, None, TP_AXIS, None, None)
+
+
+def make_pipeline_fwd(model, pp: int, num_micro: int, *,
+                      is_prefill: bool = False, has_prefix: bool = False):
+    """Per-device (shard_map body) pipeline forward.
+
+    fwd(params_stacked, kv_stacked, tokens, positions, slots,
+        block_tables, ctx, seq_lens, prefix_lens)
+      -> (last_token_logits (B, V_pad) f32, kv_stacked)
+
+    tokens/positions/slots: (B, T); ctx/seq_lens/prefix_lens: (B,).
+    ``params_stacked``: model params with params["layers"] stacked
+    (stack_layer_params); kv_stacked: (L, blocks, 2, H, bs, d) with the
+    layer axis sharded over ``pp``. B must divide by ``num_micro``.
+    """
+    layer0 = model.layers[0]
+    rotary = model.rotary
+
+    def fwd(params, kv, tokens, positions, slots, block_tables, ctx,
+            seq_lens, prefix_lens):
+        batch, t_len = tokens.shape
+        assert batch % num_micro == 0, (batch, num_micro)
+        mb = batch // num_micro
+        x_all = model.embed_tokens(params["embed_tokens"], tokens)
+        if model.embedding_multiplier != 1.0:
+            x_all = x_all * jnp.asarray(model.embedding_multiplier,
+                                        x_all.dtype)
+        stage = jax.lax.axis_index(PP_AXIS)
+        hidden = x_all.shape[-1]
+        n_ticks = num_micro + pp - 1
+
+        def meta_for(mb_idx, valid):
+            def take(a):
+                return jax.lax.dynamic_slice_in_dim(a, mb_idx * mb, mb, 0)
+            sl = jnp.where(valid, take(slots), -1)  # bubble: no KV write
+            cl = jnp.where(valid, take(ctx), 0)     # bubble: no attention
+            sq = jnp.where(valid, take(seq_lens), 1)
+            pf = jnp.where(valid, take(prefix_lens), 0)
+            return AttentionMetadata(
+                slot_mapping=sl, block_tables=take(block_tables),
+                context_lens=cl, seq_lens=sq, prefix_lens=pf), sq
+
+        def run_stage(carry_x, carry_res, kv, mb_idx, valid):
+            meta, sq = meta_for(mb_idx, valid)
+            pos = jax.lax.dynamic_slice_in_dim(positions, mb_idx * mb,
+                                               mb, 0)
+
+            def body(carry, layer_in):
+                x, res = carry
+                lp, kv_l = layer_in
+                x, res, kv_l = layer0(lp, rotary, params["rotary"], x,
+                                      pos, kv_l, meta, res,
+                                      is_prefill=is_prefill,
+                                      has_prefix=has_prefix)
+                if res is None:  # epilogue-fused layers carry one stream
+                    res = jnp.zeros_like(x)
+                return (x, res), kv_l
+
+            (x, res), kv_new = jax.lax.scan(
+                body, (carry_x, carry_res), (params["layers"], kv))
+            return x, res, kv_new, sq
+
+        def tick(t, state):
+            x_cur, res_cur, kv, out = state
+            mb_idx = jnp.clip(t - stage, 0, num_micro - 1)
+            valid = (t - stage >= 0) & (t - stage < num_micro)
+            # Stage 0 injects a fresh microbatch each tick.
+            inject = jax.lax.dynamic_slice_in_dim(
+                x_all, jnp.clip(t, 0, num_micro - 1) * mb, mb, 0)
+            x_in = jnp.where(stage == 0, inject, x_cur)
+            res_in = jnp.where(stage == 0, jnp.zeros_like(res_cur),
+                               res_cur)
+            x, res, kv, sq = run_stage(x_in, res_in, kv, mb_idx, valid)
+            # Last stage finishes microbatch t - (pp - 1).
+            done_idx = t - (pp - 1)
+            is_last = stage == pp - 1
+            write = is_last & (done_idx >= 0)
+
+            def compute(o):
+                x_fin = (x.astype(jnp.float32) +
+                         res.astype(jnp.float32)).astype(x.dtype)
+                x_fin = model.norm(params["norm"], x_fin)
+                if is_prefill:
+                    last = model.select_last_token(x_fin, sq)
+                else:
+                    last = x_fin[:, 0, :]
+                logits = model.compute_logits(params, last)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    o, logits[None].astype(jnp.float32),
+                    jnp.maximum(done_idx, 0), 0)
+
+            out = jax.lax.cond(write, compute, lambda o: o, out)
+            # Hop activations to the next stage (ring; the wraparound
+            # edge into stage 0 is overwritten by the inject above).
+            perm = [(i, (i + 1) % pp) for i in range(pp)]
+            x = jax.lax.ppermute(x, PP_AXIS, perm)
+            res = jax.lax.ppermute(res, PP_AXIS, perm)
+            return x, res, kv, out
+
+        mb = batch // num_micro
+        x0 = jnp.zeros((mb, t_len, hidden), x_all.dtype)
+        res0 = jnp.zeros_like(x0)
+        out0 = jnp.zeros((num_micro, mb, model.lm_head.padded_vocab),
+                         jnp.float32)
+        _, _, kv_out, out = jax.lax.fori_loop(
+            0, n_ticks, tick, (x0, res0, kv, out0))
+        # Only the last stage holds real logits: one masked psum shares
+        # them with every stage (replicated output).
+        out = jnp.where(jax.lax.axis_index(PP_AXIS) == pp - 1, out, 0.0)
+        out = jax.lax.psum(out, PP_AXIS)
+        logits = out.reshape(batch, -1)
+        return logits, kv_out
+
+    return fwd
+
+
+def build_pipeline_decode_fn(model, mesh, batch: int, num_micro: int):
+    """Compiled standalone PP decode step (tests / dryrun).
+
+    fn(params_stacked, kv_stacked, tokens, positions, slots,
+       block_tables, ctx) -> (logits, kv_stacked)
+    """
+    from nmvllm_tpu.worker.runner import shard_map_fn
+    assert batch % num_micro == 0, (batch, num_micro)
+    pp = mesh.shape[PP_AXIS]
+    inner = make_pipeline_fwd(model, pp, num_micro, is_prefill=False)
+
+    def fwd(params, kv, tokens, positions, slots, block_tables, ctx):
+        return inner(params, kv, tokens, positions, slots, block_tables,
+                     ctx, jnp.ones_like(ctx), jnp.zeros_like(ctx))
+
+    param_specs = pp_param_specs(model)
+    kv_spec = pp_kv_spec()
+    sharded = shard_map_fn(
+        fwd, mesh,
+        in_specs=(param_specs, kv_spec, P(), P(), P(), P(), P()),
+        out_specs=(P(), kv_spec))
+    return jax.jit(sharded, donate_argnums=(1,))
+
+
+def pipeline_shard_params(model, params, mesh):
+    """Stack layer params and place them (and the rest) on the mesh."""
+    stacked = stack_layer_params(params["layers"])
+    new_params = {k: v for k, v in params.items() if k != "layers"}
+    new_params["layers"] = stacked
+    specs = pp_param_specs(model)
+    # Specs tree leads (its P leaves terminate traversal; the params
+    # tree matches structurally at those leaves).
+    return jax.tree.map(
+        lambda spec, arr: jax.device_put(
+            arr, NamedSharding(mesh, spec)),
+        specs, new_params,
+        is_leaf=lambda x: isinstance(x, P))

@@ -7,6 +7,7 @@ the tp mesh axis on kv heads — K and V of a page are contiguous so the
 decode kernel fetches a page in a single DMA. The host swap pool is pinned
 numpy; swap moves whole pages with jax.device_put / device_get.
 """
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -26,6 +27,17 @@ logger = init_logger(__name__)
 KVCaches = List[jax.Array]
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _copy_blocks_stacked(kv, src, dst):
+    """CoW page copies on the stacked (L, blocks, ...) PP cache."""
+    return kv.at[:, dst].set(kv[:, src])
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _swap_in_stacked(kv, dev_ids, pages):
+    return kv.at[:, dev_ids].set(pages)
+
+
 class CacheEngine:
 
     def __init__(self, cache_config: CacheConfig, model_config: ModelConfig,
@@ -34,12 +46,20 @@ class CacheEngine:
         self.cache_config = cache_config
         self.model_config = model_config
         self.mesh = mesh
+        # Pipeline parallelism stacks all layers into ONE array with the
+        # layer axis sharded over the pp mesh axis (worker/pp_runner.py);
+        # each stage then holds only its own layers' pages.
+        self.pp = parallel_config.pipeline_parallel_size
         # Stateful (Mamba/Jamba) models describe a heterogeneous per-layer
         # cache layout; plain models get uniform paged KV arrays.
         self.state_layout = None
         if model is not None and hasattr(model, "state_cache_layout"):
             self.state_layout = model.state_cache_layout(num_state_slots)
-        self.num_layers = model_config.get_num_layers(parallel_config)
+        # The cache holds ALL layers globally: the stacked PP layout
+        # shards the layer axis over the pp mesh axis (get_num_layers is
+        # the reference's per-stage count — multiply pp back out).
+        self.num_layers = (model_config.get_num_layers(parallel_config) *
+                           parallel_config.pipeline_parallel_size)
         self.total_kv_heads = model_config.get_total_num_kv_heads()
         self.head_dim = model_config.get_head_size()
         self.block_size = cache_config.block_size
@@ -74,6 +94,19 @@ class CacheEngine:
             return jax.jit(lambda: jnp.zeros(shp, dtype),
                            out_shardings=NamedSharding(self.mesh, shard))()
 
+        if self.pp > 1:
+            if self.state_layout is not None:
+                raise ValueError("Stateful models are not supported with "
+                                 "pipeline_parallel_size > 1.")
+            from nmvllm_tpu.parallel.mesh import PP_AXIS
+            with self.mesh:
+                self.kv_caches = _alloc(
+                    (self.num_layers,) + shape,
+                    P(PP_AXIS, None, None, TP_AXIS, None, None),
+                    self.dtype)
+            self._alloc_host_pool()
+            return self.kv_caches
+
         self.kv_caches = []
         with self.mesh:
             for li in range(self.num_layers):
@@ -89,6 +122,10 @@ class CacheEngine:
                     entries = tuple(_alloc(shp, spec, jnp.float32)
                                     for shp, spec in desc)
                     self.kv_caches.append(entries)
+        self._alloc_host_pool()
+        return self.kv_caches
+
+    def _alloc_host_pool(self) -> None:
         if self.num_cpu_blocks > 0:
             # Host swap pool: (layers, cpu_blocks, 2, H, bs, d) in numpy.
             self.cpu_pool = np.zeros(
@@ -97,7 +134,6 @@ class CacheEngine:
                 dtype=np.float32 if self.dtype_name == "float32"
                 else np.float16 if "float8" not in self.dtype_name
                 else np.uint8)
-        return self.kv_caches
 
     # ---- page maintenance -------------------------------------------------
     def copy(self, src_to_dst: List[Tuple[int, int]]) -> None:
@@ -105,6 +141,9 @@ class CacheEngine:
             return
         src = jnp.asarray([s for s, _ in src_to_dst], jnp.int32)
         dst = jnp.asarray([d for _, d in src_to_dst], jnp.int32)
+        if self.pp > 1:
+            self.kv_caches = _copy_blocks_stacked(self.kv_caches, src, dst)
+            return
         paged = [c for c in self.kv_caches if not isinstance(c, tuple)]
         copied = iter(_copy_blocks_op(paged, src, dst))
         self.kv_caches = [c if isinstance(c, tuple) else next(copied)
@@ -116,6 +155,13 @@ class CacheEngine:
         dev_ids = [s for s, _ in src_to_dst]
         host_ids = [d for _, d in src_to_dst]
         gather = jnp.asarray(dev_ids, jnp.int32)
+        if self.pp > 1:
+            pages = np.asarray(self.kv_caches[:, gather])  # (L,P,2,H,bs,d)
+            if "float8" in self.dtype_name:
+                pages = pages.view(np.uint8)
+            self.cpu_pool[:, host_ids] = pages.astype(self.cpu_pool.dtype,
+                                                      copy=False)
+            return
         for li, kv in enumerate(self.kv_caches):
             if isinstance(kv, tuple):  # recurrent state is never paged
                 continue
@@ -130,6 +176,15 @@ class CacheEngine:
             return
         host_ids = [s for s, _ in src_to_dst]
         dev_ids = jnp.asarray([d for _, d in src_to_dst], jnp.int32)
+        if self.pp > 1:
+            host_pages = self.cpu_pool[:, host_ids]
+            if "float8" in self.dtype_name:
+                pages = jnp.asarray(host_pages).view(self.dtype)
+            else:
+                pages = jnp.asarray(host_pages).astype(self.dtype)
+            self.kv_caches = _swap_in_stacked(self.kv_caches, dev_ids,
+                                              pages)
+            return
         new_caches = []
         for li, kv in enumerate(self.kv_caches):
             if isinstance(kv, tuple):

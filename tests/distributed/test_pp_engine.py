@@ -1,0 +1,43 @@
+"""Engine-level pipeline parallelism: LLM(pipeline_parallel_size=2) must
+produce the same greedy tokens as the single-stage engine on the virtual
+CPU mesh (reference: tests/distributed/test_pipeline_parallel.py runs a
+PPxTP server grid; here the engine is driven directly, debug model)."""
+import os
+
+import jax
+import pytest
+
+os.environ.setdefault("NMVLLM_DISABLE_PALLAS", "1")
+
+from nmvllm_tpu import LLM, SamplingParams
+
+
+def _generate(prompts, model="debug-llama", **kwargs):
+    llm = LLM(model=model, dtype="float32",
+              num_gpu_blocks_override=64, max_num_seqs=8,
+              max_model_len=128, swap_space=0.01, **kwargs)
+    outs = llm.generate(prompts,
+                        SamplingParams(temperature=0.0, max_tokens=8))
+    return [tuple(o.outputs[0].token_ids) for o in outs]
+
+
+@pytest.mark.parametrize("pp,tp", [(2, 1), (2, 2)])
+def test_pp_engine_matches_single_stage(pp, tp, example_prompts):
+    if len(jax.devices()) < max(pp * tp, 2):
+        pytest.skip("needs more virtual devices")
+    model = "debug-llama-tp" if tp > 1 else "debug-llama"
+    base = _generate(example_prompts, model=model)
+    pp_toks = _generate(example_prompts, model=model,
+                        pipeline_parallel_size=pp,
+                        tensor_parallel_size=tp)
+    assert pp_toks == base
+
+
+def test_pp_rejects_unsupported_combos():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs more virtual devices")
+    with pytest.raises(ValueError, match="peculative"):
+        LLM(model="debug-llama", dtype="float32",
+            num_gpu_blocks_override=16, max_model_len=64,
+            pipeline_parallel_size=2, ngram_prompt_lookup_max=2,
+            num_speculative_tokens=2)
