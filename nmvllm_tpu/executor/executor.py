@@ -97,6 +97,16 @@ class TPUExecutor:
                 self.draft_runner = ModelRunner(self._draft_config,
                                                 self.mesh)
                 self.draft_runner.load_model()
+        # Draft-KV freshness: seq_id -> highest position p such that the
+        # draft's KV is correct-and-final for ALL positions <= p. Kept by
+        # every path that advances the draft's cache; propose_drafts
+        # backfills any gap before proposing (staleness only lowers
+        # acceptance, never correctness — the target verifies). A propose
+        # run's speculative writes resolve lazily (_resolve_draft_upto):
+        # accepted tokens ARE the proposals, so proposal-chain writes
+        # count once the next step reveals how far acceptance got.
+        self._draft_upto = {}
+        self._draft_pending_k = {}
 
     def _maybe_init_compile_cache(self) -> None:
         from nmvllm_tpu import envs
@@ -180,6 +190,10 @@ class TPUExecutor:
                 dkv, _ = self.draft_runner.execute_prefill(
                     meta, self.draft_cache_engine.kv_caches)
                 self.draft_cache_engine.kv_caches = dkv
+                for sid, d in meta.seq_data.items():
+                    self._draft_upto[sid] = (d.get_num_computed_tokens() +
+                                             meta.token_chunk_size - 1)
+                    self._draft_pending_k.pop(sid, None)
         if decodes:
             kv, out = self.runner.execute_decode(decodes, kv)
             for meta, group_out in zip(decodes, out.outputs):
@@ -191,6 +205,11 @@ class TPUExecutor:
                 dkv, _ = self.draft_runner.execute_decode(
                     decodes, self.draft_cache_engine.kv_caches)
                 self.draft_cache_engine.kv_caches = dkv
+                for m in decodes:
+                    for sid, d in m.seq_data.items():
+                        n = d.get_len()
+                        if self._resolve_draft_upto(sid, n) >= n - 2:
+                            self._draft_upto[sid] = n - 1
         self.cache_engine.kv_caches = kv
 
         merged = SamplerOutput(outputs=[
@@ -229,12 +248,68 @@ class TPUExecutor:
 
     def propose_drafts(self, metas, k: int):
         """Greedy draft-model proposals (k tokens per decode row); writes
-        the draft's own KV along the proposal chain."""
+        the draft's own KV along the proposal chain.
+
+        Draft-KV catch-up: a fully-accepted previous run leaves one
+        position (the last accepted proposal) that the draft never
+        processed as an input — its KV row is stale. Rows one position
+        behind ride a masked backfill forward fused into the proposal
+        step; rows further behind (spec toggled off mid-stream) catch up
+        through the draft's chunked-prefill path first."""
         assert self.draft_runner is not None
+        catchup_tokens = {}
+        if len(self._draft_upto) > 8 * len(metas) + 256:
+            live = {sid for m in metas for sid in m.seq_data}
+            self._draft_upto = {s: v for s, v in self._draft_upto.items()
+                                if s in live}
+            self._draft_pending_k = {
+                s: v for s, v in self._draft_pending_k.items() if s in live}
+        for i, meta in enumerate(metas):
+            (sid, data), = meta.seq_data.items()
+            n = data.get_len()
+            upto = self._resolve_draft_upto(sid, n)
+            if upto < n - 3:
+                # Multi-position gap: draft prefill over the missing
+                # range [upto+1, n-2] (do_sample=False chunk).
+                import copy as _copy
+                d2 = _copy.copy(data)
+                d2._num_computed_tokens = upto + 1
+                cu_meta = type(meta)(
+                    request_id=meta.request_id, is_prompt=True,
+                    seq_data={sid: d2}, sampling_params=None,
+                    block_tables={sid: meta.block_tables[sid]},
+                    do_sample=False, token_chunk_size=(n - 2) - upto)
+                dkv, _ = self.draft_runner.execute_prefill(
+                    cu_meta, self.draft_cache_engine.kv_caches)
+                self.draft_cache_engine.kv_caches = dkv
+                upto = n - 2
+                self._draft_upto[sid] = upto
+            if upto == n - 3:
+                catchup_tokens[i] = int(data.get_token_ids()[n - 2])
+            # Propose feeds position n-1 and writes proposals at
+            # n..n+k-2; those resolve at the next step (accepted tokens
+            # are the proposals) via _draft_pending_k.
+            self._draft_upto[sid] = n - 1
+            self._draft_pending_k[sid] = k
         dkv, toks = self.draft_runner.propose_greedy(
-            metas, self.draft_cache_engine.kv_caches, k)
+            metas, self.draft_cache_engine.kv_caches, k,
+            catchup_tokens=catchup_tokens)
         self.draft_cache_engine.kv_caches = dkv
         return toks
+
+    def _resolve_draft_upto(self, sid: int, n_now: int) -> int:
+        """Resolve a pending proposal run's speculative KV writes.
+
+        After a propose at length n, the draft processed inputs at
+        n-1..n+k-2. Every token the sequence kept except its newest one
+        is an accepted proposal (acceptance can only keep the proposed
+        token), so positions up to min(n+k-2, n_now-2) are final."""
+        upto = self._draft_upto.get(sid, n_now - 2)
+        k = self._draft_pending_k.pop(sid, None)
+        if k is not None:
+            upto = min(upto + k - 1, n_now - 2)
+            self._draft_upto[sid] = upto
+        return upto
 
     def execute_spec_decode(self, execute_model_req: ExecuteModelRequest,
                             proposals, num_spec: int) -> List[SamplerOutput]:

@@ -785,11 +785,19 @@ class ModelRunner:
         self._step_fns[key] = step
         return step
 
-    def _get_propose_fn(self, k: int):
+    def _get_propose_fn(self, k: int, catchup: bool = False):
         """Draft-model proposal: k greedy decode steps in ONE compiled
         lax.scan (reference MultiStepWorker, spec_decode/
-        multi_step_worker.py:17 — k sequential draft forwards)."""
-        key = ("propose", k)
+        multi_step_worker.py:17 — k sequential draft forwards).
+
+        ``catchup``: run one extra masked forward BEFORE the proposal
+        chain to backfill the draft-KV hole a fully-accepted previous run
+        leaves behind (the last accepted proposal is never fed back as a
+        draft input when the bonus token advances the sequence past it —
+        reference tracks the same staleness in multi_step_worker's
+        previous_hidden_states handling). Rows without a hole carry
+        slot=-1 so the pre-step writes nothing for them."""
+        key = ("propose", k, catchup)
         if key in self._step_fns:
             return self._step_fns[key]
         model = self.model
@@ -814,7 +822,21 @@ class ModelRunner:
             out_specs=(P(), kv_specs))
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def propose(params, kv_caches, tokens, positions, block_tables):
+        def propose(params, kv_caches, tokens, positions, block_tables,
+                    cu_tokens, cu_mask):
+            if catchup:
+                # Backfill position pos-1 for flagged rows (one masked
+                # forward; output discarded, only the KV write matters).
+                cu_pos = jnp.maximum(positions - 1, 0)
+                p = cu_pos[:, 0]
+                cu_slots = (jnp.take_along_axis(
+                    block_tables, (p // block_size)[:, None],
+                    axis=1)[:, 0] * block_size + p % block_size)
+                cu_slots = jnp.where(cu_mask, cu_slots, -1)[:, None]
+                _, kv_caches = sharded(params, kv_caches, cu_tokens,
+                                       cu_pos, cu_slots, block_tables,
+                                       jnp.maximum(p + 1, 1))
+
             def body(carry, _):
                 kv_caches, tokens, positions = carry
                 pos = positions[:, 0]
@@ -834,14 +856,28 @@ class ModelRunner:
         return propose
 
     def propose_greedy(self, metas: List[SequenceGroupMetadata], kv_caches,
-                       k: int):
-        """Greedy k-token draft proposals for each decode row."""
+                       k: int, catchup_tokens=None):
+        """Greedy k-token draft proposals for each decode row.
+
+        ``catchup_tokens``: optional {row_index: token_at_pos-2} map; those
+        rows get a masked KV-backfill forward before the proposal chain
+        (draft-KV hole after a fully-accepted previous run)."""
         prep = self.prepare_decode(metas)
-        fn = self._get_propose_fn(k)
+        b = prep.tokens.shape[0]
+        catchup = bool(catchup_tokens)
+        cu_tokens = np.zeros((b, 1), np.int32)
+        cu_mask = np.zeros((b,), bool)
+        if catchup:
+            for i, tok in catchup_tokens.items():
+                cu_tokens[i, 0] = tok
+                cu_mask[i] = True
+        fn = self._get_propose_fn(k, catchup)
         kv_caches, toks = fn(self.params, kv_caches,
                              jnp.asarray(prep.tokens),
                              jnp.asarray(prep.positions),
-                             jnp.asarray(prep.block_tables))
+                             jnp.asarray(prep.block_tables),
+                             jnp.asarray(cu_tokens),
+                             jnp.asarray(cu_mask))
         return kv_caches, np.asarray(toks)[:len(prep.rows)]
 
     # ------------------------------------------------------------- execution

@@ -153,3 +153,62 @@ def test_typical_acceptance_unit():
     mask2 = typical_acceptance_mask(jnp.asarray(q),
                                     jnp.asarray([[0]], jnp.int32))
     assert bool(mask2[0, 0])
+
+
+def test_draft_kv_catchup_no_stale_rows():
+    """Draft-KV freshness: with target == draft, after generation the
+    draft's paged KV must agree with the target's on every written slot
+    except each sequence's newest position (which the draft never
+    processes as an input). Fully-accepted runs would otherwise leave one
+    stale/hole row per run (the catch-up pre-step backfills them —
+    executor._draft_upto / ModelRunner._get_propose_fn(catchup=True))."""
+    import numpy as np
+    llm = LLM(model="debug-llama", num_gpu_blocks_override=64,
+              max_num_seqs=8, max_model_len=256,
+              speculative_model="debug-llama", num_speculative_tokens=3)
+    ex = llm.llm_engine.executor
+    # Capture each sequence's block table and length at every spec step
+    # (blocks are freed when the request finishes, before we can look).
+    tables = {}
+    orig = ex.execute_spec_decode
+
+    def wrapped(req, proposals, k):
+        for m in req.seq_group_metadata_list:
+            for sid, tb in m.block_tables.items():
+                tables[sid] = list(tb)
+        return orig(req, proposals, k)
+
+    ex.execute_spec_decode = wrapped
+    sp = SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True)
+    outs = llm.generate(PROMPTS[:2], sp)
+    assert all(len(o.outputs[0].token_ids) == 24 for o in outs)
+    st = llm.llm_engine.spec_stats
+    assert st["num_spec_steps"] > 0
+    # Identical draft => acceptance should be near-perfect once the
+    # draft KV never goes stale.
+    assert st["num_accepted"] / max(1, st["num_drafted"]) > 0.9
+    assert tables, "spec steps never ran"
+    bs = ex.cache_engine.block_size
+    lens = {}
+    for o, sid in zip(outs, sorted(tables)):
+        lens[sid] = len(o.prompt_token_ids) + len(o.outputs[0].token_ids)
+    tgt = [np.asarray(a, np.float32) for a in ex.cache_engine.kv_caches]
+    drf = [np.asarray(a, np.float32) for a in ex.draft_cache_engine.kv_caches]
+    for sid, tb in tables.items():
+        # Positions < final_len - 1 must match between the caches; allow
+        # one trailing hole (a final-step full accept has no next round
+        # to catch up in). Stale rows from earlier full-accept runs
+        # would show up here without the backfill.
+        n = lens[sid]
+        for li, (t, d) in enumerate(zip(tgt, drf)):
+            bad = 0
+            for p in range(n - 1):
+                blk, off = tb[p // bs], p % bs
+                # bf16 rounding between the decode-path and verify-path
+                # attention reaches ~3e-2; stale rows (wrong/no token)
+                # sit at O(1) — threshold in between.
+                if np.abs(t[blk, :, :, off] - d[blk, :, :, off]).max() \
+                        > 1e-1:
+                    bad += 1
+            assert bad <= 1, (f"seq {sid} layer {li}: {bad} stale "
+                              f"draft-KV rows")
