@@ -258,6 +258,15 @@ class LLMEngine:
         disable_bs = self.spec_config.speculative_disable_by_batch_size
         if disable_bs is not None and len(metas) > disable_bs:
             return None
+        # Sliding-window models use circular block tables: a speculative
+        # write at position >= window would land on the slot of a token
+        # that is STILL inside every later query's window, destroying live
+        # KV if the proposal is rejected. Speculate only while the whole
+        # run (k proposals + bonus) stays inside the window; rows past it
+        # decode normally (the verify step's single-token write is the
+        # ordinary decode write).
+        sw = self.model_config.get_sliding_window()
+        k_spec = self.spec_config.num_speculative_tokens
         eligible_rows = []
         for meta in metas:
             if len(meta.seq_data) != 1:
@@ -270,6 +279,7 @@ class LLMEngine:
             # runs modified rejection sampling with one-hot proposals);
             # features the in-graph verifier doesn't model stay excluded.
             eligible = (sp is not None
+                        and (sw is None or data.get_len() + k_spec + 1 <= sw)
                         and sp.presence_penalty == 0.0
                         and sp.frequency_penalty == 0.0
                         and sp.repetition_penalty == 1.0

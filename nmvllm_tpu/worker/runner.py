@@ -939,8 +939,12 @@ class ModelRunner:
             table = meta.block_tables[seq_id]
             for j in range(s):
                 pos = seq_len - 1 + j
-                slots[i, j] = (table[pos // self.block_size] *
-                               self.block_size + pos % self.block_size)
+                # Write KV only for real inputs (last token + proposals):
+                # garbage-token tail writes would wrap onto LIVE slots
+                # under sliding-window circular block tables.
+                if j <= len(prop):
+                    slots[i, j] = (table[pos // self.block_size] *
+                                   self.block_size + pos % self.block_size)
                 positions[i, j] = pos
             seq_lens[i] = s
             prefix_lens[i] = seq_len - 1

@@ -212,3 +212,31 @@ def test_draft_kv_catchup_no_stale_rows():
                     bad += 1
             assert bad <= 1, (f"seq {sid} layer {li}: {bad} stale "
                               f"draft-KV rows")
+
+
+def test_sliding_window_spec_gated_and_exact():
+    """Sliding-window models speculate only while the whole run fits in
+    the window (circular block tables: a speculative write past the
+    window would destroy a LIVE slot if rejected; the verify step also
+    masks KV writes beyond each row's real inputs). Within the window,
+    an identical draft must accept ~everything; past it, spec gates off
+    but generation continues (llm_engine._maybe_propose_drafts)."""
+    from tests.models.utils import check_logprobs_close
+    prompt = "abc abc abc abc"  # short: well inside the 64-token window
+    sp = SamplingParams(temperature=0.0, max_tokens=48, ignore_eos=True,
+                        logprobs=5)
+    base = LLM(model="debug-mistral", num_gpu_blocks_override=64,
+               max_num_seqs=8, max_model_len=256)
+    b = base.generate([prompt], sp)
+    assert len(b[0].outputs[0].token_ids) == 48  # crosses the window
+    del base
+    spec = LLM(model="debug-mistral", num_gpu_blocks_override=64,
+               max_num_seqs=8, max_model_len=256,
+               speculative_model="debug-mistral",
+               num_speculative_tokens=3)
+    s = spec.generate([prompt], sp)
+    st = spec.llm_engine.spec_stats
+    assert st["num_spec_steps"] > 0, "spec never engaged inside the window"
+    # Identical draft + fresh KV (no wrap corruption) => full acceptance.
+    assert st["num_accepted"] / max(1, st["num_drafted"]) > 0.9, st
+    check_logprobs_close(b, s, "base", "sw-spec")
