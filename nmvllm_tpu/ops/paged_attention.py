@@ -79,6 +79,7 @@ def _decode_kernel(
     has_alibi: bool,
     blocksparse,         # None or (block, local_blocks, vert_stride)
     fused_write: bool,
+    heads_per_dot: int,  # kv heads per block-diagonal MXU dot (<= H)
 ):
     b = pl.program_id(0)
     ctx = context_lens_ref[b]
@@ -152,13 +153,24 @@ def _decode_kernel(
     # (rows, cols) multiply per superblock).
     q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
 
-    # Loop-invariant column decomposition: c = (p * H + h_c) * bs + t.
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    col_h = (col // bs) % h
+    # Head chunking: hpd kv heads per block-diagonal dot. hpd == H is one
+    # big dot with H-fold masked-score VPU waste; hpd == 1 is H clean
+    # per-head dots with H-fold dot-issue overhead. The optimum sits
+    # between (sweep NMVLLM_ATTN_HPD on hardware; docs/PERF_NOTES.md).
+    hpd = heads_per_dot
+    n_chunks = h // hpd
+    rows_c = hpd * g_pad
+    cols_c = ppcb * hpd * bs
+
+    # Loop-invariant column decomposition within one chunk:
+    # c = (p * hpd + h_local) * bs + t.
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows_c, cols_c), 1)
+    col_h = (col // bs) % hpd
     # Position of column c within superblock 0; superblock sb adds
     # sb * sb_tokens (hoisted out of the loop body).
-    pos0 = (col // (bs * h)) * bs + col % bs
-    row_h = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // g_pad
+    pos0 = (col // (bs * hpd)) * bs + col % bs
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (rows_c, cols_c),
+                                     0) // g_pad
     head_ok = col_h == row_h
 
     def body(sb, carry):
@@ -170,51 +182,67 @@ def _decode_kernel(
             start(sb + 1, jax.lax.rem(sb + 1, 2))
 
         wait(sb, slot)
-        k = kv_buf[slot, :, 0].reshape(cols, head_dim)
-        v = kv_buf[slot, :, 1].reshape(cols, head_dim)
-        if k.dtype != q_ref.dtype or k_scale != 1.0 or v_scale != 1.0:
-            # fp8 cache (and/or scaled KV storage): dequant in VMEM.
-            k = k.astype(jnp.float32) * k_scale
-            v = v.astype(jnp.float32) * v_scale
-            k = k.astype(q_ref.dtype)
-            v = v.astype(q_ref.dtype)
-        # scores: (R, cols) = block-diagonal over heads
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT)
-        if logit_soft_cap > 0.0:
-            s = logit_soft_cap * jnp.tanh(s / logit_soft_cap)
         pos = pos0 + sb * sb_tokens
-        if has_alibi:
-            # slope_h * (key_pos - query_pos); query sits at ctx - 1.
-            slopes = alibi_ref[:, 0:1]  # (R, 1)
-            s = s + slopes * (pos - (ctx - 1)).astype(jnp.float32)
-        valid = head_ok & (pos < ctx)
-        if sliding_window > 0:
-            valid &= pos > ctx - 1 - sliding_window
-        if blocksparse is not None:
-            # Local + vertically-strided key blocks (reference
-            # blocksparse_attention/utils.py:141); the query block is
-            # always local to itself so qb's own superblock survives.
-            bs_blk, bs_local, bs_vert = blocksparse
-            kb = pos // bs_blk
-            qb = (ctx - 1) // bs_blk
-            valid &= ((qb - kb) < bs_local) | (
-                jax.lax.rem(kb + bso_ref[:, 0:1] + 1, bs_vert) == 0)
-        s = jnp.where(valid, s, _NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        if blocksparse is not None:
-            # A superblock between the vertical stripes and the local
-            # window can be fully masked; keep the running max finite so
-            # exp(-inf - m) stays 0 instead of NaN.
-            m_new = jnp.maximum(m_new, -1e30)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p.astype(v.dtype), v,
-                                        preferred_element_type=jnp.float32,
-                                        precision=jax.lax.Precision.DEFAULT)
-        return m_new, l_new, acc_new
+        ms, ls, accs = [], [], []
+        for c in range(n_chunks):
+            h0 = c * hpd
+            r0 = c * rows_c
+            k = kv_buf[slot, :, 0, h0:h0 + hpd].reshape(cols_c, head_dim)
+            v = kv_buf[slot, :, 1, h0:h0 + hpd].reshape(cols_c, head_dim)
+            if k.dtype != q_ref.dtype or k_scale != 1.0 or v_scale != 1.0:
+                # fp8 cache (and/or scaled KV storage): dequant in VMEM.
+                k = k.astype(jnp.float32) * k_scale
+                v = v.astype(jnp.float32) * v_scale
+                k = k.astype(q_ref.dtype)
+                v = v.astype(q_ref.dtype)
+            qc = q[r0:r0 + rows_c]
+            # scores: (rows_c, cols_c) = block-diagonal over chunk heads
+            s = jax.lax.dot_general(qc, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.DEFAULT)
+            if logit_soft_cap > 0.0:
+                s = logit_soft_cap * jnp.tanh(s / logit_soft_cap)
+            if has_alibi:
+                # slope_h * (key_pos - query_pos); query sits at ctx - 1.
+                slopes = alibi_ref[r0:r0 + rows_c, 0:1]  # (rows_c, 1)
+                s = s + slopes * (pos - (ctx - 1)).astype(jnp.float32)
+            valid = head_ok & (pos < ctx)
+            if sliding_window > 0:
+                valid &= pos > ctx - 1 - sliding_window
+            if blocksparse is not None:
+                # Local + vertically-strided key blocks (reference
+                # blocksparse_attention/utils.py:141); the query block is
+                # always local to itself so qb's own superblock survives.
+                bs_blk, bs_local, bs_vert = blocksparse
+                kb = pos // bs_blk
+                qb = (ctx - 1) // bs_blk
+                valid &= ((qb - kb) < bs_local) | (
+                    jax.lax.rem(kb + bso_ref[r0:r0 + rows_c, 0:1] + 1,
+                                bs_vert) == 0)
+            s = jnp.where(valid, s, _NEG_INF)
+            mc = m[r0:r0 + rows_c]
+            lc = l[r0:r0 + rows_c]
+            accc = acc[r0:r0 + rows_c]
+            m_new = jnp.maximum(mc, jnp.max(s, axis=1, keepdims=True))
+            if blocksparse is not None:
+                # A superblock between the vertical stripes and the local
+                # window can be fully masked; keep the running max finite
+                # so exp(-inf - m) stays 0 instead of NaN.
+                m_new = jnp.maximum(m_new, -1e30)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(mc - m_new)
+            l_new = lc * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_new = accc * alpha + jnp.dot(
+                p.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            ms.append(m_new)
+            ls.append(l_new)
+            accs.append(acc_new)
+        if n_chunks == 1:
+            return ms[0], ls[0], accs[0]
+        return (jnp.concatenate(ms, 0), jnp.concatenate(ls, 0),
+                jnp.concatenate(accs, 0))
 
     m0 = jnp.full((rows, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((rows, 1), jnp.float32)
@@ -403,6 +431,18 @@ def paged_attention(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    # kv heads per block-diagonal dot: trades masked-score VPU waste
+    # (grows with hpd) against per-dot fixed issue cost (grows as H/hpd).
+    # Default = all heads (one big dot); sweep NMVLLM_ATTN_HPD on
+    # hardware. Read at trace time — changing it mid-process will not
+    # retrace already-compiled steps.
+    import os
+    hpd = int(os.environ.get("NMVLLM_ATTN_HPD", "0")) or num_kv_heads
+    # Smallest divisor of H that is >= the request and keeps each chunk's
+    # row count at a full f32 sublane tile (8).
+    hpd = min((d for d in range(1, num_kv_heads + 1)
+               if num_kv_heads % d == 0 and d >= hpd and d * g_pad >= 8),
+              default=num_kv_heads)
     kernel = functools.partial(
         _decode_kernel if has_bso else _decode_kernel_dense,
         scale=float(scale), k_scale=float(k_scale), v_scale=float(v_scale),
@@ -410,7 +450,8 @@ def paged_attention(
         num_kv_heads=num_kv_heads, g_pad=g_pad, head_dim=head_dim,
         logit_soft_cap=float(logit_soft_cap),
         sliding_window=int(sliding_window), has_alibi=has_alibi,
-        blocksparse=blocksparse, fused_write=fused_write)
+        blocksparse=blocksparse, fused_write=fused_write,
+        heads_per_dot=hpd)
     ctx_bytes = 2 * num_kv_heads * block_size * head_dim * \
         kv_cache.dtype.itemsize
     out, kv_cache = pl.pallas_call(

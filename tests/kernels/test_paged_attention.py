@@ -144,3 +144,23 @@ def test_paged_attention_alibi_in_kernel(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
     _dense_check(q, kv_cache, bt, cl, scale, out, alibi_slopes=slopes)
+
+
+@pytest.mark.parametrize("hpd", [1, 2, 4])
+def test_paged_attention_heads_per_dot(rng, hpd, monkeypatch):
+    """Head-chunked block-diagonal scores (NMVLLM_ATTN_HPD): every chunk
+    width must match the all-heads-in-one-dot default bit-for-bit-close.
+    H=4, G=8 (g_pad 8) so chunk row counts stay tile-aligned at hpd=1."""
+    monkeypatch.setenv("NMVLLM_ATTN_HPD", str(hpd))
+    q, kv_cache, bt, cl = _make_inputs(
+        rng, 5, 32, 4, 128, 16, num_blocks=32, max_ctx=70,
+        dtype=jnp.float32)
+    # Distinct static scale per case: the env var is read at trace time,
+    # so an identical call signature would reuse the previous compile.
+    scale = 128**-0.5 * (1.0 + hpd * 1e-6)
+    ref = paged_attention_reference(q, kv_cache, bt, cl, scale=scale)
+    out = paged_attention(q, kv_cache, bt, cl, scale=scale,
+                          pages_per_compute_block=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+    _dense_check(q, kv_cache, bt, cl, scale, out)
