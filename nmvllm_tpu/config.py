@@ -244,6 +244,43 @@ class CacheConfig:
         return self.cache_dtype
 
 
+@dataclass
+class TokenizerPoolConfig:
+    """Parallel-tokenization pool (reference: vllm/config.py:541).
+
+    TPU-native: the reference's Ray tokenizer actor pool becomes a
+    ThreadPoolExecutor (HF fast tokenizers are Rust and release the GIL);
+    pool_type "ray" is accepted as an alias of "thread" so reference CLI
+    invocations keep working. pool_size 0 disables the pool.
+    """
+    pool_size: int
+    pool_type: str = "thread"
+    extra_config: Optional[dict] = None
+
+    def __post_init__(self):
+        if self.pool_type not in ("thread", "ray"):
+            raise ValueError(f"Unknown tokenizer pool type: "
+                             f"{self.pool_type}")
+        if self.extra_config is None:
+            self.extra_config = {}
+        if not isinstance(self.extra_config, dict):
+            raise ValueError("extra_config must be a dictionary.")
+
+    @classmethod
+    def create_config(cls, tokenizer_pool_size: int,
+                      tokenizer_pool_type: str = "thread",
+                      tokenizer_pool_extra_config=None
+                      ) -> Optional["TokenizerPoolConfig"]:
+        if not tokenizer_pool_size:
+            return None
+        if isinstance(tokenizer_pool_extra_config, str):
+            import json
+            tokenizer_pool_extra_config = json.loads(
+                tokenizer_pool_extra_config)
+        return cls(tokenizer_pool_size, tokenizer_pool_type,
+                   tokenizer_pool_extra_config or {})
+
+
 class ParallelConfig:
     """Device-mesh topology (reference: vllm/config.py:653 ParallelConfig).
 
@@ -264,6 +301,7 @@ class ParallelConfig:
         ray_workers_use_nsight: bool = False,
         placement_group: Optional[Any] = None,
         distributed_executor_backend: Optional[str] = None,
+        tokenizer_pool_config: Optional[TokenizerPoolConfig] = None,
     ) -> None:
         self.pipeline_parallel_size = pipeline_parallel_size
         self.tensor_parallel_size = tensor_parallel_size
@@ -274,6 +312,7 @@ class ParallelConfig:
         self.ray_workers_use_nsight = ray_workers_use_nsight
         self.placement_group = placement_group
         self.distributed_executor_backend = distributed_executor_backend
+        self.tokenizer_pool_config = tokenizer_pool_config
         # EP rides the tp mesh axis (experts sharded over tp, activations
         # replicated — ops/moe.py fused_moe_ep), so it does not multiply
         # the world size.

@@ -23,6 +23,9 @@ class EngineArgs:
     tokenizer: Optional[str] = None
     tokenizer_mode: str = "auto"
     skip_tokenizer_init: bool = False
+    tokenizer_pool_size: int = 0
+    tokenizer_pool_type: str = "thread"
+    tokenizer_pool_extra_config: Optional[str] = None
     trust_remote_code: bool = False
     download_dir: Optional[str] = None
     load_format: str = "auto"
@@ -129,12 +132,16 @@ class EngineArgs:
             num_gpu_blocks_override=self.num_gpu_blocks_override,
             sliding_window=model_config.get_sliding_window(),
             enable_prefix_caching=self.enable_prefix_caching)
+        from nmvllm_tpu.config import TokenizerPoolConfig
         parallel_config = ParallelConfig(
             pipeline_parallel_size=self.pipeline_parallel_size,
             tensor_parallel_size=self.tensor_parallel_size,
             data_parallel_size=self.data_parallel_size,
             expert_parallel_size=self.expert_parallel_size,
-            disable_custom_all_reduce=self.disable_custom_all_reduce)
+            disable_custom_all_reduce=self.disable_custom_all_reduce,
+            tokenizer_pool_config=TokenizerPoolConfig.create_config(
+                self.tokenizer_pool_size, self.tokenizer_pool_type,
+                self.tokenizer_pool_extra_config))
         # Spec decode reserves lookahead KV slots for draft-token writes
         # (reference: SpeculativeConfig -> num_lookahead_slots plumbing).
         num_lookahead_slots = self.num_lookahead_slots

@@ -293,6 +293,14 @@ class AsyncLLMEngine:
                 raise AsyncEngineDeadError(
                     "Background loop is not running. Use "
                     "start_background_loop() or AsyncLLMEngine directly.")
+        group = getattr(self.engine, "tokenizer_group", None)
+        if prompt_token_ids is None and prompt is not None and \
+                group is not None:
+            # Tokenize off the engine loop (and, with a TokenizerPoolConfig,
+            # on the thread pool) so long prompts don't stall the loop —
+            # the reference's Ray tokenizer-pool role.
+            prompt_token_ids = await group.encode_async(prompt,
+                                                        lora_request)
         return self._request_tracker.add_request(
             request_id, prompt=prompt, sampling_params=sampling_params,
             prompt_token_ids=prompt_token_ids,

@@ -23,7 +23,6 @@ from nmvllm_tpu.outputs import RequestOutput
 from nmvllm_tpu.sampling_params import SamplingParams
 from nmvllm_tpu.sequence import (ExecuteModelRequest, SamplerOutput,
                                  Sequence, SequenceGroup, SequenceStatus)
-from nmvllm_tpu.transformers_utils.tokenizer import get_tokenizer
 from nmvllm_tpu.utils import Counter
 from nmvllm_tpu.version import __version__
 
@@ -47,12 +46,19 @@ class LLMEngine:
         self.request_counter = Counter()
 
         if not self.model_config.skip_tokenizer_init:
-            self.tokenizer = get_tokenizer(
+            # TokenizerGroup: per-LoRA tokenizers + optional thread pool
+            # (reference tokenizer_group/ + Ray pool -> thread pool).
+            from nmvllm_tpu.transformers_utils.tokenizer_group import (
+                TokenizerGroup)
+            self.tokenizer_group = TokenizerGroup(
                 self.model_config.tokenizer,
                 tokenizer_mode=self.model_config.tokenizer_mode,
-                trust_remote_code=self.model_config.trust_remote_code)
+                trust_remote_code=self.model_config.trust_remote_code,
+                pool_config=self.parallel_config.tokenizer_pool_config)
+            self.tokenizer = self.tokenizer_group.tokenizer
             self.detokenizer = Detokenizer(self.tokenizer)
         else:
+            self.tokenizer_group = None
             self.tokenizer = None
             self.detokenizer = None
 
@@ -150,7 +156,8 @@ class LLMEngine:
             if prompt is None:
                 raise ValueError("Either prompt or prompt_token_ids "
                                  "must be provided.")
-            prompt_token_ids = self.tokenizer.encode(prompt)
+            prompt_token_ids = self.tokenizer_group.encode(prompt,
+                                                           lora_request)
         if sampling_params.truncate_prompt_tokens is not None:
             prompt_token_ids = prompt_token_ids[
                 -sampling_params.truncate_prompt_tokens:]

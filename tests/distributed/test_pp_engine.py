@@ -41,3 +41,17 @@ def test_pp_rejects_unsupported_combos():
             num_gpu_blocks_override=16, max_model_len=64,
             pipeline_parallel_size=2, ngram_prompt_lookup_max=2,
             num_speculative_tokens=2)
+
+
+@pytest.mark.parametrize("feature", ["prefix_caching", "chunked_prefill"])
+def test_pp_engine_with_prefill_features(feature, example_prompts):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs more virtual devices")
+    kwargs = ({"enable_prefix_caching": True} if feature == "prefix_caching"
+              else {"enable_chunked_prefill": True,
+                    "max_num_batched_tokens": 32})
+    # Shared prefix exercises the paged-prefix pipeline prefill path.
+    prompts = [example_prompts[0] + " one", example_prompts[0] + " two"]
+    base = _generate(prompts, **kwargs)
+    pp = _generate(prompts, pipeline_parallel_size=2, **kwargs)
+    assert pp == base
