@@ -52,6 +52,35 @@ def pp_kv_spec():
     return P(PP_AXIS, None, None, TP_AXIS, None, None)
 
 
+def layer_static_sig(layer):
+    """Static (non-param) attention config of a decoder layer — what the
+    stage scan would silently homogenize if it differed across layers."""
+    sa = getattr(layer, "self_attn", None)
+    if sa is None:
+        return (type(layer).__name__,)
+    alibi = getattr(sa, "alibi_slopes", None)
+    return (type(layer).__name__,
+            int(getattr(sa, "sliding_window", 0) or 0),
+            float(getattr(sa, "attn_logit_soft_cap", 0.0) or 0.0),
+            getattr(sa, "blocksparse", None),
+            None if alibi is None else tuple(
+                float(x) for x in jax.device_get(alibi).reshape(-1)))
+
+
+def scan_period(model) -> int:
+    """Smallest p such that layer i's static config == layer (i % p)'s.
+
+    Homogeneous stacks (llama, mistral, ...) give 1; gemma2 and
+    phi-3-small alternate sliding-window/blocksparse layers and give 2.
+    The stage scan then applies p distinct layer programs cyclically."""
+    sigs = [layer_static_sig(la) for la in model.layers]
+    n = len(sigs)
+    for p in range(1, n + 1):
+        if n % p == 0 and all(sigs[i] == sigs[i % p] for i in range(n)):
+            return p
+    return n
+
+
 def make_pipeline_fwd(model, pp: int, num_micro: int, *,
                       is_prefill: bool = False, has_prefix: bool = False):
     """Per-device (shard_map body) pipeline forward.
@@ -65,7 +94,8 @@ def make_pipeline_fwd(model, pp: int, num_micro: int, *,
     (stack_layer_params); kv_stacked: (L, blocks, 2, H, bs, d) with the
     layer axis sharded over ``pp``. B must divide by ``num_micro``.
     """
-    layer0 = model.layers[0]
+    period = scan_period(model)
+    protos = model.layers[:period]
     rotary = model.rotary
 
     def fwd(params, kv, tokens, positions, slots, block_tables, ctx,
@@ -99,17 +129,31 @@ def make_pipeline_fwd(model, pp: int, num_micro: int, *,
 
             def body(carry, layer_in):
                 x, res = carry
-                lp, kv_l = layer_in
-                x, res, kv_l = layer0(lp, rotary, params["rotary"], x,
-                                      pos, kv_l, meta, res,
-                                      is_prefill=is_prefill,
-                                      has_prefix=has_prefix)
-                if res is None:  # epilogue-fused layers carry one stream
-                    res = jnp.zeros_like(x)
-                return (x, res), kv_l
+                lp_chunk, kv_chunk = layer_in
+                kv_outs = []
+                # One scan step = `period` layers, each with its OWN
+                # static config (gemma2 alternates sliding windows,
+                # phi-3-small alternates dense/blocksparse — a plain
+                # stacked scan would homogenize them to layer 0's).
+                for j, proto in enumerate(protos):
+                    lp = jax.tree.map(lambda a: a[j], lp_chunk)
+                    x, res, kv_j = proto(lp, rotary, params["rotary"], x,
+                                         pos, kv_chunk[j], meta, res,
+                                         is_prefill=is_prefill,
+                                         has_prefix=has_prefix)
+                    if res is None:  # epilogue-fused layers: one stream
+                        res = jnp.zeros_like(x)
+                    kv_outs.append(kv_j)
+                return (x, res), jnp.stack(kv_outs)
 
+            layers_local = jax.tree.map(
+                lambda a: a.reshape(a.shape[0] // period, period,
+                                    *a.shape[1:]), params["layers"])
+            kv_local = kv.reshape(kv.shape[0] // period, period,
+                                  *kv.shape[1:])
             (x, res), kv_new = jax.lax.scan(
-                body, (carry_x, carry_res), (params["layers"], kv))
+                body, (carry_x, carry_res), (layers_local, kv_local))
+            kv_new = kv_new.reshape(kv.shape)
             return x, res, kv_new, sq
 
         def tick(t, state):

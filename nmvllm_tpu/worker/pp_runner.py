@@ -67,16 +67,20 @@ class PipelineModelRunner(ModelRunner):
                 "Pipeline parallelism does not support stateful (Mamba) "
                 "or heterogeneous-cache models.")
         nl = len(model.layers)
-        if nl % self.pp != 0:
+        from nmvllm_tpu.parallel.pipeline import scan_period
+        period = scan_period(model)
+        if nl % (self.pp * period) != 0:
             raise ValueError(
                 f"num_hidden_layers ({nl}) must divide evenly over "
-                f"pipeline_parallel_size ({self.pp}).")
+                f"pipeline_parallel_size ({self.pp}) x layer-config "
+                f"period ({period}) so stage boundaries fall on period "
+                f"boundaries.")
         ref_tree = jax.tree.structure(params["layers"][0])
         for li, lp in enumerate(params["layers"][1:], 1):
             if jax.tree.structure(lp) != ref_tree:
                 raise ValueError(
-                    f"Pipeline parallelism requires homogeneous layers; "
-                    f"layer {li} differs structurally from layer 0 "
+                    f"Pipeline parallelism requires layers with one param "
+                    f"structure; layer {li} differs from layer 0 "
                     f"({type(model).__name__}).")
         self.model = model
         self.params = pipeline_shard_params(model, params, self.mesh)

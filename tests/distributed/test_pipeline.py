@@ -104,3 +104,60 @@ def test_pipeline_matches_single_stage(pp, tp, num_micro):
     for li in range(nl):
         np.testing.assert_allclose(pp_kv[li], np.asarray(base_kv[li]),
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_pipeline_periodic_layers_gemma2():
+    """Alternating-static-config layers (gemma2: sliding window on even
+    layers) must keep their own configs inside the stage scan — the scan
+    applies `scan_period` distinct layer programs cyclically instead of
+    homogenizing to layer 0 (parallel/pipeline.py scan_period)."""
+    pp = 2
+    if len(jax.devices()) < pp:
+        pytest.skip("needs more virtual devices")
+    from nmvllm_tpu.parallel.pipeline import scan_period
+    from nmvllm_tpu.transformers_utils.config import get_hf_config
+    hf_cfg = get_hf_config("debug-gemma2")
+    hf_cfg.num_hidden_layers = 4
+    cfg = EngineConfig(
+        model_config=ModelConfig(model="debug-gemma2", dtype="float32",
+                                 seed=0, hf_config=hf_cfg),
+        cache_config=CacheConfig(block_size=16),
+        parallel_config=ParallelConfig(),
+        scheduler_config=SchedulerConfig(max_model_len=128,
+                                         max_num_seqs=8),
+        device_config=DeviceConfig())
+    model = build_model(cfg)
+    assert scan_period(model) == 2  # sliding window alternates
+    base_mesh = build_mesh(1, 1)
+    params = init_params_on_mesh(model, base_mesh, 0)
+
+    batch, bs, bpp = 8, 16, 8
+    blocks = batch * bpp  # disjoint per-row tables (no page aliasing)
+    rng = np.random.default_rng(1)
+    kv_shape = (blocks, 2, model.total_num_kv_heads, bs, model.head_dim)
+    kv_np = [rng.standard_normal(kv_shape).astype(np.float32) * 0.1
+             for _ in range(4)]
+    tokens = jnp.asarray(rng.integers(1, 400, (batch, 1)), jnp.int32)
+    # Contexts beyond the 64-token sliding window so the alternating
+    # window actually changes the result.
+    ctx_np = rng.integers(70, 120, (batch,)).astype(np.int32)
+    positions = jnp.asarray(ctx_np - 1, jnp.int32).reshape(batch, 1)
+    bt = jnp.asarray(
+        rng.permutation(blocks).reshape(batch, bpp), jnp.int32)
+    slots = jnp.asarray(
+        np.asarray(bt)[np.arange(batch), (ctx_np - 1) // bs] * bs +
+        (ctx_np - 1) % bs, jnp.int32).reshape(batch, 1)
+    ctx = jnp.asarray(ctx_np)
+
+    base_logits, _ = _baseline_logits(
+        model, params, [jnp.asarray(k) for k in kv_np], base_mesh,
+        tokens, positions, slots, bt, ctx)
+
+    pp_mesh = build_pp_mesh(pp, 1)
+    pp_params = pipeline_shard_params(model, params, pp_mesh)
+    fn = build_pipeline_decode_fn(model, pp_mesh, batch, num_micro=2)
+    pp_logits, _ = fn(pp_params, jnp.asarray(np.stack(kv_np)), tokens,
+                      positions, slots, bt, ctx)
+    np.testing.assert_allclose(np.asarray(pp_logits),
+                               np.asarray(base_logits),
+                               atol=2e-3, rtol=2e-3)
