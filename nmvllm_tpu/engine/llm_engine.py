@@ -290,7 +290,6 @@ class LLMEngine:
                         and sp.presence_penalty == 0.0
                         and sp.frequency_penalty == 0.0
                         and sp.repetition_penalty == 1.0
-                        and sp.min_p == 0.0
                         and not sp.logits_processors
                         and not sp.logit_bias
                         and data.get_output_len() >= sp.min_tokens)

@@ -693,6 +693,9 @@ class ModelRunner:
             if flags.get("do_top_k_top_p", False):
                 flat = _apply_top_k_top_p(
                     flat, jnp.repeat(t.top_k, s), jnp.repeat(t.top_p, s))
+            if flags.get("do_min_p", False):
+                from nmvllm_tpu.layers.sampler import _apply_min_p
+                flat = _apply_min_p(flat, jnp.repeat(t.min_p, s))
             probs = jax.nn.softmax(flat, axis=-1).reshape(b, s, v_pad)
             argmax_tok = jnp.argmax(scaled, axis=-1).astype(jnp.int32)
 

@@ -240,3 +240,17 @@ def test_sliding_window_spec_gated_and_exact():
     # Identical draft + fresh KV (no wrap corruption) => full acceptance.
     assert st["num_accepted"] / max(1, st["num_drafted"]) > 0.9, st
     check_logprobs_close(b, s, "base", "sw-spec")
+
+
+def test_min_p_rows_speculate_and_reproduce(draft_spec_llm):
+    """min_p rows speculate: the in-graph verifier applies the min_p
+    filter to the target distribution before acceptance (same filter
+    order as the sampler: temp -> top-k/p -> min_p -> softmax)."""
+    sp = SamplingParams(temperature=0.01, min_p=0.2, seed=5, max_tokens=10)
+    eng = draft_spec_llm.llm_engine
+    before = dict(eng.spec_stats)
+    o1 = draft_spec_llm.generate(["min p probe text"], sp)
+    after = dict(eng.spec_stats)
+    assert after["num_drafted"] > before["num_drafted"]
+    o2 = draft_spec_llm.generate(["min p probe text"], sp)
+    assert o1[0].outputs[0].token_ids == o2[0].outputs[0].token_ids
