@@ -251,12 +251,14 @@ class LLMEngine:
     def _maybe_propose_drafts(self, metas, scheduler_outputs):
         """Build per-row ngram drafts, or None to run a normal step.
 
-        Spec steps run only on all-decode batches of single-sequence greedy
-        groups; rows with sampling features the in-graph greedy verifier
-        cannot honor (non-zero temperature, penalties, logprobs, guided
-        masks, active min_tokens) get an empty draft and decode normally
-        inside the same compiled step (reference: dynamic spec-decode
-        disable, speculative_disable_by_batch_size).
+        Spec steps run only on all-decode batches of single-sequence
+        groups; the in-graph verifier honors temperature, top-k/p, min_p
+        and presence/frequency/repetition penalties (per-position history
+        extension). Rows with features it cannot honor (logit_bias,
+        guided masks, custom logits processors, active min_tokens) get an
+        empty draft and decode normally inside the same compiled step
+        (reference: dynamic spec-decode disable,
+        speculative_disable_by_batch_size).
         """
         if self.spec_proposer is None:
             return None
@@ -287,9 +289,6 @@ class LLMEngine:
             # features the in-graph verifier doesn't model stay excluded.
             eligible = (sp is not None
                         and (sw is None or data.get_len() + k_spec + 1 <= sw)
-                        and sp.presence_penalty == 0.0
-                        and sp.frequency_penalty == 0.0
-                        and sp.repetition_penalty == 1.0
                         and not sp.logits_processors
                         and not sp.logit_bias
                         and data.get_output_len() >= sp.min_tokens)

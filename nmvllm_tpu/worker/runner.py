@@ -686,6 +686,33 @@ class ModelRunner:
                           vocab_size=vocab_size, **flags)
 
             t = sampling_tensors
+            if flags.get("do_penalties", False):
+                # Per-position histories: position j's output history is
+                # the base history + drafts[0..j-1] (its output only
+                # matters when those drafts are all accepted, i.e. they
+                # ARE the preceding tokens — matches sequential
+                # decoding's penalty state; reference batch-expansion
+                # rebuilds SamplingTensors per expanded row the same
+                # way, spec_decode/batch_expansion.py).
+                import dataclasses as _dc
+
+                from nmvllm_tpu.layers.sampler import _apply_penalties
+                spec_idx = jnp.arange(drafts.shape[1])[None, :]
+                pen = []
+                for j in range(s):
+                    extra = jnp.where(
+                        (spec_idx < j) & (spec_idx < draft_lens[:, None]),
+                        drafts, vocab_size)
+                    tj = _dc.replace(t, output_tokens=jnp.concatenate(
+                        [t.output_tokens, extra], axis=1))
+                    pen.append(_apply_penalties(
+                        logits[:, j, :vocab_size], tj, vocab_size))
+                pen = jnp.stack(pen, axis=1)
+                if v_pad > vocab_size:
+                    pen = jnp.pad(pen, ((0, 0), (0, 0),
+                                        (0, v_pad - vocab_size)),
+                                  constant_values=float("-inf"))
+                logits = pen
             temp = jnp.maximum(t.temperature, _EPS)
             greedy = t.temperature < _EPS
             scaled = logits / temp[:, None, None]

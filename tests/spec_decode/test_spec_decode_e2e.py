@@ -254,3 +254,22 @@ def test_min_p_rows_speculate_and_reproduce(draft_spec_llm):
     assert after["num_drafted"] > before["num_drafted"]
     o2 = draft_spec_llm.generate(["min p probe text"], sp)
     assert o1[0].outputs[0].token_ids == o2[0].outputs[0].token_ids
+
+
+def test_penalized_rows_speculate_and_match(baseline_llm, draft_spec_llm):
+    """Penalty rows speculate: the verifier extends each position's
+    output history with the preceding drafts, reproducing sequential
+    penalty state (reference batch-expansion re-derives SamplingTensors
+    per expanded row)."""
+    from tests.models.utils import check_logprobs_close
+    sp = SamplingParams(temperature=0.0, max_tokens=16, logprobs=5,
+                        repetition_penalty=1.3, frequency_penalty=0.2,
+                        presence_penalty=0.1)
+    eng = draft_spec_llm.llm_engine
+    before = dict(eng.spec_stats)
+    base = baseline_llm.generate(PROMPTS[:2], sp)
+    spec = draft_spec_llm.generate(PROMPTS[:2], sp)
+    after = dict(eng.spec_stats)
+    assert after["num_drafted"] > before["num_drafted"]
+    assert after["num_accepted"] > before["num_accepted"]
+    check_logprobs_close(base, spec, "baseline", "penalized-spec")
