@@ -21,11 +21,14 @@ def _generate(prompts, model="debug-llama", **kwargs):
     return [tuple(o.outputs[0].token_ids) for o in outs]
 
 
-@pytest.mark.parametrize("pp,tp", [(2, 1), (2, 2)])
-def test_pp_engine_matches_single_stage(pp, tp, example_prompts):
+@pytest.mark.parametrize("pp,tp,model", [
+    (2, 1, "debug-llama"),
+    (2, 2, "debug-llama-tp"),
+    (2, 1, "debug-mixtral"),  # MoE expert stacks ride the stage scan
+])
+def test_pp_engine_matches_single_stage(pp, tp, model, example_prompts):
     if len(jax.devices()) < max(pp * tp, 2):
         pytest.skip("needs more virtual devices")
-    model = "debug-llama-tp" if tp > 1 else "debug-llama"
     base = _generate(example_prompts, model=model)
     pp_toks = _generate(example_prompts, model=model,
                         pipeline_parallel_size=pp,
