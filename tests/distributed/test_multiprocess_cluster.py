@@ -1,0 +1,82 @@
+"""Real multi-process 'pod' on CPU: N python processes join via
+jax.distributed, build a global mesh, and agree on admissions +
+collectives. This is the fake-cluster tier the reference LACKS (its
+distributed tests need >=2 physical GPUs, SURVEY.md §4) — here two
+'hosts' are two OS processes with 2 local CPU devices each."""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.e2e
+
+_WORKER = r"""
+import sys
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nmvllm_tpu.parallel.multihost import (assert_same_across_hosts,
+                                           broadcast_py, build_pod_mesh,
+                                           init_multihost)
+
+coord, pid = sys.argv[1], int(sys.argv[2])
+idx = init_multihost(coordinator_address=coord, num_processes=2,
+                     process_id=pid)
+assert idx == pid
+assert jax.process_count() == 2
+assert len(jax.devices()) == 4  # 2 local x 2 processes
+
+# Host-0 publishes the request stream; both must see host-0's value.
+reqs = broadcast_py(["req-a", "req-b"] if idx == 0 else None,
+                    is_source=(idx == 0))
+assert reqs == ["req-a", "req-b"], reqs
+assert_same_across_hosts({"admitted": reqs})
+
+# Global (data=2, tp=2) mesh: tp groups stay within one process
+# (host-major ordering); a tp psum crosses the mesh correctly.
+mesh = build_pod_mesh(2, 2)
+procs = np.vectorize(lambda d: d.process_index)(mesh.devices)
+assert (procs == procs[:, :1]).all(), procs  # tp rows intra-host
+
+from jax.experimental.shard_map import shard_map
+x = jnp.arange(8.0).reshape(4, 2)
+fn = jax.jit(shard_map(
+    lambda a: jax.lax.psum(a, "tp"), mesh=mesh,
+    in_specs=P("data", "tp"), out_specs=P("data", None)))
+y = fn(jax.device_put(x, NamedSharding(mesh, P("data", "tp"))))
+expected = np.asarray(x).sum(1, keepdims=True)  # (4, 1) row sums
+for shard in y.addressable_shards:
+    rows = shard.index[0]
+    np.testing.assert_allclose(np.asarray(shard.data), expected[rows])
+print(f"WORKER{pid}_OK", flush=True)
+"""
+
+
+def test_two_process_cpu_cluster(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = "/root/repo"
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coord, str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        cwd="/root/repo") for i in range(2)]
+    outs = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode())
+        assert p.returncode == 0, f"worker {i}:\n{outs[-1]}"
+    assert "WORKER0_OK" in outs[0]
+    assert "WORKER1_OK" in outs[1]
