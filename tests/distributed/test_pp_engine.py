@@ -58,3 +58,22 @@ def test_pp_engine_with_prefill_features(feature, example_prompts):
     base = _generate(prompts, **kwargs)
     pp = _generate(prompts, pipeline_parallel_size=2, **kwargs)
     assert pp == base
+
+
+def test_pp_engine_best_of(example_prompts):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs more virtual devices")
+    from nmvllm_tpu import LLM, SamplingParams
+    sp = SamplingParams(temperature=0.7, seed=3, n=2, max_tokens=6)
+
+    def run(**kw):
+        llm = LLM(model="debug-llama", dtype="float32",
+                  num_gpu_blocks_override=64, max_num_seqs=8,
+                  max_model_len=128, **kw)
+        out = llm.generate([example_prompts[0]], sp)
+        return [tuple(c.token_ids) for c in out[0].outputs]
+
+    base = run()
+    pp = run(pipeline_parallel_size=2)
+    assert len(pp) == 2
+    assert pp == base  # CoW fork + seeded siblings through the ring
