@@ -33,3 +33,25 @@ def example_prompts():
         "The capital of France is",
         "The future of AI is",
     ]
+
+
+def pytest_collection_modifyitems(config, items):
+    """CI-tier test-group gating (reference tests/nm_utils/utils_skip.py:
+    every module checks TEST_<GROUP>=DISABLE env vars so CI tiers can
+    select groups). Here one collection hook covers the whole suite:
+    TEST_KERNELS=DISABLE skips tests/kernels/, TEST_DISTRIBUTED=DISABLE
+    skips tests/distributed/, etc."""
+    import os
+    skips = {}
+    for item in items:
+        parts = item.nodeid.replace("\\", "/").split("/")
+        if len(parts) < 3 or parts[0] != "tests":
+            continue
+        group = parts[1].upper()
+        if group not in skips:
+            disabled = os.environ.get(f"TEST_{group}") == "DISABLE"
+            skips[group] = (pytest.mark.skip(
+                reason=f"TEST_{group}=DISABLE (CI tier gating)")
+                if disabled else None)
+        if skips[group] is not None:
+            item.add_marker(skips[group])
