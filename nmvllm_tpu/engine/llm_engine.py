@@ -35,6 +35,8 @@ class LLMEngine:
                  log_stats: bool = True) -> None:
         logger.info("Initializing nmvllm_tpu engine v%s with model %s",
                     __version__, engine_config.model_config.model)
+        from nmvllm_tpu.logger import maybe_enable_trace_function_call
+        maybe_enable_trace_function_call()
         self.config = engine_config
         self.model_config = engine_config.model_config
         self.cache_config = engine_config.cache_config

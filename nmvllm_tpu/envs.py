@@ -50,6 +50,20 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "NMVLLM_API_KEY": lambda: os.getenv("NMVLLM_API_KEY", ""),
     # Usage telemetry is always off (the NM fork also defaults it off).
     "NMVLLM_NO_USAGE_STATS": lambda: True,
+    # kv heads per block-diagonal dot in the decode attention kernel
+    # (0 = all heads in one dot; see ops/paged_attention.py).
+    "NMVLLM_ATTN_HPD": lambda: int(os.getenv("NMVLLM_ATTN_HPD", "0")),
+    # Function-level debug tracing (reference VLLM_TRACE_FUNCTION,
+    # envs.py:28): any non-empty value logs every nmvllm_tpu-internal
+    # call/return to a per-process file for hang diagnosis.
+    "NMVLLM_TRACE_FUNCTION": lambda: bool(
+        os.getenv("NMVLLM_TRACE_FUNCTION", "")),
+    # Optional logging dictConfig JSON path + master toggle (reference
+    # VLLM_LOGGING_CONFIG_PATH / VLLM_CONFIGURE_LOGGING, envs.py:27).
+    "NMVLLM_LOGGING_CONFIG_PATH": lambda: os.getenv(
+        "NMVLLM_LOGGING_CONFIG_PATH", ""),
+    "NMVLLM_CONFIGURE_LOGGING": lambda: bool(int(
+        os.getenv("NMVLLM_CONFIGURE_LOGGING", "1"))),
 }
 
 
