@@ -130,10 +130,9 @@ class GPTStyleForCausalLM(LlamaForCausalLM):
         else:
             self.wpe = None
         if self.use_alibi:
-            if self.tp_size > 1:
-                raise NotImplementedError(
-                    "alibi models with TP>1 need per-shard slope slices "
-                    "(planned; slopes are trace-time constants today).")
+            # Full-head slope table on every layer; the attention layer
+            # slices its shard's contiguous head range by mesh rank at
+            # trace time (models/llama.py:_alibi_args).
             slopes = alibi_slopes(cfg.num_attention_heads)
             for layer in self.layers:
                 layer.self_attn.alibi_slopes = slopes

@@ -143,6 +143,25 @@ class Attention:
         gh = rank * self.heads + jnp.arange(self.heads, dtype=jnp.int32)
         return (blk, local, vert), gh * step
 
+    def _alibi_args(self):
+        """Per-shard alibi slopes. ``alibi_slopes`` holds ALL q heads'
+        slopes; under TP each shard attends a contiguous head range (the
+        column-parallel QKV shard order), so slice by mesh rank —
+        replaces the reference's host-side per-rank slicing
+        (bloom.py/mpt.py `alibi_slopes[head_start:head_end]`)."""
+        if self.alibi_slopes is None:
+            return None
+        slopes = jnp.asarray(self.alibi_slopes, jnp.float32)
+        if self.heads == self.total_heads:
+            return slopes
+        try:
+            from nmvllm_tpu.parallel.mesh import TP_AXIS
+            rank = jax.lax.axis_index(TP_AXIS)
+        except Exception:
+            rank = jnp.int32(0)
+        return jax.lax.dynamic_slice(slopes, (rank * self.heads,),
+                                     (self.heads,))
+
     def __call__(self, params, rotary: RotaryEmbedding, rotary_params,
                  x: jax.Array, positions: jax.Array, kv_cache: KVCache,
                  meta: AttentionMetadata, *, is_prefill: bool,
@@ -183,6 +202,7 @@ class Attention:
             flat_v = flat_v.astype(jnp.float32) / self.v_scale
 
         bs3, bs_offs = self._blocksparse_args()
+        alibi = self._alibi_args()
         if is_prefill:
             kv_cache = write_to_kv_cache(
                 kv_cache, flat_k, flat_v, meta.slot_mapping.reshape(b * t))
@@ -193,7 +213,7 @@ class Attention:
                     sliding_window=self.sliding_window,
                     logit_soft_cap=self.attn_logit_soft_cap,
                     k_scale=self.k_scale, v_scale=self.v_scale,
-                    alibi_slopes=self.alibi_slopes,
+                    alibi_slopes=alibi,
                     blocksparse=bs3, bs_head_offsets=bs_offs)
             else:
                 o = prefill_attention(q, k, v, positions, meta.seq_lens,
@@ -201,7 +221,7 @@ class Attention:
                                       sliding_window=self.sliding_window,
                                       logit_soft_cap=self.
                                       attn_logit_soft_cap,
-                                      alibi_slopes=self.alibi_slopes,
+                                      alibi_slopes=alibi,
                                       blocksparse=bs3,
                                       bs_head_offsets=bs_offs)
         else:
@@ -213,7 +233,7 @@ class Attention:
                 k_scale=self.k_scale, v_scale=self.v_scale,
                 logit_soft_cap=self.attn_logit_soft_cap,
                 sliding_window=self.sliding_window,
-                alibi_slopes=self.alibi_slopes,
+                alibi_slopes=alibi,
                 blocksparse=bs3, bs_head_offsets=bs_offs,
                 new_k=flat_k, new_v=flat_v,
                 write_slots=meta.slot_mapping.reshape(b * t))

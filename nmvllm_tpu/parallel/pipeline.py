@@ -82,12 +82,16 @@ def scan_period(model) -> int:
 
 
 def make_pipeline_fwd(model, pp: int, num_micro: int, *,
-                      is_prefill: bool = False, has_prefix: bool = False):
+                      is_prefill: bool = False, has_prefix: bool = False,
+                      capture_hidden: bool = False):
     """Per-device (shard_map body) pipeline forward.
 
     fwd(params_stacked, kv_stacked, tokens, positions, slots,
         block_tables, ctx, seq_lens, prefix_lens)
       -> (last_token_logits (B, V_pad) f32, kv_stacked)
+    With ``capture_hidden`` (prompt logprobs / draft heads) the return is
+    (logits, hidden (B, T, hidden) of the final-normed stack, kv_stacked);
+    the hidden buffer is psum-replicated off the last stage like logits.
 
     tokens/positions/slots: (B, T); ctx/seq_lens/prefix_lens: (B,).
     ``params_stacked``: model params with params["layers"] stacked
@@ -157,7 +161,7 @@ def make_pipeline_fwd(model, pp: int, num_micro: int, *,
             return x, res, kv_new, sq
 
         def tick(t, state):
-            x_cur, res_cur, kv, out = state
+            x_cur, res_cur, kv, out, xhid = state
             mb_idx = jnp.clip(t - stage, 0, num_micro - 1)
             valid = (t - stage >= 0) & (t - stage < num_micro)
             # Stage 0 injects a fresh microbatch each tick.
@@ -172,7 +176,8 @@ def make_pipeline_fwd(model, pp: int, num_micro: int, *,
             is_last = stage == pp - 1
             write = is_last & (done_idx >= 0)
 
-            def compute(o):
+            def compute(state):
+                o, xh = state
                 x_fin = (x.astype(jnp.float32) +
                          res.astype(jnp.float32)).astype(x.dtype)
                 x_fin = model.norm(params["norm"], x_fin)
@@ -181,30 +186,41 @@ def make_pipeline_fwd(model, pp: int, num_micro: int, *,
                 else:
                     last = x_fin[:, 0, :]
                 logits = model.compute_logits(params, last)
-                return jax.lax.dynamic_update_slice_in_dim(
+                o = jax.lax.dynamic_update_slice_in_dim(
                     o, logits[None].astype(jnp.float32),
                     jnp.maximum(done_idx, 0), 0)
+                if capture_hidden:
+                    xh = jax.lax.dynamic_update_slice_in_dim(
+                        xh, x_fin[None], jnp.maximum(done_idx, 0), 0)
+                return o, xh
 
-            out = jax.lax.cond(write, compute, lambda o: o, out)
+            out, xhid = jax.lax.cond(write, compute, lambda s: s,
+                                     (out, xhid))
             # Hop activations to the next stage (ring; the wraparound
             # edge into stage 0 is overwritten by the inject above).
             perm = [(i, (i + 1) % pp) for i in range(pp)]
             x = jax.lax.ppermute(x, PP_AXIS, perm)
             res = jax.lax.ppermute(res, PP_AXIS, perm)
-            return x, res, kv, out
+            return x, res, kv, out, xhid
 
         mb = batch // num_micro
         x0 = jnp.zeros((mb, t_len, hidden), x_all.dtype)
         res0 = jnp.zeros_like(x0)
         out0 = jnp.zeros((num_micro, mb, model.lm_head.padded_vocab),
                          jnp.float32)
-        _, _, kv_out, out = jax.lax.fori_loop(
-            0, n_ticks, tick, (x0, res0, kv, out0))
+        xh0 = (jnp.zeros((num_micro, mb, t_len, hidden), x_all.dtype)
+               if capture_hidden else jnp.zeros((), x_all.dtype))
+        _, _, kv_out, out, xhid = jax.lax.fori_loop(
+            0, n_ticks, tick, (x0, res0, kv, out0, xh0))
         # Only the last stage holds real logits: one masked psum shares
         # them with every stage (replicated output).
-        out = jnp.where(jax.lax.axis_index(PP_AXIS) == pp - 1, out, 0.0)
+        is_last = jax.lax.axis_index(PP_AXIS) == pp - 1
+        out = jnp.where(is_last, out, 0.0)
         out = jax.lax.psum(out, PP_AXIS)
         logits = out.reshape(batch, -1)
+        if capture_hidden:
+            xhid = jax.lax.psum(jnp.where(is_last, xhid, 0.0), PP_AXIS)
+            return logits, xhid.reshape(batch, t_len, hidden), kv_out
         return logits, kv_out
 
     return fwd

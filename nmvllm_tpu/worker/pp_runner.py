@@ -148,13 +148,12 @@ class PipelineModelRunner(ModelRunner):
                         has_image: bool = False, image_key=None):
         if use_lora:
             raise self._unsupported("LoRA")
-        if num_prompt_logprobs > 0:
-            raise self._unsupported("prompt_logprobs")
         if has_image:
             raise self._unsupported("multimodal input")
         if self.capture_hidden:
             raise self._unsupported("MLP-speculator drafting")
-        key = ("pp_prefill", flags_key, has_prefix, do_sample, n_samples)
+        key = ("pp_prefill", flags_key, has_prefix, do_sample, n_samples,
+               num_prompt_logprobs)
         if key in self._step_fns:
             return self._step_fns[key]
         flags = dict(flags_key)
@@ -163,25 +162,48 @@ class PipelineModelRunner(ModelRunner):
         mesh = self.mesh
         pp = self.pp
         vocab_size = self.vocab_size
+        want_plp = num_prompt_logprobs > 0
 
         def fwd(params, kv, tokens, positions, slots, block_tables, ctx,
                 seq_lens, prefix_lens):
             inner = make_pipeline_fwd(model, pp, 1, is_prefill=True,
-                                      has_prefix=has_prefix)
-            return inner(params, kv, tokens, positions, slots,
-                         block_tables, ctx, seq_lens, prefix_lens)
+                                      has_prefix=has_prefix,
+                                      capture_hidden=want_plp)
+            if not want_plp:
+                logits, kv = inner(params, kv, tokens, positions, slots,
+                                   block_tables, ctx, seq_lens,
+                                   prefix_lens)
+                return logits, None, kv
+            logits, x, kv = inner(params, kv, tokens, positions, slots,
+                                  block_tables, ctx, seq_lens, prefix_lens)
+            # Per-position prompt logprobs off the captured final-norm
+            # hidden states (same math as ModelRunner._get_prefill_fn).
+            all_logits = model.compute_logits(
+                params, x.reshape(-1, x.shape[-1])).astype(jnp.float32)
+            v_pad = all_logits.shape[-1]
+            if v_pad > vocab_size:
+                all_logits = jnp.where(
+                    jnp.arange(v_pad)[None, :] < vocab_size,
+                    all_logits, float("-inf"))
+            lp = jax.nn.log_softmax(all_logits, axis=-1)
+            nxt = jnp.concatenate(
+                [tokens[0, 1:], jnp.zeros((1,), jnp.int32)])
+            chosen = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+            topk_lp, topk_ids = jax.lax.top_k(lp, num_prompt_logprobs)
+            return logits, (chosen, topk_ids, topk_lp), kv
 
+        prompt_lp_spec = (P(), P(), P()) if want_plp else None
         sharded_fwd = shard_map_fn(
             fwd, mesh,
             in_specs=(param_specs, kv_spec, P(), P(), P(), P(), P(), P(),
                       P()),
-            out_specs=(P(), kv_spec))
+            out_specs=(P(), prompt_lp_spec, kv_spec))
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
                  ctx, seq_lens, prefix_lens, state_slots, pixel_values,
                  sampling_tensors, lora_indices, lora_stacks):
-            logits, kv_caches = sharded_fwd(
+            logits, prompt_lp, kv_caches = sharded_fwd(
                 params, kv_caches, tokens, positions, slots, block_tables,
                 ctx, seq_lens, prefix_lens)
             if do_sample:
@@ -192,7 +214,7 @@ class PipelineModelRunner(ModelRunner):
                              vocab_size=vocab_size, **flags)
             else:
                 out = None
-            return kv_caches, out, None
+            return kv_caches, out, prompt_lp
 
         self._step_fns[key] = step
         return step

@@ -77,3 +77,33 @@ def test_pp_engine_best_of(example_prompts):
     pp = run(pipeline_parallel_size=2)
     assert len(pp) == 2
     assert pp == base  # CoW fork + seeded siblings through the ring
+
+
+def test_pp_prompt_logprobs_match_single_stage(example_prompts):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs more virtual devices")
+
+    def run(**kw):
+        llm = LLM(model="debug-llama", dtype="float32",
+                  num_gpu_blocks_override=64, max_num_seqs=8,
+                  max_model_len=128, **kw)
+        out = llm.generate(
+            [example_prompts[0]],
+            SamplingParams(temperature=0.0, max_tokens=4,
+                           prompt_logprobs=3))[0]
+        return tuple(out.outputs[0].token_ids), out.prompt_logprobs
+
+    toks_b, plp_b = run()
+    toks_p, plp_p = run(pipeline_parallel_size=2)
+    assert toks_p == toks_b
+    assert plp_b is not None and plp_p is not None
+    assert len(plp_p) == len(plp_b)
+    # First entry is None (no prefix); later entries: same top sets,
+    # logprobs close.
+    for a, b in zip(plp_b, plp_p):
+        if a is None or b is None:
+            assert a is None and b is None
+            continue
+        assert set(a.keys()) == set(b.keys())
+        for tid in a:
+            assert abs(a[tid].logprob - b[tid].logprob) < 2e-3
