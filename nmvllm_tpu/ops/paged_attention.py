@@ -261,6 +261,26 @@ def _decode_kernel_dense(block_tables_ref, context_lens_ref,
                    o_ref, kv_out, kv_buf, page_buf, sems, wsem, **kw)
 
 
+def _decode_kernel_ro(block_tables_ref, context_lens_ref, write_slots_ref,
+                      q_ref, alibi_ref, bso_ref, kv_hbm, o_ref, kv_buf,
+                      sems, **kw):
+    """Read-only operand layout (no cache write): the kernel takes no
+    kv output / new-token inputs at all. Without this, a discarded
+    aliased kv output forces XLA to copy the whole cache to preserve
+    the caller's value (~0.56 ms at 200 MB, docs/PERF_NOTES.md)."""
+    _decode_kernel(block_tables_ref, context_lens_ref, write_slots_ref,
+                   q_ref, alibi_ref, bso_ref, None, None, kv_hbm,
+                   o_ref, None, kv_buf, None, sems, None, **kw)
+
+
+def _decode_kernel_ro_dense(block_tables_ref, context_lens_ref,
+                            write_slots_ref, q_ref, alibi_ref, kv_hbm,
+                            o_ref, kv_buf, sems, **kw):
+    _decode_kernel(block_tables_ref, context_lens_ref, write_slots_ref,
+                   q_ref, alibi_ref, None, None, None, kv_hbm,
+                   o_ref, None, kv_buf, None, sems, None, **kw)
+
+
 def default_pages_per_compute_block(num_kv_heads: int,
                                     block_size: int) -> int:
     """Target ~4K score columns per superblock: per-superblock fixed cost
@@ -396,10 +416,14 @@ def paged_attention(
         nv = new_v.astype(kv_cache.dtype)
         ws = write_slots.astype(jnp.int32)
     else:
-        nk = jnp.zeros((batch, num_kv_heads, head_dim), kv_cache.dtype)
-        nv = nk
         ws = jnp.full((batch,), -1, jnp.int32)
 
+    new_kv_specs = ([
+        pl.BlockSpec((1, num_kv_heads, head_dim),
+                     lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, num_kv_heads, head_dim),
+                     lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+    ] if fused_write else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(batch,),
@@ -408,28 +432,20 @@ def paged_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ] + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if has_bso else [])
-        + [
-            pl.BlockSpec((1, num_kv_heads, head_dim),
-                         lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, num_kv_heads, head_dim),
-                         lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+        + new_kv_specs + [
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, rows, head_dim), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + ([pl.BlockSpec(memory_space=pl.ANY)] if fused_write else []),
         scratch_shapes=[
             pltpu.VMEM((2, ppcb, 2, num_kv_heads, block_size, head_dim),
                        kv_cache.dtype),
-            pltpu.VMEM((2, num_kv_heads, block_size, head_dim),
-                       kv_cache.dtype),
+        ] + ([pltpu.VMEM((2, num_kv_heads, block_size, head_dim),
+                         kv_cache.dtype)] if fused_write else []) + [
             pltpu.SemaphoreType.DMA((2, ppcb)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        ] + ([pltpu.SemaphoreType.DMA(())] if fused_write else []),
     )
     # kv heads per block-diagonal dot: trades masked-score VPU waste
     # (grows with hpd) against per-dot fixed issue cost (grows as H/hpd).
@@ -443,8 +459,12 @@ def paged_attention(
     hpd = min((d for d in range(1, num_kv_heads + 1)
                if num_kv_heads % d == 0 and d >= hpd and d * g_pad >= 8),
               default=num_kv_heads)
+    if fused_write:
+        kernel_fn = _decode_kernel if has_bso else _decode_kernel_dense
+    else:
+        kernel_fn = _decode_kernel_ro if has_bso else _decode_kernel_ro_dense
     kernel = functools.partial(
-        _decode_kernel if has_bso else _decode_kernel_dense,
+        kernel_fn,
         scale=float(scale), k_scale=float(k_scale), v_scale=float(v_scale),
         pages_per_compute_block=ppcb, block_size=block_size,
         num_kv_heads=num_kv_heads, g_pad=g_pad, head_dim=head_dim,
@@ -454,17 +474,26 @@ def paged_attention(
         heads_per_dot=hpd)
     ctx_bytes = 2 * num_kv_heads * block_size * head_dim * \
         kv_cache.dtype.itemsize
-    out, kv_cache = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((batch, rows, head_dim), q.dtype),
-            jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
-        ],
+    out_shape = [jax.ShapeDtypeStruct((batch, rows, head_dim), q.dtype)]
+    operands = [block_tables.astype(jnp.int32),
+                context_lens.astype(jnp.int32), ws, q_r, slopes_in,
+                *bso_in]
+    aliases = {}
+    if fused_write:
+        out_shape.append(jax.ShapeDtypeStruct(kv_cache.shape,
+                                              kv_cache.dtype))
+        operands += [nk, nv, kv_cache]
         # Operand order incl. scalar prefetch: bt(0), cl(1), ws(2), q(3),
         # slopes(4), [bso(5) if blocksparse], nk, nv, kv -> kv (last
         # operand) aliases output 1.
-        input_output_aliases={(8 if has_bso else 7): 1},
+        aliases = {(8 if has_bso else 7): 1}
+    else:
+        operands += [kv_cache]
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
@@ -472,11 +501,11 @@ def paged_attention(
             bytes_accessed=batch * max_bpp * ctx_bytes,
             transcendentals=batch * rows * max_bpp * block_size),
         interpret=pallas_interpret(),
-    )(block_tables.astype(jnp.int32), context_lens.astype(jnp.int32),
-      ws, q_r, slopes_in, *bso_in, nk, nv, kv_cache)
+    )(*operands)
+    out = res[0]
     out = out.reshape(batch, num_kv_heads, g_pad, head_dim)[:, :, :group, :]
     out = out.reshape(batch, num_q_heads, head_dim)
-    return (out, kv_cache) if fused_write else out
+    return (out, res[1]) if fused_write else out
 
 
 def paged_attention_reference(
