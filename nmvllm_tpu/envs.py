@@ -53,6 +53,10 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # kv heads per block-diagonal dot in the decode attention kernel
     # (0 = all heads in one dot; see ops/paged_attention.py).
     "NMVLLM_ATTN_HPD": lambda: int(os.getenv("NMVLLM_ATTN_HPD", "0")),
+    # Expert-parallel MoE dispatch: all-to-all token shipping instead of
+    # masked-local compute (ops/moe.py fused_moe_ep_a2a; the right
+    # pattern for multi-slice EP over DCN — see docs/SCALING.md).
+    "NMVLLM_MOE_A2A": lambda: bool(os.getenv("NMVLLM_MOE_A2A", "")),
     # Function-level debug tracing (reference VLLM_TRACE_FUNCTION,
     # envs.py:28): any non-empty value logs every nmvllm_tpu-internal
     # call/return to a per-process file for hang diagnosis.

@@ -61,17 +61,13 @@ class MixtralMoE:
                 "w1": P(None, None, TP_AXIS), "w2": P(None, TP_AXIS, None)}
 
     def __call__(self, params, x):
-        from nmvllm_tpu.ops.moe import fused_moe_ep
+        from nmvllm_tpu.ops.moe import moe_apply
         b, t, h = x.shape
         flat = x.reshape(b * t, h)
         gate_logits = self.gate(params["gate"], flat)
-        if self.ep:
-            out = fused_moe_ep(flat, params["w1"], params["w2"],
-                               gate_logits, self.top_k, axis_name=TP_AXIS,
-                               renormalize=True, activation="silu")
-        else:
-            out = fused_moe(flat, params["w1"], params["w2"], gate_logits,
-                            self.top_k, renormalize=True, activation="silu")
+        out = moe_apply(flat, params["w1"], params["w2"], gate_logits,
+                        self.top_k, ep=self.ep, axis_name=TP_AXIS,
+                        renormalize=True, activation="silu")
         out = jax.lax.psum(out, TP_AXIS)
         return out.reshape(b, t, h)
 

@@ -149,6 +149,122 @@ def fused_moe_ep(
                      topk_weights=w_masked, topk_ids=ids_local)
 
 
+def fused_moe_ep_a2a(
+    x: jax.Array,            # (T, H) tokens (replicated across the axis)
+    w1_local: jax.Array,     # (E_local, H, 2I) this rank's experts
+    w2_local: jax.Array,     # (E_local, I, H)
+    gate_logits: jax.Array,  # (T, E_total) — gate is replicated
+    top_k: int,
+    *,
+    axis_name: str,
+    ep_size: int,
+    renormalize: bool = True,
+    activation: str = "silu",
+    topk_weights: Optional[jax.Array] = None,
+    topk_ids: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Expert-parallel MoE with all-to-all token dispatch (SURVEY.md §2.3:
+    "mesh axis expert, ragged all-to-all token dispatch over ICI").
+
+    Each rank routes only its T/ep token slice, ships every row to the
+    rank owning its expert (per-destination ragged counts over a dense
+    ``lax.all_to_all`` transport — XLA:CPU has no ragged-all-to-all, and
+    a static worst-case capacity is required anyway since inference may
+    not drop tokens), computes its local experts, and ships results back.
+    Returns a zero-padded (T, H) partial in which only this rank's token
+    slice is populated, so the caller's existing psum over ``axis_name``
+    is the combine step.
+
+    When to use (docs/SCALING.md "EP dispatch"): with activations
+    REPLICATED across the axis (this engine's TP design), the masked-
+    local ``fused_moe_ep`` does the same grouped-GEMM row count with zero
+    collective hops, so it wins single-slice; the a2a dispatch is the
+    right pattern when the axis crosses DCN (multi-slice EP) or when
+    activations are sequence-sharded. Selectable via NMVLLM_MOE_A2A=1.
+
+    Call INSIDE shard_map. Requires T % ep_size == 0 (engine batches are
+    padded to multiples of 8) and balanced expert ownership.
+    """
+    e_local = w1_local.shape[0]
+    t, h = x.shape
+    ep = ep_size
+    if t % ep != 0:
+        return fused_moe_ep(x, w1_local, w2_local, gate_logits, top_k,
+                            axis_name=axis_name, renormalize=renormalize,
+                            activation=activation,
+                            topk_weights=topk_weights, topk_ids=topk_ids)
+    t_loc = t // ep
+    rank = jax.lax.axis_index(axis_name)
+    xs = jax.lax.dynamic_slice_in_dim(x, rank * t_loc, t_loc, 0)
+    if topk_weights is None or topk_ids is None:
+        gl = jax.lax.dynamic_slice_in_dim(gate_logits, rank * t_loc,
+                                          t_loc, 0)
+        weights, ids = topk_softmax(gl, top_k, renormalize)
+    else:
+        weights = jax.lax.dynamic_slice_in_dim(topk_weights, rank * t_loc,
+                                               t_loc, 0)
+        ids = jax.lax.dynamic_slice_in_dim(topk_ids, rank * t_loc,
+                                           t_loc, 0)
+    n = t_loc * top_k
+    flat_ids = ids.reshape(-1)
+    order = jnp.argsort(flat_ids)            # stable: groups by expert,
+    ids_sorted = flat_ids[order]             # hence by destination rank
+    rows = xs[order // top_k]                # (n, H)
+
+    # Front-pack each destination's chunk into its (n, H) page of the
+    # dense transport buffer; empty slots carry the e_local id sentinel
+    # so they fall out of the receiver's bincount/grouping.
+    dest = ids_sorted // e_local             # (n,) non-decreasing
+    send_sizes = jnp.bincount(dest, length=ep)           # ragged counts
+    offsets = jnp.concatenate([jnp.zeros((1,), send_sizes.dtype),
+                               jnp.cumsum(send_sizes)[:-1]])
+    within = jnp.arange(n) - offsets[dest]
+    send_buf = jnp.zeros((ep, n, h), x.dtype).at[dest, within].set(rows)
+    send_ids = jnp.full((ep, n), e_local, jnp.int32).at[dest, within].set(
+        ids_sorted % e_local)
+    recv = jax.lax.all_to_all(send_buf, axis_name, split_axis=0,
+                              concat_axis=0, tiled=True)
+    recv_ids = jax.lax.all_to_all(send_ids, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=True)
+
+    # Group received rows by local expert (padding sorts last) and run
+    # the same grouped GEMMs as the single-rank path.
+    recv_rows = recv.reshape(ep * n, h)
+    ids2_flat = recv_ids.reshape(ep * n)
+    order2 = jnp.argsort(ids2_flat)
+    rows2 = recv_rows[order2]
+    ids2 = ids2_flat[order2]
+    group_sizes = jnp.bincount(ids2, length=e_local)
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    h1 = jax.lax.ragged_dot(rows2, w1_local, group_sizes, precision=prec)
+    a, b = jnp.split(h1, 2, axis=-1)
+    if activation == "silu":
+        inter = jax.nn.silu(a) * b
+    elif activation.startswith("gelu"):
+        inter = jax.nn.gelu(a, approximate=True) * b
+    else:
+        raise ValueError(f"Unsupported MoE activation {activation}")
+    out2 = jax.lax.ragged_dot(inter.astype(x.dtype), w2_local, group_sizes,
+                              precision=prec)
+
+    # Undo the expert sort (padding rows may hold ragged_dot garbage —
+    # their slots are never read back by any sender) and return chunks
+    # to their senders in the original packing.
+    back = jnp.zeros((ep * n, h), out2.dtype).at[order2].set(out2)
+    ret = jax.lax.all_to_all(back.reshape(ep, n, h), axis_name,
+                             split_axis=0, concat_axis=0, tiled=True)
+    out_rows = ret[dest, within]             # (n, H), expert-sorted order
+
+    w_sorted = weights.reshape(-1)[order]
+    contrib = out_rows.astype(jnp.float32) * w_sorted[:, None]
+    out_loc = jnp.zeros((t_loc, h), jnp.float32).at[order // top_k].add(
+        contrib)
+    out = jax.lax.dynamic_update_slice_in_dim(
+        jnp.zeros((t, h), jnp.float32), out_loc, rank * t_loc, 0)
+    return out.astype(x.dtype)
+
+
 def interleave_w1_for_tp(w1, tp: int):
     """Rearrange a stacked gate|up expert tensor for TP sharding.
 
@@ -197,10 +313,18 @@ def moe_expert_specs(ep: bool):
 
 
 def moe_apply(x, w1, w2, gate_logits, top_k, *, ep: bool, axis_name: str,
-              **kwargs) -> jax.Array:
+              ep_size: int = 0, **kwargs) -> jax.Array:
     """Dispatch TP-sharded vs expert-parallel MoE; caller psums the
     returned partial over ``axis_name`` either way."""
     if ep:
+        from nmvllm_tpu import envs
+        if ep_size <= 0:
+            from nmvllm_tpu.parallel.mesh import expert_parallel_size
+            ep_size = expert_parallel_size()
+        if envs.NMVLLM_MOE_A2A and ep_size > 1:
+            return fused_moe_ep_a2a(x, w1, w2, gate_logits, top_k,
+                                    axis_name=axis_name, ep_size=ep_size,
+                                    **kwargs)
         return fused_moe_ep(x, w1, w2, gate_logits, top_k,
                             axis_name=axis_name, **kwargs)
     return fused_moe(x, w1, w2, gate_logits, top_k, **kwargs)
