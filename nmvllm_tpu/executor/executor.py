@@ -38,9 +38,6 @@ class TPUExecutor:
             if engine_config.speculative_config is not None:
                 raise ValueError("Speculative decoding is not supported "
                                  "with pipeline_parallel_size > 1.")
-            if engine_config.lora_config is not None:
-                raise ValueError("LoRA is not supported with "
-                                 "pipeline_parallel_size > 1.")
             self.mesh = build_pp_mesh(parallel.pipeline_parallel_size,
                                       parallel.tensor_parallel_size)
             set_global_mesh(self.mesh)

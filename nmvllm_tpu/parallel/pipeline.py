@@ -81,13 +81,23 @@ def scan_period(model) -> int:
     return n
 
 
+def pp_lora_layer_names(model):
+    """Per-layer ordered LoRA target names: names[i][z] = layer i's z-th
+    adapter-bearing Linear. Positional correspondence across layers is
+    guaranteed by the PP one-param-structure requirement."""
+    from nmvllm_tpu.worker.runner import _layer_named_linears
+    return [[name for name, _ in _layer_named_linears(layer)]
+            for layer in model.layers]
+
+
 def make_pipeline_fwd(model, pp: int, num_micro: int, *,
                       is_prefill: bool = False, has_prefix: bool = False,
-                      capture_hidden: bool = False):
+                      capture_hidden: bool = False, lora_names=None):
     """Per-device (shard_map body) pipeline forward.
 
     fwd(params_stacked, kv_stacked, tokens, positions, slots,
-        block_tables, ctx, seq_lens, prefix_lens)
+        block_tables, ctx, seq_lens, prefix_lens[, lora_indices,
+        lora_stacks])
       -> (last_token_logits (B, V_pad) f32, kv_stacked)
     With ``capture_hidden`` (prompt logprobs / draft heads) the return is
     (logits, hidden (B, T, hidden) of the final-normed stack, kv_stacked);
@@ -97,13 +107,20 @@ def make_pipeline_fwd(model, pp: int, num_micro: int, *,
     ``params_stacked``: model params with params["layers"] stacked
     (stack_layer_params); kv_stacked: (L, blocks, 2, H, bs, d) with the
     layer axis sharded over ``pp``. B must divide by ``num_micro``.
+
+    Multi-LoRA: pass ``lora_names`` (pp_lora_layer_names) and the fwd
+    takes two extra args — per-row adapter slots (B,) and positionally
+    stacked adapter factors (tuple over target position z of
+    (A (L, S+1, K, r), B (L, S+1, r, N)), layer axis sharded over pp
+    like params["layers"]). Each scan step re-binds the sliced per-layer
+    stacks to the proto layers' names via a nested lora_scope.
     """
     period = scan_period(model)
     protos = model.layers[:period]
     rotary = model.rotary
 
     def fwd(params, kv, tokens, positions, slots, block_tables, ctx,
-            seq_lens, prefix_lens):
+            seq_lens, prefix_lens, lora_indices=None, lora_stacks=None):
         batch, t_len = tokens.shape
         assert batch % num_micro == 0, (batch, num_micro)
         mb = batch // num_micro
@@ -130,10 +147,16 @@ def make_pipeline_fwd(model, pp: int, num_micro: int, *,
             meta, sq = meta_for(mb_idx, valid)
             pos = jax.lax.dynamic_slice_in_dim(positions, mb_idx * mb,
                                                mb, 0)
+            if lora_names is not None:
+                idx_mb = jnp.where(
+                    valid,
+                    jax.lax.dynamic_slice_in_dim(lora_indices,
+                                                 mb_idx * mb, mb, 0),
+                    0)  # bubble rows use the zero (no-LoRA) slot
 
             def body(carry, layer_in):
                 x, res = carry
-                lp_chunk, kv_chunk = layer_in
+                lp_chunk, kv_chunk, la_chunk = layer_in
                 kv_outs = []
                 # One scan step = `period` layers, each with its OWN
                 # static config (gemma2 alternates sliding windows,
@@ -141,22 +164,37 @@ def make_pipeline_fwd(model, pp: int, num_micro: int, *,
                 # stacked scan would homogenize them to layer 0's).
                 for j, proto in enumerate(protos):
                     lp = jax.tree.map(lambda a: a[j], lp_chunk)
-                    x, res, kv_j = proto(lp, rotary, params["rotary"], x,
-                                         pos, kv_chunk[j], meta, res,
-                                         is_prefill=is_prefill,
-                                         has_prefix=has_prefix)
+                    if lora_names is not None:
+                        from nmvllm_tpu.lora.context import lora_scope
+                        scope_stacks = {
+                            nm: (la_chunk[z][0][j], la_chunk[z][1][j])
+                            for z, nm in enumerate(lora_names[j])}
+                        scope = lora_scope(idx_mb, scope_stacks)
+                    else:
+                        import contextlib
+                        scope = contextlib.nullcontext()
+                    with scope:
+                        x, res, kv_j = proto(lp, rotary, params["rotary"],
+                                             x, pos, kv_chunk[j], meta,
+                                             res, is_prefill=is_prefill,
+                                             has_prefix=has_prefix)
                     if res is None:  # epilogue-fused layers: one stream
                         res = jnp.zeros_like(x)
                     kv_outs.append(kv_j)
                 return (x, res), jnp.stack(kv_outs)
 
-            layers_local = jax.tree.map(
-                lambda a: a.reshape(a.shape[0] // period, period,
-                                    *a.shape[1:]), params["layers"])
+            def per_period(a):
+                return a.reshape(a.shape[0] // period, period,
+                                 *a.shape[1:])
+
+            layers_local = jax.tree.map(per_period, params["layers"])
             kv_local = kv.reshape(kv.shape[0] // period, period,
                                   *kv.shape[1:])
+            stacks_local = (jax.tree.map(per_period, lora_stacks)
+                            if lora_names is not None else None)
             (x, res), kv_new = jax.lax.scan(
-                body, (carry_x, carry_res), (layers_local, kv_local))
+                body, (carry_x, carry_res),
+                (layers_local, kv_local, stacks_local))
             kv_new = kv_new.reshape(kv.shape)
             return x, res, kv_new, sq
 

@@ -19,28 +19,98 @@ tensors, and output conversion; only the compiled step builders differ:
     through the stage ring; prefill: one prompt chunk drains the ring in
     pp ticks.
 
-Unsupported under PP (raise with a clear message): LoRA, speculative
-decoding, prompt_logprobs, multimodal prompts, stateful (Mamba) models,
-heterogeneous-layer models. Matches the reference's own PP restrictions
-in spirit (its sync engine refuses PP entirely, llm_engine.py:845-848).
+Multi-LoRA runs under PP: adapter stacks are positionally stacked over
+the layer axis and sharded over ``pp`` alongside params["layers"]
+(PPLoRAState), re-bound per scan step to the proto layers' names.
+Still unsupported under PP (raise with a clear message): speculative
+decoding, multimodal prompts, stateful (Mamba) models. Matches the
+reference's own PP restrictions in spirit (its sync engine refuses PP
+entirely, llm_engine.py:845-848).
 """
 import functools
 from typing import Any, List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from nmvllm_tpu.config import EngineConfig
 from nmvllm_tpu.layers.sampler import sample
 from nmvllm_tpu.logger import init_logger
-from nmvllm_tpu.parallel.mesh import PP_AXIS
+from nmvllm_tpu.parallel.mesh import PP_AXIS, TP_AXIS
 from nmvllm_tpu.parallel.pipeline import (make_pipeline_fwd, pp_kv_spec,
+                                          pp_lora_layer_names,
                                           pp_param_specs,
                                           pipeline_shard_params)
-from nmvllm_tpu.worker.runner import ModelRunner, shard_map_fn
+from nmvllm_tpu.worker.runner import (LoRAState, ModelRunner,
+                                      _layer_named_linears, shard_map_fn)
 
 logger = init_logger(__name__)
+
+
+class PPLoRAState(LoRAState):
+    """Multi-LoRA state for the pipeline runner: adapter factors are
+    POSITIONALLY stacked across layers (tuple over target position z of
+    (A (L, S+1, K, r), B (L, S+1, r, N))) so the stage scan can slice
+    each layer's stacks alongside its params; the leading layer axis is
+    sharded over ``pp`` exactly like params["layers"]."""
+
+    def __init__(self, model, lora_config):
+        from nmvllm_tpu.lora.layers import LoRAConfig as LC
+        from nmvllm_tpu.lora.models import LoRAModelManager
+        self.config = LC(max_loras=lora_config.max_loras,
+                         max_lora_rank=lora_config.max_lora_rank)
+        self.manager = LoRAModelManager(self.config)
+        self.manager.install_fn = self._install
+        self.names = pp_lora_layer_names(model)          # [L][Z]
+        num_layers = len(model.layers)
+        slots = self.config.max_loras + 1
+        r = self.config.max_lora_rank
+        stacks, shards = [], []
+        for _, lin in _layer_named_linears(model.layers[0]):
+            a = jnp.zeros((num_layers, slots, lin.in_features, r),
+                          jnp.bfloat16)
+            b = jnp.zeros((num_layers, slots, r, lin.out_features),
+                          jnp.bfloat16)
+            stacks.append((a, b))
+            shards.append(lin.shard)
+        self.stacks = tuple(stacks)
+        self.shards = shards
+
+    def stack_specs(self):
+        """Same TP split as the single-stage LoRAState (column: B on N,
+        row: A on K), plus the pp-sharded leading layer axis."""
+        specs = []
+        for shard in self.shards:
+            if shard == "column":
+                specs.append((P(PP_AXIS, None, None, None),
+                              P(PP_AXIS, None, None, TP_AXIS)))
+            elif shard == "row":
+                specs.append((P(PP_AXIS, None, TP_AXIS, None),
+                              P(PP_AXIS, None, None, None)))
+            else:
+                specs.append((P(PP_AXIS, None, None, None),
+                              P(PP_AXIS, None, None, None)))
+        return tuple(specs)
+
+    def _install(self, slot, lora_model):
+        assert slot >= 1
+        new_stacks = []
+        for z, (a, b) in enumerate(self.stacks):
+            a_up = np.zeros((a.shape[0],) + a.shape[2:], a.dtype)
+            b_up = np.zeros((b.shape[0],) + b.shape[2:], b.dtype)
+            if lora_model is not None:
+                for li in range(a.shape[0]):
+                    lw = lora_model.loras.get(self.names[li][z])
+                    if lw is not None:
+                        rk = lw.rank
+                        a_up[li, :, :rk] = np.asarray(
+                            lw.a, a_up.dtype) * lw.scaling
+                        b_up[li, :rk, :] = np.asarray(lw.b, b_up.dtype)
+            new_stacks.append((a.at[:, slot].set(a_up),
+                               b.at[:, slot].set(b_up)))
+        self.stacks = tuple(new_stacks)
 
 
 class PipelineModelRunner(ModelRunner):
@@ -85,6 +155,10 @@ class PipelineModelRunner(ModelRunner):
         self.model = model
         self.params = pipeline_shard_params(model, params, self.mesh)
         self._param_specs = pp_param_specs(model)
+        self.lora_state = None
+        if self.config.lora_config is not None:
+            self.lora_state = PPLoRAState(model, self.config.lora_config)
+            self._lora_names = pp_lora_layer_names(model)
 
     def _specs_tuple(self):
         return self._param_specs, self._kv_spec
@@ -93,19 +167,14 @@ class PipelineModelRunner(ModelRunner):
         return ValueError(f"{what} is not supported with "
                           f"pipeline_parallel_size > 1.")
 
-    def add_lora(self, lora_request) -> None:
-        raise self._unsupported("LoRA")
-
     # ------------------------------------------------------------ step fns
     def _num_micro(self, batch: int) -> int:
         return self.pp if batch % self.pp == 0 else 1
 
     def _get_decode_fn(self, flags_key, use_lora: bool = False):
-        if use_lora:
-            raise self._unsupported("LoRA")
         if self.capture_hidden:
             raise self._unsupported("MLP-speculator drafting")
-        key = ("pp_decode", flags_key)
+        key = ("pp_decode", flags_key, use_lora)
         if key in self._step_fns:
             return self._step_fns[key]
         flags = dict(flags_key)
@@ -115,17 +184,22 @@ class PipelineModelRunner(ModelRunner):
         pp = self.pp
         vocab_size = self.vocab_size
         num_micro_for = self._num_micro
+        lora_names = self._lora_names if use_lora else None
 
-        def fwd(params, kv, tokens, positions, slots, block_tables, ctx):
+        def fwd(params, kv, tokens, positions, slots, block_tables, ctx,
+                lora_indices, lora_stacks):
             nm = num_micro_for(tokens.shape[0])
-            inner = make_pipeline_fwd(model, pp, nm, is_prefill=False)
+            inner = make_pipeline_fwd(model, pp, nm, is_prefill=False,
+                                      lora_names=lora_names)
             return inner(params, kv, tokens, positions, slots,
                          block_tables, ctx, jnp.ones_like(ctx),
-                         jnp.zeros_like(ctx))
+                         jnp.zeros_like(ctx), lora_indices, lora_stacks)
 
+        lora_specs = (P(), self._lora_spec_tree())
         sharded_fwd = shard_map_fn(
             fwd, mesh,
-            in_specs=(param_specs, kv_spec, P(), P(), P(), P(), P()),
+            in_specs=(param_specs, kv_spec, P(), P(), P(), P(), P(),
+                      *lora_specs),
             out_specs=(P(), kv_spec))
 
         @functools.partial(jax.jit, donate_argnums=(1,))
@@ -134,7 +208,7 @@ class PipelineModelRunner(ModelRunner):
                  lora_stacks):
             logits, kv_caches = sharded_fwd(
                 params, kv_caches, tokens, positions, slots, block_tables,
-                ctx)
+                ctx, lora_indices, lora_stacks)
             out = sample(logits, sampling_tensors, vocab_size=vocab_size,
                          **flags)
             return kv_caches, out
@@ -146,14 +220,12 @@ class PipelineModelRunner(ModelRunner):
                         n_samples: int = 1, use_lora: bool = False,
                         num_prompt_logprobs: int = 0,
                         has_image: bool = False, image_key=None):
-        if use_lora:
-            raise self._unsupported("LoRA")
         if has_image:
             raise self._unsupported("multimodal input")
         if self.capture_hidden:
             raise self._unsupported("MLP-speculator drafting")
         key = ("pp_prefill", flags_key, has_prefix, do_sample, n_samples,
-               num_prompt_logprobs)
+               num_prompt_logprobs, use_lora)
         if key in self._step_fns:
             return self._step_fns[key]
         flags = dict(flags_key)
@@ -163,19 +235,22 @@ class PipelineModelRunner(ModelRunner):
         pp = self.pp
         vocab_size = self.vocab_size
         want_plp = num_prompt_logprobs > 0
+        lora_names = self._lora_names if use_lora else None
 
         def fwd(params, kv, tokens, positions, slots, block_tables, ctx,
-                seq_lens, prefix_lens):
+                seq_lens, prefix_lens, lora_indices, lora_stacks):
             inner = make_pipeline_fwd(model, pp, 1, is_prefill=True,
                                       has_prefix=has_prefix,
-                                      capture_hidden=want_plp)
+                                      capture_hidden=want_plp,
+                                      lora_names=lora_names)
             if not want_plp:
                 logits, kv = inner(params, kv, tokens, positions, slots,
                                    block_tables, ctx, seq_lens,
-                                   prefix_lens)
+                                   prefix_lens, lora_indices, lora_stacks)
                 return logits, None, kv
             logits, x, kv = inner(params, kv, tokens, positions, slots,
-                                  block_tables, ctx, seq_lens, prefix_lens)
+                                  block_tables, ctx, seq_lens, prefix_lens,
+                                  lora_indices, lora_stacks)
             # Per-position prompt logprobs off the captured final-norm
             # hidden states (same math as ModelRunner._get_prefill_fn).
             all_logits = model.compute_logits(
@@ -193,10 +268,11 @@ class PipelineModelRunner(ModelRunner):
             return logits, (chosen, topk_ids, topk_lp), kv
 
         prompt_lp_spec = (P(), P(), P()) if want_plp else None
+        lora_specs = (P(), self._lora_spec_tree())
         sharded_fwd = shard_map_fn(
             fwd, mesh,
             in_specs=(param_specs, kv_spec, P(), P(), P(), P(), P(), P(),
-                      P()),
+                      P(), *lora_specs),
             out_specs=(P(), prompt_lp_spec, kv_spec))
 
         @functools.partial(jax.jit, donate_argnums=(1,))
@@ -205,7 +281,7 @@ class PipelineModelRunner(ModelRunner):
                  sampling_tensors, lora_indices, lora_stacks):
             logits, prompt_lp, kv_caches = sharded_fwd(
                 params, kv_caches, tokens, positions, slots, block_tables,
-                ctx, seq_lens, prefix_lens)
+                ctx, seq_lens, prefix_lens, lora_indices, lora_stacks)
             if do_sample:
                 if n_samples > 1:
                     # best_of siblings: same prompt logits, distinct keys.

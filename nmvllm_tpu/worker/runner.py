@@ -111,16 +111,21 @@ class LoRAState:
         return out
 
 
-def _named_linears(model):
+def _layer_named_linears(layer):
+    """Ordered (name, Linear) LoRA targets of one decoder layer."""
     from nmvllm_tpu.layers.linear import Linear
+    for block_name in ("self_attn", "mlp", "block_sparse_moe"):
+        block = getattr(layer, block_name, None)
+        if block is None:
+            continue
+        for attr, val in vars(block).items():
+            if isinstance(val, Linear) and val.name:
+                yield val.name, val
+
+
+def _named_linears(model):
     for layer in model.layers:
-        for block_name in ("self_attn", "mlp", "block_sparse_moe"):
-            block = getattr(layer, block_name, None)
-            if block is None:
-                continue
-            for attr, val in vars(block).items():
-                if isinstance(val, Linear) and val.name:
-                    yield val.name, val
+        yield from _layer_named_linears(layer)
 
 
 @dataclass
