@@ -13,8 +13,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Single-threaded Eigen per virtual device: 8 devices x nproc threads
+# oversubscribes small hosts and can starve XLA's 40s collective
+# rendezvous, which aborts the process (rendezvous.cc).
+if "xla_cpu_multi_thread_eigen" not in flags:
+    flags = flags + " --xla_cpu_multi_thread_eigen=false"
+os.environ["XLA_FLAGS"] = flags
 
 import pytest  # noqa: E402
 
