@@ -14,11 +14,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# Single-threaded Eigen per virtual device: 8 devices x nproc threads
-# oversubscribes small hosts and can starve XLA's 40s collective
-# rendezvous, which aborts the process (rendezvous.cc).
+# Eigen threading on the virtual mesh (see __graft_entry__ for the full
+# rationale): single-threaded per device avoids oversubscription when the
+# host has >= 8 CPUs, but DEADLOCKS collectives when devices outnumber
+# CPUs (only nproc sequential executors can run, each parked in a
+# rendezvous waiting for peers that never get scheduled).
 if "xla_cpu_multi_thread_eigen" not in flags:
-    flags = flags + " --xla_cpu_multi_thread_eigen=false"
+    single = 8 <= (os.cpu_count() or 1)
+    flags = flags + f" --xla_cpu_multi_thread_eigen={str(single).lower()}"
 os.environ["XLA_FLAGS"] = flags
 
 import pytest  # noqa: E402
