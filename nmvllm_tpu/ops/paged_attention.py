@@ -29,6 +29,14 @@ Design (v2 — see docs/PERF_NOTES.md "attention page DMA" analysis):
   * Logit soft-cap (gemma-2), sliding-window (mistral) and alibi
     (bloom/mpt/baichuan-13b) are applied in-kernel on the score tile —
     these models no longer fall back to the jnp path.
+  * The CUDA v2 split-K (PARTITION_SIZE=512 sequence partitioning +
+    reduce kernel, attention_kernels.cu:534,567) is deliberately not
+    ported: it exists to spread one long sequence across SMs, but a TPU
+    Pallas grid executes sequentially on the tensor core, so
+    partitioning would only add a combine pass. The work-proportional
+    ``fori_loop`` over superblocks already gives v2's O(true context)
+    behavior; on megacore parts the batch grid dim can be marked
+    "parallel" instead.
 """
 import functools
 
