@@ -47,7 +47,8 @@ def count_quant_param_bytes(params) -> int:
 
 def run_decode_bench(model_name: str, quantization, batch: int,
                      context_len: int, steps: int, block_size: int = 32,
-                     dtype: str = "bfloat16", num_layers_override=None):
+                     dtype: str = "bfloat16", num_layers_override=None,
+                     dump_hlo=None):
     import jax
     import jax.numpy as jnp
     from nmvllm_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
@@ -152,6 +153,24 @@ def run_decode_bench(model_name: str, quantization, batch: int,
             body, (kv_caches, tokens, positions), None, length=n_steps)
         return toks, kv_caches, tokens, positions
 
+    if dump_hlo:
+        # Compile-only: write the optimized HLO of the multi-step decode
+        # program for composition analysis (hidden copies, fusion count).
+        lowered = decode_many.lower(params, kv_caches, tokens, positions,
+                                    block_tables, n_steps=2)
+        compiled = lowered.compile()
+        with open(dump_hlo, "w") as f:
+            f.write(compiled.as_text())
+        stats = compiled.cost_analysis()
+        if isinstance(stats, list):
+            stats = stats[0]
+        print(json.dumps({
+            "metric": "hlo_dump", "path": dump_hlo,
+            "bytes_accessed": stats.get("bytes accessed"),
+            "flops": stats.get("flops"),
+        }))
+        return None, None, None
+
     # Warmup/compile.
     toks, kv_caches, _, _ = decode_many(params, kv_caches, tokens,
                                         positions, block_tables, n_steps=2)
@@ -185,6 +204,11 @@ def main():
                         help="differential per-layer profile: run at two "
                              "layer counts and report on-device ms/layer "
                              "+ non-layer (embed/head/sampler) cost")
+    parser.add_argument("--dump-hlo", default=None, metavar="PATH",
+                        help="compile-only: write the optimized decode-step "
+                             "HLO to PATH and exit (composition analysis)")
+    parser.add_argument("--layers", type=int, default=None,
+                        help="override layer count (differential runs)")
     args = parser.parse_args()
     if args.a8 is None:
         args.a8 = False
@@ -232,10 +256,18 @@ def main():
         }))
         return
 
+    if args.dump_hlo:
+        run_decode_bench(model_name, quant, batch, ctx, steps,
+                         block_size=args.block_size,
+                         num_layers_override=args.layers,
+                         dump_hlo=args.dump_hlo)
+        return
+
     try:
         tokens_per_s, params_bytes, kv_bytes = run_decode_bench(
             model_name, quant, batch, ctx, steps,
-            block_size=args.block_size)
+            block_size=args.block_size,
+            num_layers_override=args.layers)
     except Exception as e:  # HBM OOM at the default batch: retry smaller
         if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in \
                 str(e).lower():

@@ -81,11 +81,10 @@ def bench_paged_attention_fused(batch, kv_heads, q_heads, head, ctx,
             def body(i, carry):
                 q, kv = carry
                 o, kv = paged_attention(q, kv, bt, cl, scale=0.088,
-                                        new_k=nk, new_v=nv_g[0],
+                                        new_k=nk, new_v=nk,
                                         write_slots=ws)
                 return q + o * 1e-6, kv
             return jax.lax.fori_loop(0, reps, body, (q, kv))
-        nv_g = (nk,)
         dt = timed(many, q, kv) / reps
     else:
         @jax.jit

@@ -53,6 +53,10 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # kv heads per block-diagonal dot in the decode attention kernel
     # (0 = all heads in one dot; see ops/paged_attention.py).
     "NMVLLM_ATTN_HPD": lambda: int(os.getenv("NMVLLM_ATTN_HPD", "0")),
+    # Weight-only quantize the (untied) LM head at load: "4" or "8" bits,
+    # "" = dense (reference behavior: lm_head always fp16). The head
+    # weight is the largest per-step HBM read after KV (layers/embedding.py).
+    "NMVLLM_QUANT_LM_HEAD": lambda: os.getenv("NMVLLM_QUANT_LM_HEAD", ""),
     # Expert-parallel MoE dispatch: all-to-all token shipping instead of
     # masked-local compute (ops/moe.py fused_moe_ep_a2a; the right
     # pattern for multi-slice EP over DCN — see docs/SCALING.md).

@@ -69,10 +69,27 @@ class ParallelLMHead(Module):
         self.tp_size = tp_size
         self.tied = tied
         self.bias = bias  # GPT-J / Phi lm_head.bias
+        # Optional weight-only quantized head (NMVLLM_QUANT_LM_HEAD=4|8):
+        # the head weight is the single largest decode-step HBM read
+        # after the KV cache (Llama-3: 1.05 GB bf16 -> 0.26 GB INT4).
+        # The reference always serves fp16 lm_head, so this is opt-in;
+        # untied heads only (tied heads share the embedding lookup table).
+        self.quant_method = None
+        from nmvllm_tpu import envs
+        qbits = str(envs.NMVLLM_QUANT_LM_HEAD)
+        if qbits in ("4", "8") and not tied:
+            from nmvllm_tpu.quantization.wNa16 import WNA16LinearMethod
+            self.quant_method = WNA16LinearMethod(int(qbits), 128,
+                                                  symmetric=True)
 
     def init(self, rng):
         p = {}
-        if not self.tied:
+        if self.quant_method is not None:
+            # K-major (hidden, padded_vocab) quantized storage.
+            p = dict(self.quant_method.create_weights(
+                rng, self.embedding_dim, self.padded_vocab,
+                self.params_dtype))
+        elif not self.tied:
             w = jax.random.normal(
                 rng, (self.padded_vocab, self.embedding_dim),
                 jnp.float32) * 0.02
@@ -81,8 +98,30 @@ class ParallelLMHead(Module):
             p["bias"] = jnp.zeros((self.padded_vocab,), self.params_dtype)
         return p
 
+    def quantize_loaded(self, params: dict) -> dict:
+        """Convert a dense loaded head weight (padded_vocab, hidden) into
+        the quantized layout (called post-load by finalize_for_serving
+        when NMVLLM_QUANT_LM_HEAD is active)."""
+        if self.quant_method is None or "qweight" in params or \
+                "weight" not in params:
+            return params
+        from nmvllm_tpu.ops.quant_matmul import quantize_weights_to_packed
+        w = params.pop("weight")  # (V_pad, H) N-major
+        qweight, scales, zeros = quantize_weights_to_packed(
+            w, self.quant_method.bits, self.quant_method.group_size,
+            symmetric=True)
+        out = {"qweight": qweight, "scales": scales, "zeros": zeros}
+        if "bias" in params:
+            out["bias"] = params["bias"]
+        return out
+
     def specs(self):
-        p = {} if self.tied else {"weight": P(TP_AXIS, None)}
+        if self.quant_method is not None:
+            p = dict(self.quant_method.param_specs("column"))
+        elif self.tied:
+            p = {}
+        else:
+            p = {"weight": P(TP_AXIS, None)}
         if self.bias:
             p["bias"] = P(TP_AXIS)
         return p
@@ -92,6 +131,20 @@ class ParallelLMHead(Module):
                  inside_shard_map: bool = True,
                  logit_scale: float = 1.0,
                  logit_soft_cap: float = 0.0):
+        if self.quant_method is not None and "qweight" in params:
+            logits = self.quant_method.apply(
+                {k: v for k, v in params.items() if k != "bias"},
+                x).astype(jnp.float32)
+            if self.bias:
+                logits = logits + params["bias"].astype(jnp.float32)
+            if logit_scale != 1.0:
+                logits = logits * logit_scale
+            if logit_soft_cap > 0.0:
+                logits = logit_soft_cap * jnp.tanh(logits / logit_soft_cap)
+            if inside_shard_map and self.tp_size > 1:
+                logits = jax.lax.all_gather(logits, TP_AXIS, axis=-1,
+                                            tiled=True)
+            return logits
         w = params["weight"] if not self.tied else embedding_params["weight"]
         logits = jnp.dot(x, w.T, preferred_element_type=jnp.float32)
         if self.bias:

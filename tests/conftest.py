@@ -14,15 +14,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# Eigen threading on the virtual mesh (see __graft_entry__ for the full
-# rationale): single-threaded per device avoids oversubscription when the
-# host has >= 8 CPUs, but DEADLOCKS collectives when devices outnumber
-# CPUs (only nproc sequential executors can run, each parked in a
-# rendezvous waiting for peers that never get scheduled).
-if "xla_cpu_multi_thread_eigen" not in flags:
-    single = 8 <= (os.cpu_count() or 1)
-    flags = flags + f" --xla_cpu_multi_thread_eigen={str(single).lower()}"
-os.environ["XLA_FLAGS"] = flags
+# Eigen threading on the virtual mesh: one shared policy (eigen_tuning.py)
+# keyed on the ACTUAL device count in XLA_FLAGS (an externally-set count,
+# e.g. 32 devices on a 16-CPU host, must pick multi-threaded Eigen).
+from eigen_tuning import apply_to_xla_flags  # noqa: E402 (root conftest path)
+
+os.environ["XLA_FLAGS"] = apply_to_xla_flags(flags)
 
 import pytest  # noqa: E402
 
