@@ -132,24 +132,24 @@ def main():
     if os.environ.get("NMVLLM_BENCH_QUICK"):
         # Tunnel compiles are minutes each: one representative linear.
         shapes = {"gate_up (4096->28672)": (4096, 28672)}
+    def emit(name, dt, bw):
+        results[name] = {"ms": round(dt * 1e3, 3), "GB/s": round(bw, 1)}
+        print(json.dumps({name: results[name]}), flush=True)
+
     for name, (k, n) in shapes.items():
         dt, bw = bench_quant_matmul(b, k, n, reps)
-        results[f"quant_matmul {name}"] = {
-            "ms": round(dt * 1e3, 3), "GB/s": round(bw, 1)}
+        emit(f"quant_matmul {name}", dt, bw)
 
     dt, bw = bench_paged_attention_fused(b, 8, 32, 128, 1024, 32, reps,
                                          fused_write=True)
-    results[f"paged_attention+write b{b} ctx1024 bs32"] = {
-        "ms": round(dt * 1e3, 3), "GB/s": round(bw, 1)}
+    emit(f"paged_attention+write b{b} ctx1024 bs32", dt, bw)
     if not os.environ.get("NMVLLM_BENCH_QUICK"):
         dt, bw = bench_paged_attention_fused(b, 8, 32, 128, 1024, 32,
                                              reps, fused_write=False)
-        results[f"paged_attention(ro) b{b} ctx1024 bs32"] = {
-            "ms": round(dt * 1e3, 3), "GB/s": round(bw, 1)}
+        emit(f"paged_attention(ro) b{b} ctx1024 bs32", dt, bw)
 
     dt, bw = bench_dense_matmul(b, 4096, 128256, max(reps // 4, 4))
-    results["lm_head dense bf16"] = {
-        "ms": round(dt * 1e3, 3), "GB/s": round(bw, 1)}
+    emit("lm_head dense bf16", dt, bw)
     print(json.dumps(results, indent=1))
 
 

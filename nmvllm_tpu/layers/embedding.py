@@ -105,11 +105,19 @@ class ParallelLMHead(Module):
         if self.quant_method is None or "qweight" in params or \
                 "weight" not in params:
             return params
-        from nmvllm_tpu.ops.quant_matmul import quantize_weights_to_packed
+        from nmvllm_tpu.ops.quant_matmul import (quantize_weights_to_packed,
+                                                 unpack_weights)
         w = params.pop("weight")  # (V_pad, H) N-major
+        bits = self.quant_method.bits
         qweight, scales, zeros = quantize_weights_to_packed(
-            w, self.quant_method.bits, self.quant_method.group_size,
-            symmetric=True)
+            w, bits, self.quant_method.group_size, symmetric=True)
+        if bits == 8:
+            # The 8-bit method serves plain bias-signed int8 (K, N) via
+            # XLA fused dequant (faster than any packed path on this
+            # stack, docs/PERF_NOTES.md).
+            k = self.embedding_dim
+            qweight = (unpack_weights(qweight, 8, self.quant_method.
+                                      group_size, k) - 128).astype(jnp.int8)
         out = {"qweight": qweight, "scales": scales, "zeros": zeros}
         if "bias" in params:
             out["bias"] = params["bias"]

@@ -488,9 +488,14 @@ def load_tensorizer_weights(model, params, uri: str,
 
 
 def _finalize(model, params):
-    """Serving-time param-tree transforms (projection fusion)."""
+    """Serving-time param-tree transforms (projection fusion, optional
+    LM-head quantization)."""
     if hasattr(model, "finalize_for_serving"):
         params = model.finalize_for_serving(params)
+    head = getattr(model, "lm_head", None)
+    if head is not None and getattr(head, "quant_method", None) is not None \
+            and isinstance(params.get("lm_head"), dict):
+        params["lm_head"] = head.quantize_loaded(params["lm_head"])
     return params
 
 
