@@ -48,7 +48,8 @@ def count_quant_param_bytes(params) -> int:
 def run_decode_bench(model_name: str, quantization, batch: int,
                      context_len: int, steps: int, block_size: int = 32,
                      dtype: str = "bfloat16", num_layers_override=None,
-                     dump_hlo=None):
+                     dump_hlo=None, head: str = "argmax",
+                     samples: int = 1):
     import jax
     import jax.numpy as jnp
     from nmvllm_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
@@ -102,6 +103,11 @@ def run_decode_bench(model_name: str, quantization, batch: int,
             prefix_lens=jnp.zeros_like(ctx))
         x, kv_caches = model.forward(params, tokens, positions, kv_caches,
                                      meta, is_prefill=False)
+        if head == "none":
+            # Ablation: skip lm_head + argmax; derive the next token from
+            # the hidden state so the scan dependence chain is preserved.
+            nxt = (jnp.sum(x[:, 0, :8], axis=-1).astype(jnp.int32) % 7)
+            return nxt, kv_caches
         logits = model.compute_logits(params, x[:, 0, :])
         return jnp.argmax(logits, -1).astype(jnp.int32), kv_caches
 
@@ -171,20 +177,28 @@ def run_decode_bench(model_name: str, quantization, batch: int,
         }))
         return None, None, None
 
-    # Warmup/compile.
-    toks, kv_caches, _, _ = decode_many(params, kv_caches, tokens,
-                                        positions, block_tables, n_steps=2)
-    toks.block_until_ready()
-
-    t0 = time.perf_counter()
+    # Warmup/compile with the EXACT timed executable (n_steps is a static
+    # arg: warming with a different length would leave the timed call to
+    # pay its own compile — which measured as a large phantom per-step
+    # cost on the axon AOT service). Positions reset between calls, so
+    # repeat calls rewrite the same slots; kv chains through donation.
     toks, kv_caches, _, _ = decode_many(params, kv_caches, tokens,
                                         positions, block_tables,
                                         n_steps=steps)
     toks.block_until_ready()
-    dt = time.perf_counter() - t0
-    tokens_per_s = batch * steps / dt
+
+    tok_s = []
+    for _ in range(max(1, samples)):
+        t0 = time.perf_counter()
+        toks, kv_caches, _, _ = decode_many(params, kv_caches, tokens,
+                                            positions, block_tables,
+                                            n_steps=steps)
+        toks.block_until_ready()
+        dt = time.perf_counter() - t0
+        tok_s.append(batch * steps / dt)
     kv_bytes_per_step = (num_layers * 2 * model.total_num_kv_heads *
                          model.head_dim * context_len * 2 * batch)
+    tokens_per_s = tok_s[0] if len(tok_s) == 1 else tok_s
     return tokens_per_s, params_bytes, kv_bytes_per_step
 
 
@@ -209,12 +223,20 @@ def main():
                              "HLO to PATH and exit (composition analysis)")
     parser.add_argument("--layers", type=int, default=None,
                         help="override layer count (differential runs)")
+    parser.add_argument("--no-head", action="store_true",
+                        help="ablation: skip lm_head+argmax in the step")
+    parser.add_argument("--quant-head", default=None, choices=["4", "8"],
+                        help="serve the LM head weight-only quantized "
+                             "(NMVLLM_QUANT_LM_HEAD)")
     args = parser.parse_args()
     if args.a8 is None:
         args.a8 = False
     if args.a8:
         import os
         os.environ["NMVLLM_INT4_A8"] = "1"
+    if args.quant_head:
+        import os
+        os.environ["NMVLLM_QUANT_LM_HEAD"] = args.quant_head
 
     import jax
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -256,18 +278,19 @@ def main():
         }))
         return
 
+    head = "none" if args.no_head else "argmax"
     if args.dump_hlo:
         run_decode_bench(model_name, quant, batch, ctx, steps,
                          block_size=args.block_size,
                          num_layers_override=args.layers,
-                         dump_hlo=args.dump_hlo)
+                         dump_hlo=args.dump_hlo, head=head)
         return
 
     try:
         tokens_per_s, params_bytes, kv_bytes = run_decode_bench(
             model_name, quant, batch, ctx, steps,
             block_size=args.block_size,
-            num_layers_override=args.layers)
+            num_layers_override=args.layers, head=head)
     except Exception as e:  # HBM OOM at the default batch: retry smaller
         if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in \
                 str(e).lower():

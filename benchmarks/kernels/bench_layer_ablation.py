@@ -136,27 +136,41 @@ def build(batch, ctx, block_size, n_layers, ablation):
     ctx_arr = jnp.full((batch,), ctx, jnp.int32)
 
     import functools
+    from jax.sharding import PartitionSpec as P
+    from nmvllm_tpu.worker.runner import shard_map_fn
 
-    @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("n",))
-    def run(x, kv_caches, n):
+    param_specs = model.specs()
+    kv_specs = [P(None, None, "tp") for _ in range(n_layers)]
+
+    def fwd(params, kvs, x):
         meta = AttentionMetadata(
             slot_mapping=slots, block_tables=block_tables,
             context_lens=ctx_arr, seq_lens=jnp.ones_like(ctx_arr),
             prefix_lens=jnp.zeros_like(ctx_arr))
+        residual = None
+        new = []
+        for layer, lp, kv in zip(model.layers, params["layers"], kvs):
+            x, residual, kv = layer(lp, model.rotary, params["rotary"],
+                                    x, positions, kv, meta, residual,
+                                    is_prefill=False, has_prefix=False)
+            new.append(kv)
+        if residual is not None:
+            x = (x.astype(jnp.float32) +
+                 residual.astype(jnp.float32)).astype(x.dtype)
+        return x, new
 
+    sharded = shard_map_fn(
+        fwd, mesh, in_specs=(param_specs, kv_specs, P()),
+        out_specs=(P(), kv_specs))
+
+    # No donation: timed() calls the fn twice with the same buffers (the
+    # one-time loop-init copy is equal across ablations and amortized).
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(x, kv_caches, n):
         def step(carry, _):
             x, kvs = carry
-            residual = None
-            new = []
-            for layer, lp, kv in zip(model.layers, params["layers"], kvs):
-                x, residual, kv = layer(lp, model.rotary, params["rotary"],
-                                        x, positions, kv, meta, residual,
-                                        is_prefill=False, has_prefix=False)
-                new.append(kv)
-            if residual is not None:
-                x = (x.astype(jnp.float32) +
-                     residual.astype(jnp.float32)).astype(x.dtype)
-            return (x * 1e-3, new), ()
+            x, kvs = sharded(params, kvs, x)
+            return (x * 1e-3, kvs), ()
         (x, kvs), _ = jax.lax.scan(step, (x, kv_caches), None, length=n)
         return x, kvs
 
