@@ -170,11 +170,11 @@ class CachedBlockAllocator(BlockAllocatorBase):
 
 
 def _seq_block_hash(seq: Sequence, logical_idx: int) -> int:
-    """Content hash of a full logical block (prefix-aware)."""
-    bs = seq.block_size
-    tokens = tuple(seq.get_token_ids()[:(logical_idx + 1) * bs])
-    return hash((tokens, seq.lora_request.lora_int_id if seq.lora_request
-                 else 0))
+    """Content hash of a full logical block (prefix-aware): chained
+    incremental hash memoized on the Sequence (native host library when
+    available) — O(prefix) total per sequence instead of the reference's
+    O(prefix^2) hash-the-whole-prefix-per-block."""
+    return seq.hash_of_block(logical_idx)
 
 
 class BlockSpaceManager:
@@ -204,6 +204,18 @@ class BlockSpaceManager:
         self.gpu_allocator = alloc_cls("device", block_size, num_gpu_blocks)
         self.cpu_allocator = alloc_cls("host", block_size, num_cpu_blocks)
         self.block_tables: Dict[int, BlockTable] = {}
+        # Monotone per-seq version, bumped on EVERY table-content change
+        # (allocate/append/CoW/promotion-swap/fork/swap in/out). The
+        # model runner's native batch-assembly mirror (worker/runner.py,
+        # csrc/host/nm_host.cpp) resyncs a sequence iff its version moved.
+        self._table_versions: Dict[int, int] = {}
+
+    def _bump(self, seq_id: int) -> None:
+        self._table_versions[seq_id] = \
+            self._table_versions.get(seq_id, 0) + 1
+
+    def get_table_version(self, seq_id: int) -> int:
+        return self._table_versions.get(seq_id, 0)
 
     # ---- allocate (prefill admission) ------------------------------------
     def can_allocate(self, seq_group: SequenceGroup) -> AllocStatus:
@@ -243,6 +255,7 @@ class BlockSpaceManager:
                 block.ref_count = ref_per_block
         for s in seq_group.get_seqs(status=SequenceStatus.WAITING):
             self.block_tables[s.seq_id] = list(block_table)
+            self._bump(s.seq_id)
 
     # ---- decode-time growth ----------------------------------------------
     def can_append_slots(self, seq_group: SequenceGroup,
@@ -301,17 +314,21 @@ class BlockSpaceManager:
                         self._allocate_last_physical_block(seq))
                 grew = True
             if grew:
+                self._bump(seq.seq_id)
                 return []
         last_block = block_table[-1]
         assert last_block.device == "device"
         if last_block.ref_count == 1:
             maybe_new = self._maybe_promote_last_block(seq, last_block)
+            if maybe_new.block_number != last_block.block_number:
+                self._bump(seq.seq_id)
             block_table[-1] = maybe_new
             return []
         # Shared block: copy on write.
         new_block = self._allocate_last_physical_block(seq)
         block_table[-1] = new_block
         self.gpu_allocator.free(last_block)
+        self._bump(seq.seq_id)
         return [(last_block.block_number, new_block.block_number)]
 
     def fork(self, parent_seq: Sequence, child_seq: Sequence) -> None:
@@ -319,6 +336,7 @@ class BlockSpaceManager:
             return
         src = self.block_tables[parent_seq.seq_id]
         self.block_tables[child_seq.seq_id] = list(src)
+        self._bump(child_seq.seq_id)
         for block in set(src):
             block.ref_count += 1
 
@@ -354,6 +372,7 @@ class BlockSpaceManager:
                 new_table.append(gpu_block)
                 self.cpu_allocator.free(cpu_block)
             self.block_tables[seq.seq_id] = new_table
+            self._bump(seq.seq_id)
         return [(cpu.block_number, gpu.block_number)
                 for cpu, gpu in mapping.items()]
 
@@ -378,6 +397,7 @@ class BlockSpaceManager:
                 new_table.append(cpu_block)
                 self.gpu_allocator.free(gpu_block)
             self.block_tables[seq.seq_id] = new_table
+            self._bump(seq.seq_id)
         return [(gpu.block_number, cpu.block_number)
                 for gpu, cpu in mapping.items()]
 
@@ -402,10 +422,12 @@ class BlockSpaceManager:
             return
         self._free_block_table(self.block_tables[seq.seq_id])
         del self.block_tables[seq.seq_id]
+        self._bump(seq.seq_id)
 
     def reset(self) -> None:
-        for table in list(self.block_tables.values()):
+        for seq_id, table in list(self.block_tables.items()):
             self._free_block_table(table)
+            self._bump(seq_id)
         self.block_tables.clear()
 
     def get_block_table(self, seq: Sequence) -> List[int]:

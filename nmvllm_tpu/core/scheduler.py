@@ -199,10 +199,13 @@ class Scheduler:
             seq_group.maybe_set_first_scheduled_time(now)
             seq_data = {}
             block_tables = {}
+            table_versions = {}
             for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
                 seq_data[seq.seq_id] = seq.data
                 block_tables[seq.seq_id] = \
                     self.block_manager.get_block_table(seq)
+                table_versions[seq.seq_id] = \
+                    self.block_manager.get_table_version(seq.seq_id)
                 self.block_manager.access_all_blocks_in_seq(seq, now)
             common_computed = (
                 self.block_manager.get_common_computed_block_ids(
@@ -228,6 +231,7 @@ class Scheduler:
                     lora_request=seq_group.lora_request,
                     multi_modal_data=seq_group.multi_modal_data,
                     state_seed=getattr(seq_group, "state_seed", None),
+                    table_versions=table_versions,
                 ))
         for scheduled in scheduler_outputs.scheduled_seq_groups:
             self.block_manager.mark_blocks_as_computed(scheduled.seq_group)

@@ -53,6 +53,14 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # kv heads per block-diagonal dot in the decode attention kernel
     # (0 = all heads in one dot; see ops/paged_attention.py).
     "NMVLLM_ATTN_HPD": lambda: int(os.getenv("NMVLLM_ATTN_HPD", "0")),
+    # One-kernel MLP block (rmsnorm + gate/up dequant-GEMM + silu*mul +
+    # down dequant-GEMM, ops/fused_mlp.py) for W4 layers. A/B knob.
+    "NMVLLM_FUSED_MLP": lambda: bool(os.getenv("NMVLLM_FUSED_MLP", "")),
+    # Native (C++) host-runtime hot loops (csrc/host/nm_host.cpp):
+    # decode batch assembly + prefix-cache block hashing. "0" disables
+    # (pure-Python fallbacks are always available).
+    "NMVLLM_NATIVE_HOST": lambda: os.getenv("NMVLLM_NATIVE_HOST", "1")
+    != "0",
     # Weight-only quantize the (untied) LM head at load: "4" or "8" bits,
     # "" = dense (reference behavior: lm_head always fp16). The head
     # weight is the largest per-step HBM read after KV (layers/embedding.py).

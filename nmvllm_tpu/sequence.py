@@ -136,6 +136,11 @@ class Sequence:
         self.read_offset = 0
         # Logprobs accumulated per output token.
         self.output_logprobs: SampleLogprobs = []
+        # Prefix-cache hash chain: _hash_chain[i] = content hash of the
+        # prefix through full block i (chained FNV-1a, csrc/host/
+        # nm_host.cpp). Full-block tokens are append-only, so the memo
+        # never invalidates; fork() deepcopy carries it to beam children.
+        self._hash_chain: List[int] = []
 
     # -- token accessors ----------------------------------------------------
     def get_len(self) -> int:
@@ -167,6 +172,28 @@ class Sequence:
 
     def n_blocks(self) -> int:
         return -(-self.get_len() // self.block_size)
+
+    def hash_of_block(self, logical_idx: int) -> int:
+        """Prefix-aware content hash of full logical block `logical_idx`
+        (reference block_manager_v1 hash-based prefix caching). Chained
+        incremental hashing — O(block) per new block instead of
+        re-hashing the whole prefix — memoized in _hash_chain; the chain
+        runs in the native host library when available."""
+        chain = self._hash_chain
+        if logical_idx < len(chain):
+            return chain[logical_idx]
+        from nmvllm_tpu.native import hash_block_chain
+        tokens = self.get_token_ids()
+        bs = self.block_size
+        lora_salt = (self.lora_request.lora_int_id
+                     if self.lora_request else 0)
+        while len(chain) <= logical_idx:
+            i = len(chain)
+            prev = chain[i - 1] if i else lora_salt
+            block = tokens[i * bs:(i + 1) * bs]
+            assert len(block) == bs, "hash_of_block needs a full block"
+            chain.append(hash_block_chain(prev, block))
+        return chain[logical_idx]
 
     def is_finished(self) -> bool:
         return SequenceStatus.is_finished(self.status)
@@ -332,6 +359,10 @@ class SequenceGroupMetadata:
     lora_request: Optional[Any] = None
     multi_modal_data: Optional[Any] = None
     state_seed: Optional[int] = None
+    # seq_id -> block-table version (core/block_manager.py _bump): lets
+    # the runner's native batch-assembly mirror detect table changes
+    # (swap/CoW/promotion) without diffing table contents.
+    table_versions: Optional[Dict[int, int]] = None
 
     def __post_init__(self):
         if self.token_chunk_size is None:

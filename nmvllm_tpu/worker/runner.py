@@ -168,6 +168,13 @@ class ModelRunner:
         # spec_decode_worker.py); stored host-side per sequence.
         self.capture_hidden = False
         self.seq_hidden: Dict[int, np.ndarray] = {}
+        # Native batch-assembly mirror (csrc/host/nm_host.cpp): per-seq
+        # block tables + lengths live in C memory, updated incrementally
+        # (append_token per decode; full resync when the block manager's
+        # table version moves); prepare_decode becomes one C call.
+        self._native_reg: Any = None  # None=untried, False=unavailable
+        self._native_map: Dict[int, list] = {}  # seq_id -> [slot, ver, len]
+        self._native_free: List[int] = []
 
     # ------------------------------------------------------------------ load
     def load_model(self) -> None:
@@ -224,6 +231,68 @@ class ModelRunner:
         return max(16, next_power_of_2(n))
 
     # ---------------------------------------------------------- input build
+    def _native_registry(self):
+        if self._native_reg is None:
+            from nmvllm_tpu.native import (NativeSeqRegistry,
+                                           native_available)
+            if native_available():
+                cap = max(256, 4 * self.scheduler_config.max_num_seqs)
+                self._native_reg = NativeSeqRegistry(cap)
+                self._native_free = list(range(cap - 1, -1, -1))
+            else:
+                self._native_reg = False
+        return self._native_reg or None
+
+    def _native_slot(self, reg, seq_id: int) -> int:
+        if not self._native_free:
+            # Slots exhausted (finished seqs are not individually
+            # reclaimed): drop the whole mirror and resync lazily.
+            for slot, *_ in self._native_map.values():
+                reg.clear_seq(slot)
+            self._native_free = list(range(reg.max_seqs - 1, -1, -1))
+            self._native_map.clear()
+        return self._native_free.pop()
+
+    def _prepare_decode_native(self, rows, b: int):
+        """One-C-call batch assembly via the persistent registry; falls
+        back to the Python path when the library is unavailable or a
+        meta carries no table version."""
+        reg = self._native_registry()
+        if reg is None:
+            return None
+        n = len(rows)
+        row_slots = np.empty((n,), np.int32)
+        for i, (meta, seq_id) in enumerate(rows):
+            vers = meta.table_versions
+            if vers is None or seq_id not in vers:
+                return None  # hand-built metas (tests): no version info
+            ver = vers[seq_id]
+            data = meta.seq_data[seq_id]
+            seq_len = data.get_len()
+            last = data.get_last_token_id()
+            ent = self._native_map.get(seq_id)
+            if ent is None:
+                slot = self._native_slot(reg, seq_id)
+                reg.set_seq(slot, seq_len, last,
+                            meta.block_tables[seq_id])
+                self._native_map[seq_id] = [slot, ver, seq_len]
+            else:
+                slot, pver, plen = ent
+                if ver == pver and seq_len == plen + 1:
+                    # Steady decode: one token, table unchanged (any
+                    # table growth bumps the version).
+                    reg.append_token(slot, last)
+                    ent[2] = seq_len
+                else:
+                    reg.set_seq(slot, seq_len, last,
+                                meta.block_tables[seq_id])
+                    ent[1], ent[2] = ver, seq_len
+            row_slots[i] = self._native_map[seq_id][0]
+        tokens, positions, slots, block_tables, ctx = reg.prepare_decode(
+            row_slots, b, self.block_size, self.max_blocks_per_seq)
+        return _PreparedDecode(tokens, positions, slots, block_tables, ctx,
+                               rows)
+
     def prepare_decode(
             self, metas: List[SequenceGroupMetadata]) -> _PreparedDecode:
         rows = []
@@ -232,6 +301,9 @@ class ModelRunner:
                 rows.append((meta, seq_id))
         n = len(rows)
         b = self.pad_decode_batch(n)
+        native = self._prepare_decode_native(rows, b)
+        if native is not None:
+            return native
         tokens = np.zeros((b, 1), np.int32)
         positions = np.zeros((b, 1), np.int32)
         slots = np.full((b, 1), -1, np.int32)
