@@ -77,6 +77,12 @@ def run_decode_bench(model_name: str, quantization, batch: int,
         # captures on-device per-layer cost, not host dispatch).
         model.layers = model.layers[:num_layers_override]
     params = init_params_on_mesh(model, mesh, 0)
+    # Serving-time param transforms (q/k/v + gate/up fusion, optional
+    # LM-head quantization) — the engine's get_model applies these on
+    # every load path; skipping them here benched the UNFUSED model
+    # (3 extra kernel calls per layer).
+    from nmvllm_tpu.model_loader import _finalize
+    params = _finalize(model, params)
     params_bytes = count_quant_param_bytes(params)
 
     num_layers = len(model.layers)
@@ -193,7 +199,11 @@ def run_decode_bench(model_name: str, quantization, batch: int,
         toks, kv_caches, _, _ = decode_many(params, kv_caches, tokens,
                                             positions, block_tables,
                                             n_steps=steps)
-        toks.block_until_ready()
+        # block_until_ready alone is not trustworthy on the axon tunnel
+        # (repeat calls have reported impossible numbers, docs/
+        # PERF_NOTES.md "tunnel measurement traps"); a device_get of the
+        # result serializes real bytes and cannot return early.
+        np.asarray(toks[-1][:1])
         dt = time.perf_counter() - t0
         tok_s.append(batch * steps / dt)
     kv_bytes_per_step = (num_layers * 2 * model.total_num_kv_heads *

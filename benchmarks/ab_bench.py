@@ -85,9 +85,14 @@ def main():
     a2 = phase(args.a + "#2", CONFIGS[args.a], args.batch, args.ctx,
                args.steps, args.samples, args.block_size)
 
-    am = (max(a1["tok_s"]) + max(a2["tok_s"])) / 2
-    bm = max(b["tok_s"])
-    drift = abs(max(a1["tok_s"]) - max(a2["tok_s"])) / am
+    import statistics
+
+    def mid(xs):
+        return statistics.median(xs)
+
+    am = (mid(a1["tok_s"]) + mid(a2["tok_s"])) / 2
+    bm = mid(b["tok_s"])
+    drift = abs(mid(a1["tok_s"]) - mid(a2["tok_s"])) / am
     effect = (bm - am) / am
     print(json.dumps({
         "a_mean": round(am, 1), "b": bm,
