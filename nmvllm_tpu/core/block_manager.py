@@ -57,14 +57,19 @@ class BlockAllocatorBase(ABC):
 
 
 class UncachedBlockAllocator(BlockAllocatorBase):
-    """Free-list allocator (reference block_manager_v1.py:154)."""
+    """Free-list allocator (reference block_manager_v1.py:154).
 
-    def __init__(self, device: str, block_size: int, num_blocks: int):
+    ``first_block``: id of the first block (used by the data-parallel
+    partitioned pool, where replica r owns ids
+    [r*blocks_per_replica, (r+1)*blocks_per_replica))."""
+
+    def __init__(self, device: str, block_size: int, num_blocks: int,
+                 first_block: int = 0):
         self.device = device
         self.block_size = block_size
         self.num_blocks = num_blocks
         self.free_blocks: List[PhysicalTokenBlock] = [
-            PhysicalTokenBlock(device, i, block_size)
+            PhysicalTokenBlock(device, first_block + i, block_size)
             for i in range(num_blocks)
         ]
 
@@ -184,7 +189,8 @@ class BlockSpaceManager:
     def __init__(self, block_size: int, num_gpu_blocks: int,
                  num_cpu_blocks: int, watermark: float = 0.01,
                  sliding_window: Optional[int] = None,
-                 enable_caching: bool = False):
+                 enable_caching: bool = False,
+                 data_parallel_size: int = 1):
         self.block_size = block_size
         self.num_total_gpu_blocks = num_gpu_blocks
         self.num_total_cpu_blocks = num_cpu_blocks
@@ -198,11 +204,41 @@ class BlockSpaceManager:
         self.watermark = watermark
         assert watermark >= 0.0
         self.enable_caching = enable_caching
-        self.watermark_blocks = int(watermark * num_gpu_blocks)
         alloc_cls = (CachedBlockAllocator
                      if enable_caching else UncachedBlockAllocator)
-        self.gpu_allocator = alloc_cls("device", block_size, num_gpu_blocks)
+        # Data-parallel decode: the device pool is partitioned over the
+        # `data` mesh axis — replica r owns block ids
+        # [r*bpr, (r+1)*bpr) and every block of a sequence lives in one
+        # replica (the runner shards batch rows to the replica owning
+        # their pages and localizes ids; worker/runner.py).
+        self.dp = max(1, data_parallel_size)
+        if self.dp > 1:
+            if enable_caching:
+                raise NotImplementedError(
+                    "Prefix caching is not supported with "
+                    "data_parallel_size > 1 (the hash-keyed pool cannot "
+                    "be replica-partitioned without cross-replica block "
+                    "sharing).")
+            assert num_gpu_blocks % self.dp == 0, \
+                (num_gpu_blocks, self.dp)
+            bpr = num_gpu_blocks // self.dp
+            self.blocks_per_replica = bpr
+            self.gpu_allocators = [
+                UncachedBlockAllocator("device", block_size, bpr,
+                                       first_block=r * bpr)
+                for r in range(self.dp)
+            ]
+            self.gpu_allocator = self.gpu_allocators[0]
+            self.watermark_blocks = int(watermark * bpr)
+        else:
+            self.blocks_per_replica = num_gpu_blocks
+            self.gpu_allocator = alloc_cls("device", block_size,
+                                           num_gpu_blocks)
+            self.gpu_allocators = [self.gpu_allocator]
+            self.watermark_blocks = int(watermark * num_gpu_blocks)
         self.cpu_allocator = alloc_cls("host", block_size, num_cpu_blocks)
+        # seq_id -> owning replica (dp > 1 only; forks/swaps keep it).
+        self.seq_replica: Dict[int, int] = {}
         self.block_tables: Dict[int, BlockTable] = {}
         # Monotone per-seq version, bumped on EVERY table-content change
         # (allocate/append/CoW/promotion-swap/fork/swap in/out). The
@@ -217,14 +253,39 @@ class BlockSpaceManager:
     def get_table_version(self, seq_id: int) -> int:
         return self._table_versions.get(seq_id, 0)
 
+    # ---- data-parallel replica routing -------------------------------------
+    def _gpu_alloc_for(self, seq_id: int) -> BlockAllocatorBase:
+        if self.dp == 1:
+            return self.gpu_allocator
+        return self.gpu_allocators[self.seq_replica[seq_id]]
+
+    def _gpu_free_block(self, block: PhysicalTokenBlock) -> None:
+        """Free a device block to its owning replica's pool."""
+        if self.dp == 1:
+            self.gpu_allocator.free(block)
+        else:
+            self.gpu_allocators[block.block_number //
+                                self.blocks_per_replica].free(block)
+
+    def _best_replica(self) -> int:
+        return max(range(self.dp),
+                   key=lambda r: self.gpu_allocators[r].
+                   get_num_free_blocks())
+
+    def get_replica(self, seq_id: int) -> int:
+        return self.seq_replica.get(seq_id, 0) if self.dp > 1 else 0
+
     # ---- allocate (prefill admission) ------------------------------------
     def can_allocate(self, seq_group: SequenceGroup) -> AllocStatus:
         seq = seq_group.get_seqs(status=SequenceStatus.WAITING)[0]
         num_required = seq.n_blocks()
         if self.block_sliding_window is not None:
             num_required = min(num_required, self.block_sliding_window)
-        num_free = self.gpu_allocator.get_num_free_blocks()
-        if self.num_total_gpu_blocks - num_required < self.watermark_blocks:
+        # dp > 1: a new sequence goes to the replica with the most room.
+        num_free = self.gpu_allocators[self._best_replica()]. \
+            get_num_free_blocks() if self.dp > 1 else \
+            self.gpu_allocator.get_num_free_blocks()
+        if self.blocks_per_replica - num_required < self.watermark_blocks:
             return AllocStatus.NEVER
         if num_free - num_required >= self.watermark_blocks:
             return AllocStatus.OK
@@ -233,6 +294,8 @@ class BlockSpaceManager:
     def allocate(self, seq_group: SequenceGroup) -> None:
         seq = seq_group.get_seqs(status=SequenceStatus.WAITING)[0]
         num_blocks = seq.n_blocks()
+        replica = self._best_replica() if self.dp > 1 else 0
+        allocator = self.gpu_allocators[replica]
         block_table: BlockTable = []
         for logical_idx in range(num_blocks):
             if (self.block_sliding_window is not None
@@ -242,11 +305,11 @@ class BlockSpaceManager:
             elif (self.enable_caching
                   and (logical_idx + 1) * self.block_size <= seq.get_len()):
                 # Full blocks get content hashes (prefix sharing).
-                block = self.gpu_allocator.allocate(
+                block = allocator.allocate(
                     _seq_block_hash(seq, logical_idx),
                     (logical_idx + 1) * self.block_size)
             else:
-                block = self.gpu_allocator.allocate()
+                block = allocator.allocate()
             block_table.append(block)
         # All seqs in a new group share the prompt blocks.
         ref_per_block = seq_group.num_seqs()
@@ -255,19 +318,26 @@ class BlockSpaceManager:
                 block.ref_count = ref_per_block
         for s in seq_group.get_seqs(status=SequenceStatus.WAITING):
             self.block_tables[s.seq_id] = list(block_table)
+            if self.dp > 1:
+                self.seq_replica[s.seq_id] = replica
             self._bump(s.seq_id)
 
     # ---- decode-time growth ----------------------------------------------
     def can_append_slots(self, seq_group: SequenceGroup,
                          num_lookahead_slots: int = 0) -> bool:
-        num_free = self.gpu_allocator.get_num_free_blocks()
+        if self.dp > 1:
+            seqs = seq_group.get_seqs(status=SequenceStatus.RUNNING)
+            num_free = self._gpu_alloc_for(seqs[0].seq_id). \
+                get_num_free_blocks() if seqs else 0
+        else:
+            num_free = self.gpu_allocator.get_num_free_blocks()
         num_seqs = seq_group.num_seqs(status=SequenceStatus.RUNNING)
         return num_seqs + num_lookahead_slots <= num_free
 
     def _promote_last_block(self, seq: Sequence,
                             last_block: PhysicalTokenBlock
                             ) -> PhysicalTokenBlock:
-        assert self.enable_caching
+        assert self.enable_caching  # implies dp == 1
         new_hash = _seq_block_hash(seq, seq.n_blocks() - 1)
         if self.gpu_allocator.contains_block(new_hash):
             self.gpu_allocator.free(last_block)
@@ -285,7 +355,7 @@ class BlockSpaceManager:
 
     def _allocate_last_physical_block(self, seq: Sequence):
         if not self.enable_caching:
-            return self.gpu_allocator.allocate()
+            return self._gpu_alloc_for(seq.seq_id).allocate()
         block_hash = None
         if self._is_last_block_full(seq):
             block_hash = _seq_block_hash(seq, seq.n_blocks() - 1)
@@ -327,7 +397,7 @@ class BlockSpaceManager:
         # Shared block: copy on write.
         new_block = self._allocate_last_physical_block(seq)
         block_table[-1] = new_block
-        self.gpu_allocator.free(last_block)
+        self._gpu_free_block(last_block)
         self._bump(seq.seq_id)
         return [(last_block.block_number, new_block.block_number)]
 
@@ -336,6 +406,9 @@ class BlockSpaceManager:
             return
         src = self.block_tables[parent_seq.seq_id]
         self.block_tables[child_seq.seq_id] = list(src)
+        if self.dp > 1:
+            self.seq_replica[child_seq.seq_id] = \
+                self.seq_replica[parent_seq.seq_id]
         self._bump(child_seq.seq_id)
         for block in set(src):
             block.ref_count += 1
@@ -347,11 +420,16 @@ class BlockSpaceManager:
         for seq in seq_group.get_seqs(status=SequenceStatus.SWAPPED):
             blocks.update(self.block_tables[seq.seq_id])
         num_swapped = len(blocks)
-        num_free = self.gpu_allocator.get_num_free_blocks()
+        if self.dp > 1:
+            seqs = seq_group.get_seqs(status=SequenceStatus.SWAPPED)
+            num_free = self._gpu_alloc_for(seqs[0].seq_id). \
+                get_num_free_blocks() if seqs else 0
+        else:
+            num_free = self.gpu_allocator.get_num_free_blocks()
         num_required = (num_swapped +
                         seq_group.num_seqs(status=SequenceStatus.SWAPPED) *
                         num_lookahead_slots)
-        if num_required > self.num_total_gpu_blocks:
+        if num_required > self.blocks_per_replica:
             return AllocStatus.NEVER
         if num_free - num_required >= self.watermark_blocks:
             return AllocStatus.OK
@@ -360,13 +438,14 @@ class BlockSpaceManager:
     def swap_in(self, seq_group: SequenceGroup) -> List[Tuple[int, int]]:
         mapping: Dict[PhysicalTokenBlock, PhysicalTokenBlock] = {}
         for seq in seq_group.get_seqs(status=SequenceStatus.SWAPPED):
+            allocator = self._gpu_alloc_for(seq.seq_id)
             new_table: BlockTable = []
             for cpu_block in self.block_tables[seq.seq_id]:
                 if cpu_block in mapping:
                     gpu_block = mapping[cpu_block]
                     gpu_block.ref_count += 1
                 else:
-                    gpu_block = self.gpu_allocator.allocate(
+                    gpu_block = allocator.allocate(
                         cpu_block.block_hash, cpu_block.num_hashed_tokens)
                     mapping[cpu_block] = gpu_block
                 new_table.append(gpu_block)
@@ -395,7 +474,7 @@ class BlockSpaceManager:
                         gpu_block.block_hash, gpu_block.num_hashed_tokens)
                     mapping[gpu_block] = cpu_block
                 new_table.append(cpu_block)
-                self.gpu_allocator.free(gpu_block)
+                self._gpu_free_block(gpu_block)
             self.block_tables[seq.seq_id] = new_table
             self._bump(seq.seq_id)
         return [(gpu.block_number, cpu.block_number)
@@ -408,7 +487,7 @@ class BlockSpaceManager:
                 # Shared (sliding-window) duplicates freed per unique block
                 # with their accumulated refcounts.
                 for _ in range(block_table.count(block)):
-                    self.gpu_allocator.free(block)
+                    self._gpu_free_block(block)
                     if block.ref_count == 0:
                         break
             else:
@@ -422,6 +501,7 @@ class BlockSpaceManager:
             return
         self._free_block_table(self.block_tables[seq.seq_id])
         del self.block_tables[seq.seq_id]
+        self.seq_replica.pop(seq.seq_id, None)
         self._bump(seq.seq_id)
 
     def reset(self) -> None:
@@ -434,6 +514,9 @@ class BlockSpaceManager:
         return [b.block_number for b in self.block_tables[seq.seq_id]]
 
     def get_num_free_gpu_blocks(self) -> int:
+        if self.dp > 1:
+            return sum(a.get_num_free_blocks()
+                       for a in self.gpu_allocators)
         return self.gpu_allocator.get_num_free_blocks()
 
     def get_num_free_cpu_blocks(self) -> int:

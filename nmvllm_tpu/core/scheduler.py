@@ -118,7 +118,8 @@ class Scheduler:
 
     def __init__(self, scheduler_config: SchedulerConfig,
                  cache_config: CacheConfig,
-                 lora_config: Optional[LoRAConfig] = None) -> None:
+                 lora_config: Optional[LoRAConfig] = None,
+                 data_parallel_size: int = 1) -> None:
         self.scheduler_config = scheduler_config
         self.cache_config = cache_config
         self.lora_config = lora_config
@@ -128,7 +129,8 @@ class Scheduler:
             num_gpu_blocks=cache_config.num_gpu_blocks or 0,
             num_cpu_blocks=cache_config.num_cpu_blocks or 0,
             sliding_window=cache_config.sliding_window,
-            enable_caching=cache_config.enable_prefix_caching)
+            enable_caching=cache_config.enable_prefix_caching,
+            data_parallel_size=data_parallel_size)
 
         self.policy: Policy = PolicyFactory.get_policy("fcfs")
         self.waiting: Deque[SequenceGroup] = deque()

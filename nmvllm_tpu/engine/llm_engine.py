@@ -67,8 +67,10 @@ class LLMEngine:
         self.executor = TPUExecutor(engine_config)
         self._initialize_kv_caches()
 
-        self.scheduler = Scheduler(self.scheduler_config, self.cache_config,
-                                   engine_config.lora_config)
+        self.scheduler = Scheduler(
+            self.scheduler_config, self.cache_config,
+            engine_config.lora_config,
+            data_parallel_size=self.parallel_config.data_parallel_size)
         if getattr(self.executor.runner.model, "has_state_layers", False):
             # Stateful (Mamba/Jamba) models: free recurrent-state slots
             # with the sequence, and preempt by recompute only (swapped-in
@@ -132,6 +134,11 @@ class LLMEngine:
             self.executor.determine_num_available_blocks()
         if self.cache_config.num_gpu_blocks_override is not None:
             num_gpu_blocks = self.cache_config.num_gpu_blocks_override
+        dp = self.parallel_config.data_parallel_size
+        if dp > 1:
+            # The device pool is partitioned over the data axis: replica r
+            # owns ids [r*bpr, (r+1)*bpr) (core/block_manager.py).
+            num_gpu_blocks -= num_gpu_blocks % dp
         self.cache_config.num_gpu_blocks = num_gpu_blocks
         self.cache_config.num_cpu_blocks = num_cpu_blocks
         logger.info("# device KV blocks: %d, # host swap blocks: %d",

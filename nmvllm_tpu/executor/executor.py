@@ -44,12 +44,28 @@ class TPUExecutor:
             self._maybe_init_compile_cache()
             self.runner = PipelineModelRunner(engine_config, self.mesh)
         else:
+            if parallel.data_parallel_size > 1:
+                # In-engine data parallelism (beyond the reference):
+                # batch rows + the KV pool shard over the data axis.
+                # Features that carry extra per-row device state are not
+                # yet DP-aware.
+                if engine_config.speculative_config is not None:
+                    raise ValueError("Speculative decoding is not "
+                                     "supported with data_parallel_size "
+                                     "> 1.")
+                if engine_config.lora_config is not None:
+                    raise ValueError("LoRA is not supported with "
+                                     "data_parallel_size > 1.")
             self.mesh = build_mesh(parallel.data_parallel_size,
                                    parallel.tensor_parallel_size)
             set_global_mesh(self.mesh)
             self._maybe_init_compile_cache()
             self.runner = ModelRunner(engine_config, self.mesh)
         self.runner.load_model()
+        if (parallel.data_parallel_size > 1 and
+                getattr(self.runner.model, "has_state_layers", False)):
+            raise ValueError("Stateful (Mamba/Jamba) models are not "
+                             "supported with data_parallel_size > 1.")
         self.cache_engine: Optional[CacheEngine] = None
         # Draft-model speculative decoding (reference SpecDecodeWorker /
         # MultiStepWorker): a second runner + KV pool; the draft's KV is
@@ -135,6 +151,10 @@ class TPUExecutor:
         used = device_memory_used()
         avail = int(total * cache_config.hbm_utilization) - used
         num_dev_blocks = max(avail // block_bytes_per_dev, 0)
+        # Data parallelism shards the pool over the data axis: each
+        # replica's devices hold only pool/dp pages, so the same
+        # per-device budget supports a dp-times-larger global pool.
+        num_dev_blocks *= parallel_config.data_parallel_size
         num_host_blocks = int(cache_config.swap_space_bytes // block_bytes)
         # Cap the block counts so block tables and the host pool stay sane.
         num_dev_blocks = min(num_dev_blocks, 512 * 1024)

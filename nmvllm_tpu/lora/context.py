@@ -31,6 +31,11 @@ def lora_scope(indices, stacks: Dict[str, Tuple]):
         _ACTIVE = prev
 
 
+def lora_active() -> bool:
+    """Whether a LoRA scope is active for the current step trace."""
+    return _ACTIVE is not None
+
+
 def maybe_apply_lora(layer_name: str, x, y):
     """Add the batched adapter delta for `layer_name` if a scope is active.
 

@@ -299,10 +299,54 @@ class LlamaMLP:
         out["gate_up_proj"] = fused_params
         return out
 
+    def _can_fuse_block(self, norm):
+        """One-kernel MLP block (ops/fused_mlp.py): W4 paired weights,
+        silu/gelu act, rmsnorm folded, no bias/LoRA."""
+        from nmvllm_tpu import envs
+        from nmvllm_tpu.quantization.wNa16 import WNA16LinearMethod
+        if not envs.NMVLLM_FUSED_MLP or norm is None:
+            return False
+        if self._gu_fused is None or self._act_prologue is None:
+            return False
+        m1, m2 = self._gu_fused.method, self.down_proj.method
+        for m in (m1, m2):
+            if not (isinstance(m, WNA16LinearMethod) and m.bits == 4
+                    and not m.a8_int8_store and m.group_size and
+                    m.group_size % 8 == 0):
+                return False
+        if m1.group_size != m2.group_size:
+            return False
+        if self._gu_fused.use_bias or self.down_proj.use_bias:
+            return False
+        from nmvllm_tpu.lora.context import lora_active
+        return not lora_active()
+
     def __call__(self, params, x, *, norm=None, epilogue_add=None):
         """``norm=(weight, eps)`` fuses the preceding RMSNorm into the
         gate_up kernel; ``epilogue_add`` fuses the residual add into the
         down_proj kernel (critical-path node removal, layers/fused.py)."""
+        if self._can_fuse_block(norm):
+            from nmvllm_tpu.ops.fused_mlp import fused_mlp_w4
+            gu, dn = params["gate_up_proj"], params["down_proj"]
+            shape = x.shape
+            x2 = x.reshape(-1, shape[-1])
+            y = fused_mlp_w4(
+                x2, norm[0], gu["qweight"], gu["scales"], gu["zeros"],
+                dn["qweight"], dn["scales"], dn["zeros"],
+                group_size=self.down_proj.method.group_size, eps=norm[1],
+                act="silu" if self._act_prologue == "silu_mul" else "gelu")
+            # Row-parallel reduction of the down_proj partial sums (the
+            # psum Linear would have applied); no-op on a tp=1 mesh axis.
+            try:
+                from nmvllm_tpu.parallel.mesh import TP_AXIS
+                y = jax.lax.psum(y, TP_AXIS)
+            except Exception:
+                pass  # outside shard_map (unit tests): single shard
+            y = y.astype(x.dtype)
+            if epilogue_add is not None:
+                y = (y.astype(jnp.float32) + epilogue_add.reshape(
+                    y.shape).astype(jnp.float32)).astype(x.dtype)
+            return y.reshape(*shape[:-1], y.shape[-1])
         if self._gu_fused is not None:
             from nmvllm_tpu.layers.fused import split_fused
             if norm is not None:

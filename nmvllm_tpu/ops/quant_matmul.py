@@ -292,22 +292,49 @@ def _w4_paired_prologue_kernel(x_ref, aux_ref, *refs, group_size: int,
     ~0.4 ms fixed latency each (docs/PERF_NOTES.md) — absorbing them
     into the GEMM removes serial steps. ``rmsnorm`` requires bk == K
     (full rows for the variance). ``has_res``: fused residual-add
-    epilogue operand after aux."""
+    epilogue operand after aux.
+
+    The activation is computed ONCE per (m, k)-block into a VMEM scratch
+    at the first n-step and reused across the n grid dim. Recomputing it
+    inline every step measured ~300x slower end-to-end (533 ms vs 1.7 ms
+    at the gate_up geometry, docs/PERF_NOTES.md round-2): the per-step
+    reduce/rsqrt + f32->bf16 convert chain interleaved with the MXU dot
+    hits a pathological Mosaic schedule; the hoisted form matches the
+    proven-fast fused_mlp kernel structure."""
     if has_res:
-        res_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, deq_ref = refs
+        res_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, deq_ref, act_ref = \
+            refs
     else:
-        w_ref, s_ref, z_ref, o_ref, acc_ref, deq_ref = refs
+        w_ref, s_ref, z_ref, o_ref, acc_ref, deq_ref, act_ref = refs
         res_ref = None
     g = group_size
     gpb = bk // g
     wpg = g // 8
     cdtype = deq_ref.dtype
 
-    @pl.when(pl.program_id(2) == 0)
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    g0 = pl.program_id(2) * gpb
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        if prologue == "silu_mul":
+            act = xf * jax.lax.logistic(xf) * \
+                aux_ref[:].astype(jnp.float32)
+        elif prologue == "gelu_mul":
+            act = jax.nn.gelu(xf, approximate=True) * \
+                aux_ref[:].astype(jnp.float32)
+        else:  # rmsnorm (bk == K)
+            var = jnp.mean(xf * xf, axis=1, keepdims=True)
+            act = xf * jax.lax.rsqrt(var + eps) * \
+                aux_ref[:].astype(jnp.float32)
+        act_ref[:, pl.ds(pl.multiple_of(kk * bk, bk), bk)] = \
+            act.astype(cdtype)
+
+    g0 = kk * gpb
     mask = jnp.int32(0x000F000F)
 
     def per_group(gi, _):
@@ -324,22 +351,14 @@ def _w4_paired_prologue_kernel(x_ref, aux_ref, *refs, group_size: int,
 
     jax.lax.fori_loop(0, gpb, per_group, 0, unroll=False)
 
-    xf = x_ref[:].astype(jnp.float32)
-    if prologue == "silu_mul":
-        act = xf * jax.lax.logistic(xf) * aux_ref[:].astype(jnp.float32)
-    elif prologue == "gelu_mul":
-        act = jax.nn.gelu(xf, approximate=True) *             aux_ref[:].astype(jnp.float32)
-    else:  # rmsnorm (bk == K)
-        var = jnp.mean(xf * xf, axis=1, keepdims=True)
-        act = xf * jax.lax.rsqrt(var + eps) *             aux_ref[:].astype(jnp.float32)
-    act = act.astype(cdtype)
+    act = act_ref[:, pl.ds(pl.multiple_of(kk * bk, bk), bk)]
     prec = (jax.lax.Precision.HIGHEST if cdtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
     acc_ref[:] += jnp.dot(act, deq_ref[:],
                           preferred_element_type=jnp.float32,
                           precision=prec)
 
-    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    @pl.when(kk == pl.num_programs(2) - 1)
     def _():
         out = acc_ref[:]
         if res_ref is not None:
@@ -407,10 +426,6 @@ def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
-        # XLA:CPU (interpret mode) lacks a bf16 dot thunk under shard_map;
-        # run the interpreted dot in f32 there.
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
-                        pltpu.VMEM((bk, bn), deq_dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -420,12 +435,17 @@ def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
             transcendentals=0),
         interpret=pallas_interpret(),
     )
+    # XLA:CPU (interpret mode) lacks a bf16 dot thunk under shard_map;
+    # run the interpreted dot in f32 there (deq_dtype above).
+    base_scratch = [pltpu.VMEM((bm, bn), jnp.float32),
+                    pltpu.VMEM((bk, bn), deq_dtype)]
     if prologue is None:
         kernel = functools.partial(_w4_paired_kernel, group_size=g, bk=bk,
                                    has_res=has_res)
         acc = pl.pallas_call(
             kernel, grid=grid,
-            in_specs=[x_spec] + res_specs + common_specs, **kw,
+            in_specs=[x_spec] + res_specs + common_specs,
+            scratch_shapes=base_scratch, **kw,
         )(xp, *res_ops, qweight, scales, zeros)
         return acc[:m].astype(x.dtype)
     if prologue == "rmsnorm":
@@ -442,7 +462,11 @@ def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
                                has_res=has_res)
     acc = pl.pallas_call(
         kernel, grid=grid,
-        in_specs=[x_spec, aux_spec] + res_specs + common_specs, **kw,
+        in_specs=[x_spec, aux_spec] + res_specs + common_specs,
+        # + the hoisted-activation scratch (computed at n-step 0,
+        #   reused across the n grid dim — see the kernel docstring).
+        scratch_shapes=base_scratch + [pltpu.VMEM((bm, k), deq_dtype)],
+        **kw,
     )(xp, aux_in, *res_ops, qweight, scales, zeros)
     return acc[:m].astype(x.dtype)
 

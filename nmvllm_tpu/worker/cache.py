@@ -50,6 +50,10 @@ class CacheEngine:
         # layer axis sharded over the pp mesh axis (worker/pp_runner.py);
         # each stage then holds only its own layers' pages.
         self.pp = parallel_config.pipeline_parallel_size
+        # Data-parallel decode: the block pool is sharded over the data
+        # mesh axis — replica r holds pages [r*bpr, (r+1)*bpr); batch rows
+        # ride their owning replica (core/block_manager.py seq_replica).
+        self.dp = parallel_config.data_parallel_size
         # Stateful (Mamba/Jamba) models describe a heterogeneous per-layer
         # cache layout; plain models get uniform paged KV arrays.
         self.state_layout = None
@@ -85,10 +89,10 @@ class CacheEngine:
                 num_layers)
 
     def allocate(self) -> KVCaches:
+        from nmvllm_tpu.parallel.mesh import DATA_AXIS
         shape = (self.num_gpu_blocks, 2, self.total_kv_heads,
                  self.block_size, self.head_dim)
-        sharding = NamedSharding(self.mesh,
-                                 P(None, None, TP_AXIS, None, None))
+        block_axis = DATA_AXIS if self.dp > 1 else None
 
         def _alloc(shp, shard, dtype):
             return jax.jit(lambda: jnp.zeros(shp, dtype),
@@ -114,7 +118,8 @@ class CacheEngine:
                         if self.state_layout is not None else "kv")
                 if desc == "kv":
                     self.kv_caches.append(
-                        _alloc(shape, P(None, None, TP_AXIS, None, None),
+                        _alloc(shape,
+                               P(block_axis, None, TP_AXIS, None, None),
                                self.dtype))
                 else:
                     # ((conv_shape, conv_pspec), (ssm_shape, ssm_pspec))

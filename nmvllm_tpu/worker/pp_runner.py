@@ -278,7 +278,9 @@ class PipelineModelRunner(ModelRunner):
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
                  ctx, seq_lens, prefix_lens, state_slots, pixel_values,
-                 sampling_tensors, lora_indices, lora_stacks):
+                 owner, sampling_tensors, lora_indices, lora_stacks):
+            # `owner` is the data-parallel owner mask (unused: DP does
+            # not combine with PP yet — executor guards it).
             logits, prompt_lp, kv_caches = sharded_fwd(
                 params, kv_caches, tokens, positions, slots, block_tables,
                 ctx, seq_lens, prefix_lens, lora_indices, lora_stacks)

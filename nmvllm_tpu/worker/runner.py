@@ -136,6 +136,9 @@ class _PreparedDecode:
     block_tables: np.ndarray
     context_lens: np.ndarray
     rows: List[Tuple[SequenceGroupMetadata, int]]  # (group meta, seq_id)
+    # Array position of each row (== arange(len(rows)) except under
+    # data parallelism, where rows sit in per-replica segments).
+    row_idx: np.ndarray = None
 
 
 class ModelRunner:
@@ -148,11 +151,21 @@ class ModelRunner:
         self.parallel_config = engine_config.parallel_config
         self.mesh = mesh
         self.tp_size = engine_config.parallel_config.tensor_parallel_size
+        # Data-parallel decode (beyond the reference, whose DP is an
+        # external load balancer — SURVEY §2.3): batch rows and the KV
+        # block pool shard over the `data` mesh axis; replica r owns
+        # pages [r*bpr, (r+1)*bpr) and the rows whose pages live there
+        # (core/block_manager.py seq_replica). Block/slot ids are
+        # localized host-side before entering shard_map.
+        self.dp = engine_config.parallel_config.data_parallel_size
         self.block_size = engine_config.cache_config.block_size
         self.model = None
         self.params = None
         self._param_specs = None
-        self._kv_spec = P(None, None, TP_AXIS, None, None)
+        from nmvllm_tpu.parallel.mesh import DATA_AXIS
+        self._batch_spec = P(DATA_AXIS) if self.dp > 1 else P()
+        self._kv_spec = P(DATA_AXIS if self.dp > 1 else None, None,
+                          TP_AXIS, None, None)
         self._step_fns: Dict[Any, Any] = {}
         self._rng = jax.random.PRNGKey(self.model_config.seed)
         self.max_blocks_per_seq = cdiv(self.scheduler_config.max_model_len,
@@ -253,12 +266,12 @@ class ModelRunner:
             self._native_map.clear()
         return self._native_free.pop()
 
-    def _prepare_decode_native(self, rows, b: int):
+    def _prepare_decode_native(self, rows, b: int, row_idx: np.ndarray):
         """One-C-call batch assembly via the persistent registry; falls
-        back to the Python path when the library is unavailable or a
-        meta carries no table version."""
+        back to the Python path when the library is unavailable, a meta
+        carries no table version, or rows are DP-segmented."""
         reg = self._native_registry()
-        if reg is None:
+        if reg is None or self.dp > 1:
             return None
         n = len(rows)
         row_slots = np.empty((n,), np.int32)
@@ -291,7 +304,27 @@ class ModelRunner:
         tokens, positions, slots, block_tables, ctx = reg.prepare_decode(
             row_slots, b, self.block_size, self.max_blocks_per_seq)
         return _PreparedDecode(tokens, positions, slots, block_tables, ctx,
-                               rows)
+                               rows, row_idx)
+
+    @property
+    def blocks_per_replica(self) -> int:
+        return (self.cache_config.num_gpu_blocks or 0) // self.dp
+
+    def _dp_replica_of(self, meta, seq_id) -> int:
+        # All of a sequence's pages live in one replica (the block
+        # manager partitions the pool), so the first block id names it.
+        return meta.block_tables[seq_id][0] // self.blocks_per_replica
+
+    def _dp_localize(self, slots, block_tables, b_local: int) -> None:
+        """Subtract each replica segment's pool offset in place: inside
+        shard_map replica r sees only its own (bpr, ...) pool shard."""
+        bpr = self.blocks_per_replica
+        off = np.repeat(np.arange(self.dp, dtype=np.int32) * bpr,
+                        b_local)
+        block_tables -= off[:, None]
+        np.maximum(block_tables, 0, out=block_tables)  # pad entries
+        off_slots = (off * self.block_size)[:, None]
+        np.copyto(slots, np.where(slots >= 0, slots - off_slots, -1))
 
     def prepare_decode(
             self, metas: List[SequenceGroupMetadata]) -> _PreparedDecode:
@@ -300,34 +333,57 @@ class ModelRunner:
             for seq_id in sorted(meta.seq_data.keys()):
                 rows.append((meta, seq_id))
         n = len(rows)
-        b = self.pad_decode_batch(n)
-        native = self._prepare_decode_native(rows, b)
+        if self.dp > 1:
+            # Group rows by owning replica; the batch is dp equal
+            # segments of b_local rows (SPMD: every shard equal).
+            segs = [[] for _ in range(self.dp)]
+            for row in rows:
+                segs[self._dp_replica_of(*row)].append(row)
+            b_local = self.pad_decode_batch(max(len(s) for s in segs))
+            b = self.dp * b_local
+            rows = [r for seg in segs for r in seg]
+            row_idx = np.concatenate([
+                np.arange(len(seg), dtype=np.int32) + r * b_local
+                for r, seg in enumerate(segs)])
+        else:
+            b = self.pad_decode_batch(n)
+            row_idx = np.arange(n, dtype=np.int32)
+        native = self._prepare_decode_native(rows, b, row_idx)
         if native is not None:
-            return native
-        tokens = np.zeros((b, 1), np.int32)
-        positions = np.zeros((b, 1), np.int32)
-        slots = np.full((b, 1), -1, np.int32)
-        block_tables = np.zeros((b, self.max_blocks_per_seq), np.int32)
-        ctx = np.zeros((b,), np.int32)
-        for i, (meta, seq_id) in enumerate(rows):
-            data = meta.seq_data[seq_id]
-            seq_len = data.get_len()
-            tokens[i, 0] = data.get_last_token_id()
-            positions[i, 0] = seq_len - 1
-            table = meta.block_tables[seq_id]
-            block_tables[i, :len(table)] = table
-            pos = seq_len - 1
-            slots[i, 0] = table[pos // self.block_size] * self.block_size + \
-                pos % self.block_size
-            ctx[i] = seq_len
-        return _PreparedDecode(tokens, positions, slots, block_tables, ctx,
-                               rows)
+            prep = native
+        else:
+            tokens = np.zeros((b, 1), np.int32)
+            positions = np.zeros((b, 1), np.int32)
+            slots = np.full((b, 1), -1, np.int32)
+            block_tables = np.zeros((b, self.max_blocks_per_seq), np.int32)
+            ctx = np.zeros((b,), np.int32)
+            for i, (meta, seq_id) in zip(row_idx, rows):
+                data = meta.seq_data[seq_id]
+                seq_len = data.get_len()
+                tokens[i, 0] = data.get_last_token_id()
+                positions[i, 0] = seq_len - 1
+                table = meta.block_tables[seq_id]
+                block_tables[i, :len(table)] = table
+                pos = seq_len - 1
+                slots[i, 0] = table[pos // self.block_size] * \
+                    self.block_size + pos % self.block_size
+                ctx[i] = seq_len
+            prep = _PreparedDecode(tokens, positions, slots, block_tables,
+                                   ctx, rows, row_idx)
+        if self.dp > 1:
+            self._dp_localize(prep.slot_mapping, prep.block_tables,
+                              b // self.dp)
+        return prep
 
     def build_sampling_tensors(
-        self, rows: List[Tuple[SequenceGroupMetadata, int]], batch_pad: int
+        self, rows: List[Tuple[SequenceGroupMetadata, int]], batch_pad: int,
+        row_idx: Optional[np.ndarray] = None,
     ) -> Tuple[SamplingTensors, Dict[str, Any]]:
         n = len(rows)
         b = batch_pad
+        # Array position per row (DP-segmented batches place rows in
+        # per-replica segments; see _PreparedDecode.row_idx).
+        idx = row_idx if row_idx is not None else np.arange(n)
         vocab = self.vocab_size
         temperature = np.ones((b,), np.float32)
         top_k = np.zeros((b,), np.int32)
@@ -376,7 +432,7 @@ class ModelRunner:
                 do_logit_bias = True
                 max_bias = max(max_bias, len(sp.logit_bias))
 
-        for i, (meta, seq_id) in enumerate(rows):
+        for i, (meta, seq_id) in zip(idx, rows):
             sp = meta.sampling_params or SamplingParams()
             for proc in sp.logits_processors:
                 if getattr(proc, "is_guided", False):
@@ -405,7 +461,7 @@ class ModelRunner:
         bias_tokens = np.full((b, bias_pad), vocab, np.int32)
         bias_values = np.zeros((b, bias_pad), np.float32)
         if do_logit_bias:
-            for i, (meta, seq_id) in enumerate(rows):
+            for i, (meta, seq_id) in zip(idx, rows):
                 sp = meta.sampling_params or SamplingParams()
                 if sp.logit_bias:
                     items = list(sp.logit_bias.items())[:bias_pad]
@@ -413,7 +469,7 @@ class ModelRunner:
                         bias_tokens[i, r2] = tid
                         bias_values[i, r2] = val
 
-        for i, (meta, seq_id) in enumerate(rows):
+        for i, (meta, seq_id) in zip(idx, rows):
             sp = meta.sampling_params or SamplingParams()
             data = meta.seq_data[seq_id]
             temperature[i] = sp.temperature
@@ -504,12 +560,13 @@ class ModelRunner:
 
         capture_hidden = self.capture_hidden
         lora_specs = (P(), self._lora_spec_tree())
-        hid_spec = ((P(),) if capture_hidden else ())
+        bspec = self._batch_spec
+        hid_spec = ((bspec,) if capture_hidden else ())
         sharded_fwd = shard_map_fn(
             fwd, mesh,
-            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),
-                      *lora_specs),
-            out_specs=(P(), kv_specs) + hid_spec)
+            in_specs=(param_specs, kv_specs, bspec, bspec, bspec, bspec,
+                      bspec, P(), *lora_specs),
+            out_specs=(bspec, kv_specs) + hid_spec)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
@@ -538,11 +595,12 @@ class ModelRunner:
             return {}
         return self.lora_state.stack_specs()
 
-    def _lora_args(self, rows, batch_pad: int):
+    def _lora_args(self, rows, batch_pad: int, row_idx=None):
         if getattr(self, "lora_state", None) is None:
             return False, jnp.zeros((batch_pad,), jnp.int32), {}
         idx = np.zeros((batch_pad,), np.int32)
-        idx[:len(rows)] = self.lora_state.slots_for_rows(rows)
+        pos = row_idx if row_idx is not None else np.arange(len(rows))
+        idx[pos] = self.lora_state.slots_for_rows(rows)
         use = bool(idx.any())
         return use, jnp.asarray(idx), self.lora_state.stacks
 
@@ -570,10 +628,12 @@ class ModelRunner:
         self.seq_hidden.pop(seq_id, None)
 
     def _state_slots_for_rows(self, rows, batch_pad: int,
-                              create: bool = False) -> np.ndarray:
+                              create: bool = False,
+                              row_idx=None) -> np.ndarray:
         out = np.full((batch_pad,), np.iinfo(np.int32).max, np.int32)
         if self._model_is_stateful():
-            for i, (meta, sid) in enumerate(rows):
+            pos = row_idx if row_idx is not None else range(len(rows))
+            for i, (meta, sid) in zip(pos, rows):
                 out[i] = self.state_slot_for(sid, create=create)
         return out
 
@@ -591,9 +651,11 @@ class ModelRunner:
         mesh = self.mesh
         vocab_size = self.vocab_size
 
+        dp = self.dp
+
         def fwd(params, kv_caches, tokens, positions, slots, block_tables,
                 ctx, seq_lens, prefix_lens, state_slots, pixel_values,
-                lora_indices, lora_stacks):
+                owner, lora_indices, lora_stacks):
             from nmvllm_tpu.lora.context import lora_scope
             meta = AttentionMetadata(
                 slot_mapping=slots, block_tables=block_tables,
@@ -611,6 +673,14 @@ class ModelRunner:
                                              is_prefill=True,
                                              has_prefix=has_prefix,
                                              **mm_kw)
+            if dp > 1:
+                # The prompt computes on every data replica, but only the
+                # owner (whose pool shard holds the sequence's pages and
+                # took the KV writes; non-owners ran with slots=-1 and
+                # zeroed tables) produced valid activations when the
+                # chunk read paged prefix state. Select the owner's x.
+                from nmvllm_tpu.parallel.mesh import DATA_AXIS
+                x = jax.lax.psum(x * owner[0].astype(x.dtype), DATA_AXIS)
             hidden = model.select_last_token(x, seq_lens)
             hid0 = hidden
             if do_sample:
@@ -650,20 +720,21 @@ class ModelRunner:
         prompt_lp_spec = ((P(), P(), P())
                           if num_prompt_logprobs > 0 else None)
         hid_spec = ((P(),) if capture_hidden else ())
+        bspec = self._batch_spec
         sharded_fwd = shard_map_fn(
             fwd, mesh,
-            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),
-                      P(), P(), P(), *lora_specs),
+            in_specs=(param_specs, kv_specs, P(), P(), bspec, bspec, P(),
+                      P(), P(), P(), P(), bspec, *lora_specs),
             out_specs=(P(), prompt_lp_spec, kv_specs) + hid_spec)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
                  ctx, seq_lens, prefix_lens, state_slots, pixel_values,
-                 sampling_tensors, lora_indices, lora_stacks):
+                 owner, sampling_tensors, lora_indices, lora_stacks):
             res = sharded_fwd(
                 params, kv_caches, tokens, positions, slots, block_tables,
                 ctx, seq_lens, prefix_lens, state_slots, pixel_values,
-                lora_indices, lora_stacks)
+                owner, lora_indices, lora_stacks)
             logits, prompt_lp, kv_caches = res[0], res[1], res[2]
             if do_sample:
                 out = sample(logits, sampling_tensors,
@@ -992,13 +1063,16 @@ class ModelRunner:
                        kv_caches) -> Tuple[Any, SamplerOutput]:
         prep = self.prepare_decode(metas)
         b = prep.tokens.shape[0]
-        tensors, flags = self.build_sampling_tensors(prep.rows, b)
+        tensors, flags = self.build_sampling_tensors(prep.rows, b,
+                                                     prep.row_idx)
         flags_key = tuple(sorted(flags.items()))
-        use_lora, lora_idx, lora_stacks = self._lora_args(prep.rows, b)
+        use_lora, lora_idx, lora_stacks = self._lora_args(prep.rows, b,
+                                                          prep.row_idx)
         step = self._get_decode_fn(flags_key, use_lora)
         logger.debug("decode step: B=%d rows=%d flags=%s lora=%s", b,
                      len(prep.rows), flags, use_lora)
-        state_slots = self._state_slots_for_rows(prep.rows, b)
+        state_slots = self._state_slots_for_rows(prep.rows, b,
+                                                 row_idx=prep.row_idx)
         res = step(self.params, kv_caches,
                    jnp.asarray(prep.tokens),
                    jnp.asarray(prep.positions),
@@ -1010,9 +1084,12 @@ class ModelRunner:
         kv_caches, out = res[0], res[1]
         if self.capture_hidden:
             hid = np.asarray(res[2])
-            for i, (_, sid) in enumerate(prep.rows):
+            pos = (prep.row_idx if prep.row_idx is not None
+                   else range(len(prep.rows)))
+            for i, (_, sid) in zip(pos, prep.rows):
                 self.seq_hidden[sid] = hid[i]
-        sampler_output = self._to_sampler_output(out, prep.rows, metas)
+        sampler_output = self._to_sampler_output(out, prep.rows, metas,
+                                                 prep.row_idx)
         return kv_caches, sampler_output
 
     def execute_spec_decode(
@@ -1192,12 +1269,29 @@ class ModelRunner:
                 "copy-on-fork of the recurrent state.")
         state_slots = self._state_slots_for_rows([(meta, seq_id)], 1,
                                                  create=True)
+        owner = np.ones((1,), np.float32)
+        if self.dp > 1:
+            # The prompt computes on all data replicas; only the owner
+            # (whose pool shard holds the pages) gets real local slots /
+            # tables — others run masked and their x is discarded by the
+            # in-graph owner selection (_get_prefill_fn).
+            r = self._dp_replica_of(meta, seq_id)
+            bpr = self.blocks_per_replica
+            slots_dp = np.full((self.dp, t), -1, np.int32)
+            slots_dp[r] = np.where(
+                slots[0] >= 0, slots[0] - r * bpr * self.block_size, -1)
+            slots = slots_dp
+            bt_dp = np.zeros((self.dp, self.max_blocks_per_seq), np.int32)
+            bt_dp[r] = np.maximum(block_tables[0] - r * bpr, 0)
+            block_tables = bt_dp
+            owner = np.zeros((self.dp,), np.float32)
+            owner[r] = 1.0
         res = step(
             self.params, kv_caches, jnp.asarray(tokens),
             jnp.asarray(positions), jnp.asarray(slots),
             jnp.asarray(block_tables), jnp.asarray(ctx),
             jnp.asarray(seq_lens), jnp.asarray(prefix_lens),
-            jnp.asarray(state_slots), pv, tensors,
+            jnp.asarray(state_slots), pv, jnp.asarray(owner), tensors,
             lora_idx, lora_stacks)
         kv_caches, out, prompt_lp = res[0], res[1], res[2]
         if self.capture_hidden:
@@ -1287,7 +1381,8 @@ class ModelRunner:
 
     def _to_sampler_output(self, out: SamplerOutputArrays,
                            rows: List[Tuple[SequenceGroupMetadata, int]],
-                           metas: List[SequenceGroupMetadata]
+                           metas: List[SequenceGroupMetadata],
+                           row_idx: Optional[np.ndarray] = None
                            ) -> SamplerOutput:
         next_tokens = np.asarray(out.next_tokens)
         chosen_lp = np.asarray(out.logprob)
@@ -1297,7 +1392,8 @@ class ModelRunner:
                    if out.topk_logprobs is not None else None)
         per_group: Dict[str, List[SequenceOutput]] = {}
         group_rows: Dict[str, List[Tuple[int, Any, int]]] = {}
-        for i, (meta, seq_id) in enumerate(rows):
+        pos = row_idx if row_idx is not None else range(len(rows))
+        for i, (meta, seq_id) in zip(pos, rows):
             sp = meta.sampling_params
             if sp is not None and sp.use_beam_search:
                 # Beam candidates are selected host-side from the in-graph
