@@ -31,10 +31,10 @@ import numpy as np
 def timed(fn, *args):
     import jax
     out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0])[:1]  # real fence (PERF_NOTES)
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0])[:1]
     return time.perf_counter() - t0
 
 
@@ -61,6 +61,8 @@ def build(batch, ctx, block_size, n_layers, ablation):
     model = build_model(engine_config)
     model.layers = model.layers[:n_layers]
     params = init_params_on_mesh(model, mesh, 0)
+    from nmvllm_tpu.model_loader import _finalize
+    params = _finalize(model, params)  # serving fusion (as bench.py)
 
     layer = model.layers[0]
     lp = params["layers"][0]
@@ -165,8 +167,10 @@ def build(batch, ctx, block_size, n_layers, ablation):
 
     # No donation: timed() calls the fn twice with the same buffers (the
     # one-time loop-init copy is equal across ablations and amortized).
+    # params must be an ARGUMENT: closed-over quantized weights embed as
+    # HLO literals and blow past the remote-compile body limit (HTTP 413).
     @functools.partial(jax.jit, static_argnames=("n",))
-    def run(x, kv_caches, n):
+    def run(params, x, kv_caches, n):
         def step(carry, _):
             x, kvs = carry
             x, kvs = sharded(params, kvs, x)
@@ -174,12 +178,12 @@ def build(batch, ctx, block_size, n_layers, ablation):
         (x, kvs), _ = jax.lax.scan(step, (x, kv_caches), None, length=n)
         return x, kvs
 
-    return run, x0, kv_caches
+    return run, params, x0, kv_caches
 
 
 def measure(batch, ctx, block_size, n_layers, ablation, steps):
-    run, x0, kvs = build(batch, ctx, block_size, n_layers, ablation)
-    dt = timed(lambda x, k: run(x, k, steps), x0, kvs)
+    run, params, x0, kvs = build(batch, ctx, block_size, n_layers, ablation)
+    dt = timed(lambda p, x, k: run(p, x, k, steps), params, x0, kvs)
     return dt / steps / n_layers
 
 
