@@ -245,3 +245,41 @@ def test_epilogue_add_fused():
     np.testing.assert_allclose(np.asarray(both, np.float32),
                                np.asarray(expect2, np.float32),
                                atol=2e-2, rtol=2e-2)
+
+
+class TestPrologueScratchTiling:
+    """The hoisted-activation scratch (computed at n-step 0, reused
+    across the n grid dim — docs/PERF_NOTES.md round-2) must stay
+    correct across multiple m-blocks and k-blocks."""
+
+    @pytest.mark.parametrize("prologue", ["silu_mul", "rmsnorm"])
+    def test_prologue_multi_block_grid(self, prologue):
+        import numpy as np
+        import jax.numpy as jnp
+        from nmvllm_tpu.ops.quant_matmul import (apply_prologue_jnp,
+                                                 pack_weights, quant_matmul)
+        rng = np.random.default_rng(3)
+        M, K, N, G = 48, 512, 512, 128
+        w_int = rng.integers(0, 16, (K, N))
+        qw = pack_weights(jnp.asarray(w_int), 4, G)
+        scales = jnp.asarray(np.abs(rng.normal(0, 0.02, (K // G, N)))
+                             + 1e-3, jnp.float32)
+        zeros = jnp.full((K // G, N), 8, jnp.int32)
+        x = jnp.asarray(rng.normal(0, 1, (M, K)), jnp.float32)
+        aux = (jnp.asarray(np.abs(rng.normal(1, 0.1, (K,))), jnp.float32)
+               if prologue == "rmsnorm"
+               else jnp.asarray(rng.normal(0, 1, (M, K)), jnp.float32))
+        # Force multi-block m (block_m=16 -> 3 m-blocks), multi-block n
+        # (block_n=128 -> 4 n-steps) and, for silu, multi-block k
+        # (block_k=256 -> 2 k-steps): the act scratch must be recomputed
+        # per (m, k) block at n-step 0 and reused for n-step > 0.
+        kw = dict(bits=4, group_size=G, prologue=prologue, aux=aux,
+                  eps=1e-5, block_m=16, block_n=128)
+        if prologue != "rmsnorm":
+            kw["block_k"] = 256
+        fused = quant_matmul(x, qw, scales, zeros, **kw)
+        pre = apply_prologue_jnp(prologue, x, aux, 1e-5)
+        ref = quant_matmul(pre, qw, scales, zeros, bits=4, group_size=G)
+        np.testing.assert_allclose(np.asarray(fused, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=0.08, atol=0.08)
