@@ -10,6 +10,7 @@ TPU; a reduced-layer variant elsewhere. Selectable with --config.
 """
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -146,7 +147,10 @@ def run_decode_bench(model_name: str, quantization, batch: int,
     # the single-step path (decode_step above) stays for latency checks.
     import functools as _ft
 
-    @_ft.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(1,))
+    donate = (() if os.environ.get("NMVLLM_BENCH_NO_DONATE") else (1,))
+
+    @_ft.partial(jax.jit, static_argnames=("n_steps",),
+                 donate_argnums=donate)
     def decode_many(params, kv_caches, tokens, positions, block_tables,
                     n_steps):
         def body(carry, _):
@@ -191,7 +195,7 @@ def run_decode_bench(model_name: str, quantization, batch: int,
     toks, kv_caches, _, _ = decode_many(params, kv_caches, tokens,
                                         positions, block_tables,
                                         n_steps=steps)
-    toks.block_until_ready()
+    np.asarray(toks[-1][:1])  # real fence (block_until_ready lies here)
 
     tok_s = []
     for _ in range(max(1, samples)):
