@@ -90,11 +90,9 @@ def run_decode_bench(model_name: str, quantization, batch: int,
     # Room for the scan-decoded continuation tokens past context_len.
     blocks_per_seq = cdiv(context_len + steps + 8, block_size)
     num_blocks = batch * blocks_per_seq + 1
-    kv_caches = []
-    for _ in range(num_layers):
-        shape = (num_blocks, 2, model.total_num_kv_heads, block_size,
-                 model.head_dim)
-        kv_caches.append(jnp.zeros(shape, jnp.bfloat16))
+    kv_shape = (num_blocks, 2, model.total_num_kv_heads, block_size,
+                model.head_dim)
+    kv_shapes = [kv_shape] * num_layers
 
     import functools
     from jax.sharding import PartitionSpec as P
@@ -147,12 +145,17 @@ def run_decode_bench(model_name: str, quantization, batch: int,
     # the single-step path (decode_step above) stays for latency checks.
     import functools as _ft
 
-    donate = (() if os.environ.get("NMVLLM_BENCH_NO_DONATE") else (1,))
+    # Donating the KV carry into the scan measured >100x SLOWER on this
+    # stack (1-layer e2e: 0.77 -> 164.9 tok/s undonated; the donated
+    # while-loop appears to host-sync per iteration, ~0.9 s RPC on the
+    # tunnel). lax.scan already threads the carry in place inside the
+    # loop, so instead of donation the KV pool is ALLOCATED IN-GRAPH
+    # (zeros init ~9 ms for 7.7 GB) — no donated buffers, no double
+    # residency of input+output pools.
+    @_ft.partial(jax.jit, static_argnames=("n_steps",))
+    def decode_many(params, tokens, positions, block_tables, n_steps):
+        kv_caches = [jnp.zeros(s, jnp.bfloat16) for s in kv_shapes]
 
-    @_ft.partial(jax.jit, static_argnames=("n_steps",),
-                 donate_argnums=donate)
-    def decode_many(params, kv_caches, tokens, positions, block_tables,
-                    n_steps):
         def body(carry, _):
             kv_caches, tokens, positions = carry
             pos = positions[:, 0]
@@ -167,12 +170,12 @@ def run_decode_bench(model_name: str, quantization, batch: int,
 
         (kv_caches, tokens, positions), toks = jax.lax.scan(
             body, (kv_caches, tokens, positions), None, length=n_steps)
-        return toks, kv_caches, tokens, positions
+        return toks, tokens, positions
 
     if dump_hlo:
         # Compile-only: write the optimized HLO of the multi-step decode
         # program for composition analysis (hidden copies, fusion count).
-        lowered = decode_many.lower(params, kv_caches, tokens, positions,
+        lowered = decode_many.lower(params, tokens, positions,
                                     block_tables, n_steps=2)
         compiled = lowered.compile()
         with open(dump_hlo, "w") as f:
@@ -192,17 +195,15 @@ def run_decode_bench(model_name: str, quantization, batch: int,
     # pay its own compile — which measured as a large phantom per-step
     # cost on the axon AOT service). Positions reset between calls, so
     # repeat calls rewrite the same slots; kv chains through donation.
-    toks, kv_caches, _, _ = decode_many(params, kv_caches, tokens,
-                                        positions, block_tables,
-                                        n_steps=steps)
+    toks, _, _ = decode_many(params, tokens, positions, block_tables,
+                             n_steps=steps)
     np.asarray(toks[-1][:1])  # real fence (block_until_ready lies here)
 
     tok_s = []
     for _ in range(max(1, samples)):
         t0 = time.perf_counter()
-        toks, kv_caches, _, _ = decode_many(params, kv_caches, tokens,
-                                            positions, block_tables,
-                                            n_steps=steps)
+        toks, _, _ = decode_many(params, tokens, positions, block_tables,
+                                 n_steps=steps)
         # block_until_ready alone is not trustworthy on the axon tunnel
         # (repeat calls have reported impossible numbers, docs/
         # PERF_NOTES.md "tunnel measurement traps"); a device_get of the
