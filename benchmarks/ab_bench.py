@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 CONFIGS = {
     "control": {},
     "fused_mlp": {"NMVLLM_FUSED_MLP": "1"},
+    "no_fused_mlp": {"NMVLLM_FUSED_MLP": "0"},
     "no_normfuse": {"NMVLLM_DISABLE_NORM_FUSION": "1"},
     "qhead4": {"NMVLLM_QUANT_LM_HEAD": "4"},
     "qhead8": {"NMVLLM_QUANT_LM_HEAD": "8"},

@@ -325,7 +325,13 @@ class LlamaMLP:
         """``norm=(weight, eps)`` fuses the preceding RMSNorm into the
         gate_up kernel; ``epilogue_add`` fuses the residual add into the
         down_proj kernel (critical-path node removal, layers/fused.py)."""
-        if self._can_fuse_block(norm):
+        # The one-kernel block holds (m, K) activations + accumulator
+        # VMEM-resident across all grid steps — decode-sized m only
+        # (prefill m would blow the VMEM budget).
+        m_rows = 1
+        for d in x.shape[:-1]:
+            m_rows *= d
+        if m_rows <= 256 and self._can_fuse_block(norm):
             from nmvllm_tpu.ops.fused_mlp import fused_mlp_w4
             gu, dn = params["gate_up_proj"], params["down_proj"]
             shape = x.shape

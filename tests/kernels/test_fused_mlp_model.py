@@ -6,10 +6,8 @@ import pytest
 
 
 def _decode_step(fused: bool, monkeypatch):
-    if fused:
-        monkeypatch.setenv("NMVLLM_FUSED_MLP", "1")
-    else:
-        monkeypatch.delenv("NMVLLM_FUSED_MLP", raising=False)
+    # Default is ON: the base case must disable explicitly.
+    monkeypatch.setenv("NMVLLM_FUSED_MLP", "1" if fused else "0")
     import jax
     from nmvllm_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
                                    ModelConfig, ParallelConfig,
