@@ -34,6 +34,8 @@ CONFIGS = {
     "hpd2": {"NMVLLM_ATTN_HPD": "2"},
     "hpd1": {"NMVLLM_ATTN_HPD": "1"},
     "a8c": {"NMVLLM_INT4_A8": "channel"},
+    "sb8k": {"NMVLLM_ATTN_SB_COLS": "8192"},
+    "sb2k": {"NMVLLM_ATTN_SB_COLS": "2048"},
     "fused_mlp+qhead4": {"NMVLLM_FUSED_MLP": "1",
                          "NMVLLM_QUANT_LM_HEAD": "4"},
     "best": {"NMVLLM_FUSED_MLP": "1", "NMVLLM_QUANT_LM_HEAD": "4"},

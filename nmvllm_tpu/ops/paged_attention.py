@@ -135,10 +135,18 @@ def _decode_kernel(
     else:
         sb_start = jnp.int32(0)
 
+    # The last superblock can overhang the table (num_sb*ppcb may exceed
+    # the table width by up to ppcb-1 when the width is not a ppcb
+    # multiple): clamp the index — the overhanging columns are masked by
+    # pos < ctx, so fetching a duplicate valid page is harmless, while an
+    # unclamped read walks past the SMEM row into other rows' ids (or,
+    # on the last row, off the buffer -> garbage page id -> OOB DMA).
+    max_tbl = block_tables_ref.shape[1] - 1
+
     def copies(sb, slot):
         out = []
         for i in range(ppcb):
-            page = block_tables_ref[b, sb * ppcb + i]
+            page = block_tables_ref[b, jnp.minimum(sb * ppcb + i, max_tbl)]
             out.append(pltpu.make_async_copy(
                 kv_hbm.at[page], kv_buf.at[slot, i], sems.at[slot, i]))
         return out
@@ -293,8 +301,11 @@ def default_pages_per_compute_block(num_kv_heads: int,
                                     block_size: int) -> int:
     """Target ~4K score columns per superblock: per-superblock fixed cost
     (~5us: semaphore waits + dot issue) dominates below that, VMEM and
-    VPU mask/exp work above (measured sweep in docs/PERF_NOTES.md)."""
-    return max(1, 4096 // (num_kv_heads * block_size))
+    VPU mask/exp work above (measured sweep in docs/PERF_NOTES.md).
+    NMVLLM_ATTN_SB_COLS overrides the column target (e2e sweeps)."""
+    import os
+    cols = int(os.getenv("NMVLLM_ATTN_SB_COLS", "4096"))
+    return max(1, cols // (num_kv_heads * block_size))
 
 
 @functools.partial(
