@@ -70,8 +70,8 @@ def _decode_kernel(
     kv_out,    # (num_blocks, 2, H, bs, d) ANY/HBM, aliased to kv_hbm
     # scratch
     kv_buf,    # (2, ppcb, 2, H, bs, d) VMEM, cache dtype
-    page_buf,  # (2, H, bs, d) VMEM — RMW staging for the in-kernel write
-    sems,      # DMA sems (2, ppcb)
+    row_buf,   # (2, H, 1, d) VMEM — staging for the in-kernel row write
+    sems,      # DMA sems: (2,) batched, or (2, ppcb) in interpret mode
     wsem,      # write DMA sem
     *,
     scale: float,
@@ -88,6 +88,7 @@ def _decode_kernel(
     blocksparse,         # None or (block, local_blocks, vert_stride)
     fused_write: bool,
     heads_per_dot: int,  # kv heads per block-diagonal MXU dot (<= H)
+    interpret_mode: bool = False,
 ):
     b = pl.program_id(0)
     ctx = context_lens_ref[b]
@@ -97,35 +98,36 @@ def _decode_kernel(
     sb_tokens = ppcb * bs
     cols = ppcb * h * bs
     rows = h * g_pad
-    num_sb = pl.cdiv(ctx, sb_tokens)
-
     if fused_write:
-        # Insert this row's new K/V before attending (replaces a separate
-        # write_to_kv_cache kernel call — ~0.5 ms of fixed per-call
-        # latency per layer on this stack). Each program only writes its
-        # own (CoW-exclusive) last block, so sequential grid order keeps
-        # programs race-free.
+        # Write this row's new K/V as a single small (2, H, 1, d) DMA —
+        # fire-and-forget, awaited only at the END of the program so the
+        # write overlaps the whole attention computation (the old
+        # read-modify-write of the full page serialized two page-sized
+        # DMA round trips ahead of any attention work). The current
+        # token's attention contribution is folded from VMEM after the
+        # page loop (the HBM copy of its slot may still be stale while
+        # the loop runs; all other bytes of the page are untouched by
+        # this write, so the concurrent page fetch below is race-free).
+        # Each program only writes its own (CoW-exclusive) last block.
         wslot = write_slots_ref[b]
+        wblock = wslot // bs
+        woff = wslot % bs
+        # History excludes the current token (folded from VMEM) — but
+        # only for rows that actually write; a row with wslot == -1 and
+        # ctx > 0 attends over fully-materialized HBM pages.
+        ctx_hist = jnp.where(wslot >= 0, jnp.maximum(ctx - 1, 0), ctx)
 
         @pl.when(wslot >= 0)
         def _():
-            wblock = wslot // bs
-            woff = wslot % bs
-            cp_in = pltpu.make_async_copy(kv_hbm.at[wblock], page_buf,
-                                          wsem)
-            cp_in.start()
-            cp_in.wait()
-            page = page_buf[:]
-            pos_sel = jax.lax.broadcasted_iota(
-                jnp.int32, (bs, head_dim), 0)[None, None, :, :] == woff
-            new = jnp.stack([new_k_ref[0], new_v_ref[0]])  # (2, H, d)
-            new = new[:, :, None, :].astype(page.dtype)
-            page_buf[:] = jnp.where(
-                pos_sel, jnp.broadcast_to(new, page.shape), page)
-            cp_out = pltpu.make_async_copy(page_buf, kv_out.at[wblock],
-                                           wsem)
-            cp_out.start()
-            cp_out.wait()
+            row_buf[0, :, 0] = new_k_ref[0]
+            row_buf[1, :, 0] = new_v_ref[0]
+            pltpu.make_async_copy(
+                row_buf, kv_out.at[wblock, :, :, pl.ds(woff, 1), :],
+                wsem).start()
+    else:
+        ctx_hist = ctx
+    num_sb = pl.cdiv(ctx_hist, sb_tokens)
+
     # Sliding window: skip superblocks that are entirely out of window.
     # (Also required for correctness: a fully-masked superblock would feed
     # exp(-inf - -inf) = NaN into the online softmax.)
@@ -147,8 +149,9 @@ def _decode_kernel(
         out = []
         for i in range(ppcb):
             page = block_tables_ref[b, jnp.minimum(sb * ppcb + i, max_tbl)]
+            sem = sems.at[slot, i] if interpret_mode else sems.at[slot]
             out.append(pltpu.make_async_copy(
-                kv_hbm.at[page], kv_buf.at[slot, i], sems.at[slot, i]))
+                kv_hbm.at[page], kv_buf.at[slot, i], sem))
         return out
 
     def start(sb, slot):
@@ -156,8 +159,16 @@ def _decode_kernel(
             c.start()
 
     def wait(sb, slot):
-        for c in copies(sb, slot):
-            c.wait()
+        if interpret_mode:
+            for c in copies(sb, slot):
+                c.wait()
+        else:
+            # All ppcb page copies signal ONE semaphore; a single wait
+            # sized as the whole superblock replaces ppcb separate waits
+            # (each wait has fixed issue cost — at ppcb=16 the waits were
+            # a large share of the ~11us/superblock floor).
+            pltpu.make_async_copy(
+                kv_buf.at[slot], kv_buf.at[slot], sems.at[slot]).wait()
 
     # Padding rows have ctx == 0 (num_sb == 0): no DMA may start, or its
     # semaphore would never be awaited and the program would fault.
@@ -222,7 +233,7 @@ def _decode_kernel(
                 # slope_h * (key_pos - query_pos); query sits at ctx - 1.
                 slopes = alibi_ref[r0:r0 + rows_c, 0:1]  # (rows_c, 1)
                 s = s + slopes * (pos - (ctx - 1)).astype(jnp.float32)
-            valid = head_ok & (pos < ctx)
+            valid = head_ok & (pos < ctx_hist)
             if sliding_window > 0:
                 valid &= pos > ctx - 1 - sliding_window
             if blocksparse is not None:
@@ -264,6 +275,37 @@ def _decode_kernel(
     l0 = jnp.zeros((rows, 1), jnp.float32)
     acc0 = jnp.zeros((rows, head_dim), jnp.float32)
     m, l, acc = jax.lax.fori_loop(sb_start, num_sb, body, (m0, l0, acc0))
+    if fused_write:
+        # Fold the current token's K/V (still in VMEM) into the online
+        # softmax: its HBM slot may not be written yet (the row DMA above
+        # overlaps the loop). The new token is its own query position, so
+        # alibi bias is 0, it is always inside the sliding window, and its
+        # block is local under blocksparse — no extra masking needed.
+        kf = new_k_ref[0].astype(jnp.float32) * k_scale   # (H, d)
+        vf = new_v_ref[0].astype(jnp.float32) * v_scale
+        kg = jnp.broadcast_to(kf[:, None, :], (h, g_pad, head_dim)
+                              ).reshape(rows, head_dim)
+        vg = jnp.broadcast_to(vf[:, None, :], (h, g_pad, head_dim)
+                              ).reshape(rows, head_dim)
+        s_new = jnp.sum(q.astype(jnp.float32) * kg, axis=1,
+                        keepdims=True)                    # (rows, 1)
+        if logit_soft_cap > 0.0:
+            s_new = logit_soft_cap * jnp.tanh(s_new / logit_soft_cap)
+        do = (wslot >= 0)
+        m_f = jnp.where(do, jnp.maximum(m, s_new), m)
+        # Guard alpha on padding rows (do == False, m == m_f == -inf
+        # would give exp(nan)).
+        alpha = jnp.where(do, jnp.exp(m - m_f), 1.0)
+        p_new = jnp.where(do, jnp.exp(s_new - m_f), 0.0)
+        l = l * alpha + p_new
+        acc = acc * alpha + p_new * vg
+        m = m_f
+
+        @pl.when(wslot >= 0)
+        def _():
+            pltpu.make_async_copy(
+                row_buf, kv_out.at[wblock, :, :, pl.ds(woff, 1), :],
+                wsem).wait()
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -461,9 +503,10 @@ def paged_attention(
         scratch_shapes=[
             pltpu.VMEM((2, ppcb, 2, num_kv_heads, block_size, head_dim),
                        kv_cache.dtype),
-        ] + ([pltpu.VMEM((2, num_kv_heads, block_size, head_dim),
+        ] + ([pltpu.VMEM((2, num_kv_heads, 1, head_dim),
                          kv_cache.dtype)] if fused_write else []) + [
-            pltpu.SemaphoreType.DMA((2, ppcb)),
+            pltpu.SemaphoreType.DMA(
+                (2, ppcb) if pallas_interpret() else (2,)),
         ] + ([pltpu.SemaphoreType.DMA(())] if fused_write else []),
     )
     # kv heads per block-diagonal dot: trades masked-score VPU waste
@@ -490,7 +533,7 @@ def paged_attention(
         logit_soft_cap=float(logit_soft_cap),
         sliding_window=int(sliding_window), has_alibi=has_alibi,
         blocksparse=blocksparse, fused_write=fused_write,
-        heads_per_dot=hpd)
+        heads_per_dot=hpd, interpret_mode=pallas_interpret())
     ctx_bytes = 2 * num_kv_heads * block_size * head_dim * \
         kv_cache.dtype.itemsize
     out_shape = [jax.ShapeDtypeStruct((batch, rows, head_dim), q.dtype)]
