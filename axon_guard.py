@@ -14,7 +14,12 @@ capture tempfiles and appear silent).
 import os
 import sys
 
-if os.environ.get("PALLAS_AXON_POOL_IPS") or \
+if os.environ.get("NMVLLM_TPU_TESTS") == "1":
+    # Hardware test mode (tests/kernels/test_tpu_compile.py): keep the
+    # tunnel so Pallas kernels compile with Mosaic instead of interpret
+    # mode. Run ONE pytest process at a time in this mode.
+    pass
+elif os.environ.get("PALLAS_AXON_POOL_IPS") or \
         "axon" in os.environ.get("JAX_PLATFORMS", ""):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)

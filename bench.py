@@ -306,9 +306,11 @@ def main():
             model_name, quant, batch, ctx, steps,
             block_size=args.block_size,
             num_layers_override=args.layers, head=head)
-    except Exception as e:  # HBM OOM at the default batch: retry smaller
-        if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in \
-                str(e).lower():
+    except Exception as e:  # HBM OOM at the default batch: retry smaller.
+        # Match ONLY the allocator's status code: a loose "memory" match
+        # once caught "#tpu.memory_space<hbm>" inside a Mosaic compile
+        # diagnostic and pointlessly retried a deterministic failure.
+        if "RESOURCE_EXHAUSTED" not in str(e):
             raise
         batch = 32
         tokens_per_s, params_bytes, kv_bytes = run_decode_bench(

@@ -70,7 +70,7 @@ def _decode_kernel(
     kv_out,    # (num_blocks, 2, H, bs, d) ANY/HBM, aliased to kv_hbm
     # scratch
     kv_buf,    # (2, ppcb, 2, H, bs, d) VMEM, cache dtype
-    row_buf,   # (2, H, 1, d) VMEM — staging for the in-kernel row write
+    page_buf,  # (2, H, bs, d) VMEM — RMW staging for the in-kernel write
     sems,      # DMA sems: (2,) batched, or (2, ppcb) in interpret mode
     wsem,      # write DMA sem
     *,
@@ -99,16 +99,19 @@ def _decode_kernel(
     cols = ppcb * h * bs
     rows = h * g_pad
     if fused_write:
-        # Write this row's new K/V as a single small (2, H, 1, d) DMA —
-        # fire-and-forget, awaited only at the END of the program so the
-        # write overlaps the whole attention computation (the old
-        # read-modify-write of the full page serialized two page-sized
-        # DMA round trips ahead of any attention work). The current
-        # token's attention contribution is folded from VMEM after the
-        # page loop (the HBM copy of its slot may still be stale while
-        # the loop runs; all other bytes of the page are untouched by
-        # this write, so the concurrent page fetch below is race-free).
-        # Each program only writes its own (CoW-exclusive) last block.
+        # In-kernel cache write via an OVERLAPPED page read-modify-write.
+        # Mosaic cannot DMA to (or store at) a dynamic sublane offset
+        # inside a tiled page (a 1-row HBM slice also fails tile-alignment
+        # checks — Mosaic requires slice extents on the sublane dim to be
+        # multiples of the tiling), so the row is merged into a VMEM copy
+        # of the whole page.  The page READ is fire-and-forget here at
+        # program entry and awaited only AFTER the attention loop, so it
+        # overlaps the entire computation; the write-back overlaps the
+        # VMEM fold of the current token below. The current token's
+        # attention contribution is folded from VMEM (its HBM slot is
+        # stale while the loop runs; the attention loop masks it out via
+        # ctx_hist). Each program only RMWs its own (CoW-exclusive) last
+        # block, so the concurrent superblock fetches are race-free.
         wslot = write_slots_ref[b]
         wblock = wslot // bs
         woff = wslot % bs
@@ -119,11 +122,8 @@ def _decode_kernel(
 
         @pl.when(wslot >= 0)
         def _():
-            row_buf[0, :, 0] = new_k_ref[0]
-            row_buf[1, :, 0] = new_v_ref[0]
-            pltpu.make_async_copy(
-                row_buf, kv_out.at[wblock, :, :, pl.ds(woff, 1), :],
-                wsem).start()
+            pltpu.make_async_copy(kv_hbm.at[wblock], page_buf,
+                                  wsem).start()
     else:
         ctx_hist = ctx
     num_sb = pl.cdiv(ctx_hist, sb_tokens)
@@ -251,11 +251,12 @@ def _decode_kernel(
             lc = l[r0:r0 + rows_c]
             accc = acc[r0:r0 + rows_c]
             m_new = jnp.maximum(mc, jnp.max(s, axis=1, keepdims=True))
-            if blocksparse is not None:
-                # A superblock between the vertical stripes and the local
-                # window can be fully masked; keep the running max finite
-                # so exp(-inf - m) stays 0 instead of NaN.
-                m_new = jnp.maximum(m_new, -1e30)
+            # A fully-masked superblock (blocksparse stripes, or a fused
+            # write with sliding_window shrinking the history window to
+            # empty, e.g. sliding_window == 1 where ctx_hist excludes the
+            # only in-window key) would give exp(-inf - -inf) = NaN; keep
+            # the running max finite so exp(-inf - m) stays 0 instead.
+            m_new = jnp.maximum(m_new, -1e30)
             p = jnp.exp(s - m_new)
             alpha = jnp.exp(mc - m_new)
             l_new = lc * alpha + jnp.sum(p, axis=1, keepdims=True)
@@ -276,11 +277,29 @@ def _decode_kernel(
     acc0 = jnp.zeros((rows, head_dim), jnp.float32)
     m, l, acc = jax.lax.fori_loop(sb_start, num_sb, body, (m0, l0, acc0))
     if fused_write:
+        # The page read issued at program entry has been in flight for the
+        # whole loop: await it, merge the token's K/V rows at the in-page
+        # sublane via a select (dynamic sublane stores crash Mosaic), and
+        # fire the write-back — awaited only at the very end, overlapping
+        # the VMEM fold below.
+        @pl.when(wslot >= 0)
+        def _():
+            pltpu.make_async_copy(kv_hbm.at[wblock], page_buf, wsem).wait()
+            page = page_buf[:]
+            pos_sel = jax.lax.broadcasted_iota(
+                jnp.int32, (bs, head_dim), 0)
+            sel = (pos_sel == woff)[None, None, :, :]
+            newkv = jnp.stack([new_k_ref[0], new_v_ref[0]])[:, :, None, :]
+            page_buf[:] = jnp.where(
+                sel, jnp.broadcast_to(newkv, page.shape), page)
+            pltpu.make_async_copy(page_buf, kv_out.at[wblock],
+                                  wsem).start()
         # Fold the current token's K/V (still in VMEM) into the online
-        # softmax: its HBM slot may not be written yet (the row DMA above
-        # overlaps the loop). The new token is its own query position, so
-        # alibi bias is 0, it is always inside the sliding window, and its
-        # block is local under blocksparse — no extra masking needed.
+        # softmax: its HBM slot may not be written yet (the write-back DMA
+        # above overlaps this fold). The new token is its own query
+        # position, so alibi bias is 0, it is always inside the sliding
+        # window, and its block is local under blocksparse — no extra
+        # masking needed.
         kf = new_k_ref[0].astype(jnp.float32) * k_scale   # (H, d)
         vf = new_v_ref[0].astype(jnp.float32) * v_scale
         kg = jnp.broadcast_to(kf[:, None, :], (h, g_pad, head_dim)
@@ -303,9 +322,8 @@ def _decode_kernel(
 
         @pl.when(wslot >= 0)
         def _():
-            pltpu.make_async_copy(
-                row_buf, kv_out.at[wblock, :, :, pl.ds(woff, 1), :],
-                wsem).wait()
+            pltpu.make_async_copy(page_buf, kv_out.at[wblock],
+                                  wsem).wait()
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -377,8 +395,10 @@ def paged_attention(
     """Flash-decoding paged attention.
 
     Returns (B, num_q_heads, head_dim); with ``new_k/new_v/write_slots``
-    the token's K/V rows are written into the cache IN-KERNEL before
-    attending (replacing a separate write_to_kv_cache call) and the
+    the token's K/V rows are written into the cache IN-KERNEL via an
+    overlapped page read-modify-write (replacing a separate
+    write_to_kv_cache call) — the page read overlaps the attention loop,
+    the write-back overlaps the VMEM fold of the current token — and the
     return is ``(out, kv_cache)``.
     """
     fused_write = new_k is not None
@@ -503,7 +523,7 @@ def paged_attention(
         scratch_shapes=[
             pltpu.VMEM((2, ppcb, 2, num_kv_heads, block_size, head_dim),
                        kv_cache.dtype),
-        ] + ([pltpu.VMEM((2, num_kv_heads, 1, head_dim),
+        ] + ([pltpu.VMEM((2, num_kv_heads, block_size, head_dim),
                          kv_cache.dtype)] if fused_write else []) + [
             pltpu.SemaphoreType.DMA(
                 (2, ppcb) if pallas_interpret() else (2,)),

@@ -10,7 +10,8 @@ import os
 # chip. The axon-environment escape hatch lives in axon_guard.py (early
 # ``-p`` plugin, see pytest.ini); by the time this file runs the
 # environment is already clean.
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("NMVLLM_TPU_TESTS") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()

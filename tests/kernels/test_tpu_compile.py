@@ -1,0 +1,296 @@
+"""TPU compile-coverage gate: every Pallas serving variant, on hardware.
+
+Round-2 escape: the fused-KV decode write shipped in a form that Mosaic
+rejected on real TPU, because CPU CI runs kernels in interpret mode and
+the fused path short-circuits to the scatter fallback there
+(ops/paged_attention.py) — so the TPU-only code had ZERO compile
+coverage.  This module closes that hole: it compiles AND numerically
+checks every kernel variant the engine actually dispatches, against the
+jnp references, on the real chip.
+
+Run it on the tunnel (it self-skips elsewhere):
+
+    NMVLLM_TPU_TESTS=1 timeout 1800 python -m pytest \
+        tests/kernels/test_tpu_compile.py -x -q
+
+Reference analogue: the upstream TPU runner pre-compiles every serving
+shape before serving (vllm/worker/tpu_model_runner.py:159-198); this is
+the same idea applied at kernel-variant granularity.  Run this before
+every end-of-round snapshot (documented in the verify skill).
+"""
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nmvllm_tpu.ops.utils import pallas_interpret
+
+pytestmark = pytest.mark.skipif(
+    pallas_interpret(),
+    reason="hardware gate: needs a real TPU (set NMVLLM_TPU_TESTS=1 "
+           "on the tunnel)")
+
+# Decode-side geometry: small enough to compile fast, shaped like serving
+# (rows >= sublane tile, head_dim % 128 == 0, block_size % 32 == 0 so the
+# same table works for bf16 and fp8 caches).
+H, GROUP, D, BS = 2, 4, 128, 32
+NUM_BLOCKS, BPP = 24, 4            # 4 seqs x 4 blocks + spares
+CTXS = [5, 33, 64, 127]            # straddle block/superblock boundaries
+
+
+def _mk_decode(rng, cache_dtype=jnp.bfloat16):
+    ks = jax.random.split(jax.random.PRNGKey(rng), 4)
+    b = len(CTXS)
+    q = jax.random.normal(ks[0], (b, H * GROUP, D), jnp.bfloat16)
+    kv = jax.random.normal(ks[1], (NUM_BLOCKS, 2, H, BS, D),
+                           jnp.float32).astype(cache_dtype)
+    tables = jnp.arange(b * BPP, dtype=jnp.int32).reshape(b, BPP)
+    ctx = jnp.asarray(CTXS, jnp.int32)
+    new_k = jax.random.normal(ks[2], (b, H, D), jnp.bfloat16)
+    new_v = jax.random.normal(ks[3], (b, H, D), jnp.bfloat16)
+    # Write slot of the CURRENT token (position ctx-1) in each seq's table.
+    last = ctx - 1
+    slots = tables[jnp.arange(b), last // BS] * BS + last % BS
+    return q, kv, tables, ctx, new_k, new_v, slots
+
+
+def _decode_ref(q, kv, tables, ctx, new_k, new_v, slots, **kw):
+    from nmvllm_tpu.ops.cache_ops import _write_to_kv_cache_scatter
+    from nmvllm_tpu.ops.paged_attention import paged_attention_reference
+    kv = _write_to_kv_cache_scatter(kv, new_k, new_v, slots)
+    return paged_attention_reference(q, kv, tables, ctx, **kw), kv
+
+
+def _close(got, want, tol=5e-2):
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    scale = np.abs(want).mean() + 1e-6
+    err = np.abs(got - want).max() / scale
+    assert err < tol, f"max rel-to-mean err {err}"
+
+
+@pytest.mark.parametrize("variant", [
+    "plain", "softcap", "window", "window1", "alibi", "fp8"])
+def test_decode_fused_write(variant):
+    """Fused-write decode (the flagship serving path) vs scatter+ref."""
+    from nmvllm_tpu.ops.paged_attention import paged_attention
+    cache_dtype = jnp.float8_e4m3fn if variant == "fp8" else jnp.bfloat16
+    q, kv, tables, ctx, new_k, new_v, slots = _mk_decode(0, cache_dtype)
+    kw = dict(scale=D ** -0.5)
+    if variant == "softcap":
+        kw["logit_soft_cap"] = 30.0
+    elif variant == "window":
+        kw["sliding_window"] = 40
+    elif variant == "window1":
+        # ADVICE r2: window == 1 empties the fused history window — a
+        # fully-masked superblock must not NaN the online softmax.
+        kw["sliding_window"] = 1
+    elif variant == "alibi":
+        kw["alibi_slopes"] = jnp.geomspace(1.0, 2 ** -8, H * GROUP)
+    elif variant == "fp8":
+        kw.update(k_scale=0.5, v_scale=2.0)
+    out, kv_new = paged_attention(q, kv, tables, ctx, new_k=new_k,
+                                  new_v=new_v, write_slots=slots, **kw)
+    want, kv_want = _decode_ref(q, kv, tables, ctx, new_k, new_v, slots,
+                                **kw)
+    _close(out, want, tol=8e-2 if variant == "fp8" else 5e-2)
+    # The in-kernel RMW must leave the cache bit-identical to the scatter.
+    np.testing.assert_array_equal(
+        np.asarray(kv_new.astype(jnp.float32)),
+        np.asarray(kv_want.astype(jnp.float32)))
+    assert not np.isnan(np.asarray(out, np.float32)).any()
+
+
+def test_decode_fused_write_padding_rows():
+    """wslot == -1 rows (padding) must neither write nor NaN."""
+    from nmvllm_tpu.ops.paged_attention import paged_attention
+    q, kv, tables, ctx, new_k, new_v, slots = _mk_decode(1)
+    ctx = ctx.at[2].set(0)
+    slots = slots.at[2].set(-1)
+    out, kv_new = paged_attention(q, kv, tables, ctx, new_k=new_k,
+                                  new_v=new_v, write_slots=slots,
+                                  scale=D ** -0.5)
+    want, kv_want = _decode_ref(q, kv, tables, ctx, new_k, new_v, slots,
+                                scale=D ** -0.5)
+    _close(out, want)
+    np.testing.assert_array_equal(
+        np.asarray(kv_new.astype(jnp.float32)),
+        np.asarray(kv_want.astype(jnp.float32)))
+
+
+def test_decode_readonly():
+    """RO decode (no cache write): spec-decode scoring path."""
+    from nmvllm_tpu.ops.paged_attention import (paged_attention,
+                                                paged_attention_reference)
+    q, kv, tables, ctx, *_ = _mk_decode(2)
+    out = paged_attention(q, kv, tables, ctx, scale=D ** -0.5)
+    want = paged_attention_reference(q, kv, tables, ctx, scale=D ** -0.5)
+    _close(out, want)
+
+
+def test_decode_blocksparse():
+    """Blocksparse decode (phi-3-small) with per-head offsets, RO + fused."""
+    from nmvllm_tpu.ops.paged_attention import (paged_attention,
+                                                paged_attention_reference)
+    q, kv, tables, ctx, new_k, new_v, slots = _mk_decode(3)
+    bsp = (16, 2, 4)
+    offs = jnp.arange(H * GROUP, dtype=jnp.int32) % 4
+    kw = dict(scale=D ** -0.5, blocksparse=bsp, bs_head_offsets=offs)
+    # Blocksparse attends few keys -> smaller softmax mass -> relatively
+    # larger bf16-vs-f32 noise (a wrong mask would show ~10x this error).
+    out = paged_attention(q, kv, tables, ctx, **kw)
+    want = paged_attention_reference(q, kv, tables, ctx, **kw)
+    _close(out, want, tol=8e-2)
+    out2, _ = paged_attention(q, kv, tables, ctx, new_k=new_k, new_v=new_v,
+                              write_slots=slots, **kw)
+    want2, _ = _decode_ref(q, kv, tables, ctx, new_k, new_v, slots, **kw)
+    _close(out2, want2, tol=8e-2)
+
+
+def test_cache_write_kernel():
+    """Standalone page-RMW cache write (prefill KV insertion)."""
+    from nmvllm_tpu.ops.cache_ops import (write_to_kv_cache,
+                                          _write_to_kv_cache_scatter)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    kv = jax.random.normal(k1, (8, 2, H, BS, D), jnp.bfloat16)
+    t = 16
+    key = jax.random.normal(k2, (t, H, D), jnp.bfloat16)
+    val = jax.random.normal(k3, (t, H, D), jnp.bfloat16)
+    slots = jnp.asarray([3, 5, 9, -1, 40, 41, 42, 77, 100, 101, 130, -1,
+                         200, 220, 230, 255], jnp.int32)
+    got = write_to_kv_cache(kv, key, val, slots)
+    want = _write_to_kv_cache_scatter(kv, key, val, slots)
+    np.testing.assert_array_equal(np.asarray(got.astype(jnp.float32)),
+                                  np.asarray(want.astype(jnp.float32)))
+
+
+def test_flash_prefill():
+    from nmvllm_tpu.ops.prefill_attention import prefill_attention
+    from nmvllm_tpu import envs
+    b, t = 2, 256
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (b, t, H * GROUP, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, t, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, t, H, D), jnp.bfloat16)
+    pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
+    lens = jnp.asarray([t, 150], jnp.int32)
+    got = prefill_attention(q, k, v, pos, lens, scale=D ** -0.5)
+    old = envs.NMVLLM_DISABLE_PALLAS
+    envs.NMVLLM_DISABLE_PALLAS = True
+    try:
+        want = prefill_attention(q, k, v, pos, lens, scale=D ** -0.5)
+    finally:
+        envs.NMVLLM_DISABLE_PALLAS = old
+    _close(got, want)
+
+
+def test_paged_prefix_prefill():
+    from nmvllm_tpu.ops.prefill_attention import (
+        prefill_attention_with_paged_prefix)
+    b, t = 2, 128
+    ks = jax.random.split(jax.random.PRNGKey(13), 4)
+    q = jax.random.normal(ks[0], (b, t, H * GROUP, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, t, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, t, H, D), jnp.bfloat16)
+    kv = jax.random.normal(ks[3], (8, 2, H, BS, D), jnp.bfloat16)
+    tables = jnp.arange(8, dtype=jnp.int32).reshape(b, 4)
+    prefix = jnp.asarray([64, 96], jnp.int32)
+    pos = prefix[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+    lens = jnp.asarray([t, t - 17], jnp.int32)
+    out = prefill_attention_with_paged_prefix(
+        q, k, v, pos, lens, kv, tables, prefix, scale=D ** -0.5)
+    assert out.shape == (b, t, H * GROUP, D)
+    assert not np.isnan(np.asarray(out, np.float32)).any()
+
+
+def _mk_w4(seed, k, n, g):
+    from nmvllm_tpu.ops.quant_matmul import pack_weights
+    r = np.random.default_rng(seed)
+    qw = pack_weights(jnp.asarray(r.integers(0, 16, (k, n)), jnp.int32),
+                      4, g)
+    s = jnp.asarray(r.uniform(0.005, 0.02, (k // g, n)), jnp.float32)
+    z = jnp.asarray(r.integers(4, 12, (k // g, n)), jnp.int32)
+    return qw, s, z
+
+
+@pytest.mark.parametrize("prologue", [None, "rmsnorm", "silu_mul"])
+@pytest.mark.parametrize("m", [8, 56])
+def test_w4_paired_gemm(prologue, m):
+    """Production W4 dequant-GEMM incl. fused prologue variants."""
+    from nmvllm_tpu.ops.quant_matmul import quant_matmul
+    from nmvllm_tpu import envs
+    k, n, g = 512, 1024, 128
+    r = np.random.default_rng(17)
+    x = jnp.asarray(r.standard_normal((m, k)), jnp.bfloat16)
+    qw, s, z = _mk_w4(17, k, n, g)
+    aux = None
+    if prologue == "rmsnorm":
+        aux = jnp.asarray(r.uniform(0.5, 1.5, (k,)), jnp.float32)
+    elif prologue == "silu_mul":
+        aux = jnp.asarray(r.standard_normal((m, k)), jnp.bfloat16)
+    kw = dict(bits=4, group_size=g, prologue=prologue, aux=aux)
+    got = quant_matmul(x, qw, s, z, **kw)
+    old = envs.NMVLLM_DISABLE_PALLAS
+    envs.NMVLLM_DISABLE_PALLAS = True
+    try:
+        want = quant_matmul(x, qw, s, z, **kw)
+    finally:
+        envs.NMVLLM_DISABLE_PALLAS = old
+    _close(got, want, tol=0.15)
+
+
+def test_fused_mlp_w4():
+    from nmvllm_tpu.ops.fused_mlp import fused_mlp_reference, fused_mlp_w4
+    m, k, i, g = 8, 256, 512, 128
+    r = np.random.default_rng(19)
+    x = jnp.asarray(r.standard_normal((m, k)), jnp.bfloat16)
+    nw = jnp.asarray(r.uniform(0.5, 1.5, (k,)), jnp.float32)
+    gu = _mk_w4(19, k, 2 * i, g)
+    dn = _mk_w4(20, i, k, g)
+    got = fused_mlp_w4(x, nw, *gu, *dn, group_size=g, block_n=256)
+    want = fused_mlp_reference(x, nw, *gu, *dn, group_size=g)
+    _close(got, want, tol=0.15)
+
+
+def test_sparse24_gemm():
+    from nmvllm_tpu.ops.sparse_gemm import compress_24, sparse24_matmul
+    k, n, m = 512, 256, 16
+    r = np.random.default_rng(23)
+    w = r.standard_normal((k, n)).astype(np.float32)
+    grp = w.reshape(k // 4, 4, n)
+    keep = np.argsort(-np.abs(grp), axis=1)[:, :2]
+    mask = np.zeros_like(grp, bool)
+    np.put_along_axis(mask, keep, True, axis=1)
+    w = jnp.asarray((grp * mask).reshape(k, n))
+    v0, v1, meta = compress_24(w)
+    x = jnp.asarray(r.standard_normal((m, k)), jnp.float32)
+    got = sparse24_matmul(x, v0, v1, meta, block_n=128, block_k4=128)
+    want = jnp.dot(x, w, precision=jax.lax.Precision.HIGHEST)
+    _close(got, want, tol=5e-2)
+
+
+def test_fused_moe():
+    from nmvllm_tpu.ops.moe import fused_moe, fused_moe_reference
+    e, k, i, m, topk = 4, 128, 256, 16, 2
+    ks = jax.random.split(jax.random.PRNGKey(29), 4)
+    x = jax.random.normal(ks[0], (m, k), jnp.bfloat16)
+    w1 = jax.random.normal(ks[1], (e, k, 2 * i), jnp.bfloat16) * 0.1
+    w2 = jax.random.normal(ks[2], (e, i, k), jnp.bfloat16) * 0.1
+    gl = jax.random.normal(ks[3], (m, e), jnp.float32)
+    got = fused_moe(x, w1, w2, gl, topk)
+    want = fused_moe_reference(x, w1, w2, gl, topk)
+    _close(got, want, tol=0.1)
+
+
+def test_engine_decode_smoke():
+    """One engine generate on the debug model: compiles the production
+    prefill+decode step (exactly what bench.py and serving run)."""
+    from nmvllm_tpu import LLM, SamplingParams
+    llm = LLM(model="debug-llama", num_gpu_blocks_override=64,
+              max_num_seqs=8, max_model_len=256)
+    out = llm.generate(["hardware gate"],
+                       SamplingParams(temperature=0.0, max_tokens=8))
+    assert len(out[0].outputs[0].token_ids) == 8
