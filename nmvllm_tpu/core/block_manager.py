@@ -190,7 +190,8 @@ class BlockSpaceManager:
                  num_cpu_blocks: int, watermark: float = 0.01,
                  sliding_window: Optional[int] = None,
                  enable_caching: bool = False,
-                 data_parallel_size: int = 1):
+                 data_parallel_size: int = 1,
+                 lookahead_slots: int = 0):
         self.block_size = block_size
         self.num_total_gpu_blocks = num_gpu_blocks
         self.num_total_cpu_blocks = num_cpu_blocks
@@ -200,7 +201,18 @@ class BlockSpaceManager:
         self.block_sliding_window = None
         if sliding_window is not None:
             # Round up to include padding-token block (reference :216+).
-            self.block_sliding_window = -(-sliding_window // block_size)
+            # Speculative-decoding headroom: with a ring of exactly
+            # ceil(window/bs) blocks, a REJECTED speculative write at
+            # position p would destroy the slot of position
+            # p - ring_span, which is still inside later queries'
+            # windows.  Growing the ring span to >= window + k makes the
+            # aliased position provably outside every post-rejection
+            # window (p <= seq_len-1+k aliases p - ring_span <=
+            # seq_len-1-window < first_requery - window + 1), so
+            # speculation stays safe at ANY sequence length for the cost
+            # of <= ceil(k/bs) extra pages per sequence.
+            self.block_sliding_window = -(
+                -(sliding_window + lookahead_slots) // block_size)
         self.watermark = watermark
         assert watermark >= 0.0
         self.enable_caching = enable_caching

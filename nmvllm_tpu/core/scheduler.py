@@ -130,7 +130,8 @@ class Scheduler:
             num_cpu_blocks=cache_config.num_cpu_blocks or 0,
             sliding_window=cache_config.sliding_window,
             enable_caching=cache_config.enable_prefix_caching,
-            data_parallel_size=data_parallel_size)
+            data_parallel_size=data_parallel_size,
+            lookahead_slots=scheduler_config.num_lookahead_slots)
 
         self.policy: Policy = PolicyFactory.get_policy("fcfs")
         self.waiting: Deque[SequenceGroup] = deque()

@@ -276,14 +276,14 @@ class LLMEngine:
         disable_bs = self.spec_config.speculative_disable_by_batch_size
         if disable_bs is not None and len(metas) > disable_bs:
             return None
-        # Sliding-window models use circular block tables: a speculative
-        # write at position >= window would land on the slot of a token
-        # that is STILL inside every later query's window, destroying live
-        # KV if the proposal is rejected. Speculate only while the whole
-        # run (k proposals + bonus) stays inside the window; rows past it
-        # decode normally (the verify step's single-token write is the
-        # ordinary decode write).
-        sw = self.model_config.get_sliding_window()
+        # Sliding-window models: the verify step's multi-query attention
+        # masks the window in-kernel (prefill_attention_with_paged_prefix
+        # sliding_window arg), and the block manager sizes the circular
+        # block table with `num_lookahead_slots` slots of headroom
+        # (block_manager.py __init__) so a REJECTED speculative write can
+        # only land on a ring slot whose aliased position is already
+        # outside every later query's window — speculation is safe at any
+        # sequence length.
         k_spec = self.spec_config.num_speculative_tokens
         eligible_rows = []
         for meta in metas:
@@ -297,7 +297,6 @@ class LLMEngine:
             # runs modified rejection sampling with one-hot proposals);
             # features the in-graph verifier doesn't model stay excluded.
             eligible = (sp is not None
-                        and (sw is None or data.get_len() + k_spec + 1 <= sw)
                         and not sp.logits_processors
                         and not sp.logit_bias
                         and data.get_output_len() >= sp.min_tokens)

@@ -215,12 +215,11 @@ def test_draft_kv_catchup_no_stale_rows():
 
 
 def test_sliding_window_spec_gated_and_exact():
-    """Sliding-window models speculate only while the whole run fits in
-    the window (circular block tables: a speculative write past the
-    window would destroy a LIVE slot if rejected; the verify step also
-    masks KV writes beyond each row's real inputs). Within the window,
-    an identical draft must accept ~everything; past it, spec gates off
-    but generation continues (llm_engine._maybe_propose_drafts)."""
+    """Sliding-window models speculate at ANY length (round 3): the ring
+    carries num_lookahead_slots of headroom so rejected draft writes
+    cannot alias live slots, and the verifier masks the window
+    in-kernel. An identical draft model must accept ~everything across
+    the window boundary."""
     from tests.models.utils import check_logprobs_close
     prompt = "abc abc abc abc"  # short: well inside the 64-token window
     sp = SamplingParams(temperature=0.0, max_tokens=48, ignore_eos=True,
@@ -273,3 +272,50 @@ def test_penalized_rows_speculate_and_match(baseline_llm, draft_spec_llm):
     assert after["num_drafted"] > before["num_drafted"]
     assert after["num_accepted"] > before["num_accepted"]
     check_logprobs_close(base, spec, "baseline", "penalized-spec")
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window models (mistral-style): speculation past the window.
+# The block manager gives the circular block table `num_lookahead_slots`
+# of ring headroom so rejected draft writes cannot alias live slots, and
+# the verifier masks the window in-kernel — so spec stays ON at any
+# sequence length (round-3 fix; previously rows past the window decoded
+# normally).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sw_baseline_llm():
+    return LLM(model="debug-mistral", num_gpu_blocks_override=96,
+               max_num_seqs=8, max_model_len=256)
+
+
+@pytest.fixture(scope="module")
+def sw_spec_llm():
+    return LLM(model="debug-mistral", num_gpu_blocks_override=96,
+               max_num_seqs=8, max_model_len=256,
+               ngram_prompt_lookup_max=3, ngram_prompt_lookup_min=1,
+               num_speculative_tokens=4)
+
+
+def test_sliding_window_greedy_equality_past_window(sw_baseline_llm,
+                                                    sw_spec_llm):
+    # debug-mistral has sliding_window=64; run every sequence well past
+    # it so speculative writes exercise the ring-wrap region.
+    from tests.models.utils import check_logprobs_close
+    base = " ".join(["tick tock"] * 20)          # ~40-token prompt
+    prompts = [base, base + " tick", "go go go go go go go go"]
+    sp = SamplingParams(temperature=0.0, max_tokens=48, logprobs=5)
+    want = sw_baseline_llm.generate(prompts, sp)
+    got = sw_spec_llm.generate(prompts, sp)
+    check_logprobs_close(want, got, "baseline", "spec")
+
+
+def test_sliding_window_spec_runs_past_window(sw_spec_llm):
+    engine = sw_spec_llm.llm_engine
+    before = dict(engine.spec_stats)
+    sp = SamplingParams(temperature=0.0, max_tokens=80)
+    out = sw_spec_llm.generate([" ".join(["ping pong"] * 16)], sp)
+    assert len(out[0].outputs[0].token_ids) == 80   # len > window + k
+    after = engine.spec_stats
+    assert after["num_spec_steps"] > before["num_spec_steps"]
+    assert after["num_drafted"] > before["num_drafted"]
