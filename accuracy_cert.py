@@ -1,0 +1,270 @@
+"""Accuracy certification rehearsal — produces ACCURACY_r{N}.json.
+
+The reference certifies accuracy by launching its OpenAI server on a real
+checkpoint and asserting GSM8K within rtol 0.02 of per-model ground
+truths (tests/accuracy/test_lm_eval_correctness.py:93,100-108 +
+.github/lm-eval-configs/models/*.yaml).  This environment has zero
+egress: no HF checkpoints, no datasets, no lm_eval package — so this
+script runs the SAME pipeline end-to-end on a synthetic certified model:
+
+1. Build an HF ``LlamaForCausalLM`` (real HF modeling code, seeded
+   weights, TPU-friendly geometry: head_dim 128).
+2. GPTQ-quantize it into the exact wire format of the reference's
+   certified W4A16 model (TechxGenus/Meta-Llama-3-8B-Instruct-GPTQ:
+   qweight/qzeros/scales safetensors + quantization_config) — asymmetric
+   4-bit, group 128, zeros stored with GPTQ's -1 bias.
+3. Certify HF ground truths with transformers (the reference's
+   nm-run-lm-eval-gsm-hf-baseline.sh analogue): mean NLL of a fixed
+   answer key on FP16 and on dequantized-INT4 weights, plus greedy
+   answers.
+4. Load BOTH checkpoints through this engine's production ingestion
+   path, score the same items through the public LLM surface, and
+   assert, at the certification rtol (0.02):
+     * engine NLL == HF NLL per checkpoint (serving-stack parity on a
+       REAL GPTQ-serialized checkpoint), and
+     * the INT4-vs-FP16 quality delta matches HF's delta.
+
+Usage:  python /root/repo/accuracy_cert.py [--out ACCURACY_r03.json]
+Works on the TPU tunnel (real Pallas serving path) and on CPU.
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+RTOL = 0.02            # the reference certification tolerance
+SEED = 20240820
+N_ITEMS = 24           # eval items ("questions")
+PROMPT_LEN = 24
+ANSWER_LEN = 8
+
+HIDDEN, INTER, LAYERS, HEADS, KV_HEADS, VOCAB = 512, 1024, 4, 4, 2, 1024
+GROUP = 128
+
+
+def build_hf_model():
+    import torch
+    import transformers as tf
+    cfg = tf.LlamaConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, intermediate_size=INTER,
+        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        num_key_value_heads=KV_HEADS, max_position_embeddings=2048,
+        head_dim=HIDDEN // HEADS, tie_word_embeddings=False)
+    torch.manual_seed(SEED)
+    model = tf.AutoModelForCausalLM.from_config(cfg)
+    return model.float().eval(), cfg
+
+
+def gptq_pack(w_t: np.ndarray, group: int):
+    """Asymmetric GPTQ 4-bit of a (k, n) weight -> wire-format tensors
+    and the dequantized (k, n) float array."""
+    k, n = w_t.shape
+    g = w_t.reshape(k // group, group, n)
+    wmax = g.max(axis=1)                       # (k//g, n)
+    wmin = g.min(axis=1)
+    scale = np.maximum((wmax - wmin) / 15.0, 1e-8)
+    zero = np.clip(np.round(-wmin / scale), 0, 15).astype(np.int32)
+    q = np.clip(np.round(g / scale[:, None, :]) + zero[:, None, :],
+                0, 15).astype(np.int32)       # (k//g, group, n)
+    deq = ((q - zero[:, None, :]) * scale[:, None, :]).reshape(k, n)
+    q = q.reshape(k, n)
+    qweight = np.zeros((k // 8, n), np.uint32)
+    for i in range(8):                        # 8 sequential k per word
+        qweight |= q[i::8].astype(np.uint32) << (4 * i)
+    qzeros = np.zeros((k // group, n // 8), np.uint32)
+    for i in range(8):                        # GPTQ stores zero-1
+        qzeros |= ((zero[:, i::8] - 1) & 0xF).astype(np.uint32) << (4 * i)
+    # ascontiguousarray: the max/min reductions above yield F-ordered
+    # arrays, and safetensors-numpy 0.8.0 serializes the raw buffer
+    # WITHOUT honoring strides — a non-contiguous array saves scrambled.
+    return (qweight.view(np.int32), qzeros.view(np.int32),
+            np.ascontiguousarray(scale.astype(np.float16)), deq)
+
+
+def write_gptq_checkpoint(model, cfg, out_dir):
+    """Serialize the HF model in the reference W4A16 wire format; returns
+    a dequantized-INT4 copy of the HF model for ground-truth scoring."""
+    import copy
+    import torch
+    from safetensors.numpy import save_file
+    qmodel = copy.deepcopy(model)
+    tensors = {}
+    for name, p in model.named_parameters():
+        arr = p.detach().numpy()
+        is_linear = (name.endswith(".weight") and arr.ndim == 2
+                     and "embed_tokens" not in name
+                     and "lm_head" not in name
+                     and "norm" not in name)
+        if not is_linear:
+            tensors[name] = arr.astype(np.float32)
+            continue
+        base = name[:-len(".weight")]
+        qw, qz, sc, deq = gptq_pack(arr.T.astype(np.float32), GROUP)
+        tensors[base + ".qweight"] = qw
+        tensors[base + ".qzeros"] = qz
+        tensors[base + ".scales"] = sc
+        with torch.no_grad():
+            dict(qmodel.named_parameters())[name].copy_(
+                torch.from_numpy(deq.T.copy()))
+    os.makedirs(out_dir, exist_ok=True)
+    tensors = {k: np.ascontiguousarray(v) for k, v in tensors.items()}
+    save_file(tensors, os.path.join(out_dir, "model.safetensors"))
+    d = cfg.to_dict()
+    d["architectures"] = ["LlamaForCausalLM"]
+    d["quantization_config"] = {
+        "quant_method": "gptq", "bits": 4, "group_size": GROUP,
+        "desc_act": False, "sym": False}
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(d, f)
+    return qmodel.eval()
+
+
+def make_items(model):
+    """Fixed eval set: prompts + the FP16 model's greedy answers (the
+    'answer key' both stacks are scored against, like GSM8K answers)."""
+    import torch
+    rng = np.random.default_rng(SEED)
+    prompts = rng.integers(4, VOCAB, (N_ITEMS, PROMPT_LEN)).tolist()
+    answers = []
+    with torch.no_grad():
+        for p in prompts:
+            ids = torch.tensor([p])
+            out = model.generate(ids, max_new_tokens=ANSWER_LEN,
+                                 do_sample=False)
+            answers.append(out[0, PROMPT_LEN:].tolist())
+    return prompts, answers
+
+
+def hf_greedy(model, prompts):
+    """Greedy continuations under an HF model (per-checkpoint key)."""
+    import torch
+    outs = []
+    with torch.no_grad():
+        for p in prompts:
+            out = model.generate(torch.tensor([p]),
+                                 max_new_tokens=ANSWER_LEN,
+                                 do_sample=False)
+            outs.append(out[0, PROMPT_LEN:].tolist())
+    return outs
+
+
+def hf_nll(model, prompts, answers):
+    """Mean per-token NLL of the answer key under an HF model."""
+    import torch
+    tot, cnt = 0.0, 0
+    with torch.no_grad():
+        for p, a in zip(prompts, answers):
+            ids = torch.tensor([p + a])
+            logits = model(ids).logits[0].float()
+            lp = torch.log_softmax(logits, dim=-1)
+            for j, tok in enumerate(a):
+                tot -= float(lp[PROMPT_LEN - 1 + j, tok])
+                cnt += 1
+    return tot / cnt
+
+
+def engine_nll(model_dir, prompts, answers, greedy_key=None):
+    """Same metric through the engine's public LLM surface (prompt
+    logprobs over prompt+answer), plus greedy agreement against the
+    SAME checkpoint's HF greedy continuations (`greedy_key`) — serving
+    stacks running identical weights must agree token-for-token except
+    at near-ties."""
+    from nmvllm_tpu import LLM, SamplingParams
+    llm = LLM(model=str(model_dir), dtype="float32",
+              num_gpu_blocks_override=192, max_num_seqs=8,
+              max_model_len=128)
+    seqs = [p + a for p, a in zip(prompts, answers)]
+    outs = llm.generate(prompt_token_ids=seqs,
+                        sampling_params=SamplingParams(
+                            temperature=0.0, max_tokens=1,
+                            prompt_logprobs=1))
+    tot, cnt = 0.0, 0
+    for out, a in zip(outs, answers):
+        plp = out.prompt_logprobs
+        for j, tok in enumerate(a):
+            tot -= plp[PROMPT_LEN + j][tok].logprob
+            cnt += 1
+    greedy_agree = None
+    if greedy_key is not None:
+        gouts = llm.generate(prompt_token_ids=list(prompts),
+                             sampling_params=SamplingParams(
+                                 temperature=0.0, max_tokens=ANSWER_LEN))
+        match = sum(
+            g.outputs[0].token_ids[i] == a[i]
+            for g, a in zip(gouts, greedy_key)
+            for i in range(min(len(g.outputs[0].token_ids), ANSWER_LEN)))
+        greedy_agree = match / (N_ITEMS * ANSWER_LEN)
+    del llm
+    return tot / cnt, greedy_agree
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="ACCURACY_r03.json")
+    ap.add_argument("--workdir", default="/tmp/nmvllm_accuracy_cert")
+    args = ap.parse_args()
+
+    import jax
+    platform = jax.devices()[0].platform
+
+    model, cfg = build_hf_model()
+    fp16_dir = os.path.join(args.workdir, "fp16")
+    gptq_dir = os.path.join(args.workdir, "gptq-w4a16")
+    model.save_pretrained(fp16_dir, safe_serialization=True)
+    qmodel = write_gptq_checkpoint(model, cfg, gptq_dir)
+
+    prompts, answers = make_items(model)
+    # HF-certified ground truths (the lm-eval-configs analogue).
+    nll_fp16_hf = hf_nll(model, prompts, answers)
+    nll_int4_hf = hf_nll(qmodel, prompts, answers)
+    greedy_int4_hf = hf_greedy(qmodel, prompts)
+    del model, qmodel
+
+    nll_fp16_eng, _ = engine_nll(fp16_dir, prompts, answers)
+    nll_int4_eng, greedy_agree = engine_nll(gptq_dir, prompts, answers,
+                                            greedy_key=greedy_int4_hf)
+
+    def rel(a, b):
+        return abs(a - b) / max(abs(b), 1e-9)
+
+    delta_hf = nll_int4_hf - nll_fp16_hf
+    delta_eng = nll_int4_eng - nll_fp16_eng
+    checks = {
+        "fp16_engine_matches_hf": rel(nll_fp16_eng, nll_fp16_hf) <= RTOL,
+        "int4_engine_matches_hf": rel(nll_int4_eng, nll_int4_hf) <= RTOL,
+        # INT4 quality cost through the engine == through HF (abs diff of
+        # the deltas, scaled by the fp16 NLL).
+        "quant_delta_matches": abs(delta_eng - delta_hf) /
+        max(nll_fp16_hf, 1e-9) <= RTOL,
+    }
+    result = {
+        "metric": "accuracy_certification_rehearsal[gptq-w4a16-llama]",
+        "platform": platform,
+        "rtol": RTOL,
+        "items": N_ITEMS, "answer_len": ANSWER_LEN,
+        "nll_fp16_hf": round(nll_fp16_hf, 6),
+        "nll_fp16_engine": round(nll_fp16_eng, 6),
+        "nll_int4_hf": round(nll_int4_hf, 6),
+        "nll_int4_engine": round(nll_int4_eng, 6),
+        "int4_delta_hf": round(delta_hf, 6),
+        "int4_delta_engine": round(delta_eng, 6),
+        "greedy_agreement_int4": greedy_agree,
+        "checks": checks,
+        "pass": all(checks.values()),
+        "ground_truths_ported": 16,
+        "note": ("zero-egress environment: real GSM8K/lm_eval/checkpoints "
+                 "unreachable; this certifies the identical pipeline "
+                 "(GPTQ wire-format checkpoint -> engine ingestion -> "
+                 "serving surface -> NLL scoring) against HF transformers "
+                 "ground truths at the reference rtol"),
+    }
+    print(json.dumps(result))
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    sys.exit(0 if result["pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,14 +18,29 @@ import pytest
 RTOL = 0.02
 # Ground truths from the reference's certified lm-eval configs
 # (.github/lm-eval-configs/models/*.yaml; see BASELINE.md).
+def _gt(strict, flexible):
+    return {"exact_match,strict-match": strict,
+            "exact_match,flexible-extract": flexible}
+
+
+# All 16 certified configs (reference .github/lm-eval-configs/models/).
 GROUND_TRUTHS = {
-    "Meta-Llama-3-8B-Instruct": {"exact_match,strict-match": 0.740,
-                                 "exact_match,flexible-extract": 0.740},
-    "Meta-Llama-3-8B-Instruct-W4A16": {"exact_match,strict-match": 0.684,
-                                       "exact_match,flexible-extract":
-                                           0.688},
-    "Meta-Llama-3-8B-Instruct-FP8": {"exact_match,strict-match": 0.744,
-                                     "exact_match,flexible-extract": 0.740},
+    "Meta-Llama-3-8B-Instruct": _gt(0.740, 0.740),
+    "Meta-Llama-3-8B-Instruct-W4A16": _gt(0.684, 0.688),
+    "Meta-Llama-3-8B-Instruct-FP8": _gt(0.744, 0.740),
+    "Meta-Llama-3-8B-Instruct-FP8-KV": _gt(0.764, 0.764),
+    "Meta-Llama-3-70B-Instruct": _gt(0.888, 0.888),
+    "Meta-Llama-3-70B-Instruct-FP8": _gt(0.900, 0.900),
+    "Mistral-7B-Instruct-v0.3": _gt(0.524, 0.524),
+    "Mixtral-8x7B-Instruct-v0.1": _gt(0.616, 0.628),
+    "Mixtral-8x7B-Instruct-v0.1-FP8": _gt(0.616, 0.620),
+    "Mixtral-8x22B-Instruct-v0.1": _gt(0.876, 0.880),
+    "Mixtral-8x22B-Instruct-v0.1-FP8": _gt(0.840, 0.844),
+    "Qwen2-7B-Instruct": _gt(0.680, 0.756),
+    "Qwen2-57B-A14B-Instruct": _gt(0.736, 0.800),
+    "Qwen2-72B-Instruct": _gt(0.828, 0.856),
+    "Phi-3-medium-4k-instruct": _gt(0.840, 0.852),
+    "gemma-7b-it": _gt(0.284, 0.324),
 }
 
 MODEL_DIR = os.environ.get("NMVLLM_LM_EVAL_MODEL", "")
