@@ -121,6 +121,44 @@ def write_gptq_checkpoint(model, cfg, out_dir):
     return qmodel.eval()
 
 
+def write_fp8_checkpoint(model, cfg, out_dir):
+    """Serialize the HF model in the reference's FP8 wire format
+    (float8_e4m3fn weights + per-tensor weight_scale — reference
+    fp8.py:92-108 ingestion); returns the dequantized-FP8 HF copy."""
+    import copy
+    import torch
+    from safetensors.torch import save_file
+    _FP8_MAX = 448.0
+    qmodel = copy.deepcopy(model)
+    tensors = {}
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            w = p.detach().float()
+            is_linear = (name.endswith(".weight") and w.ndim == 2
+                         and "embed_tokens" not in name
+                         and "lm_head" not in name
+                         and "norm" not in name)
+            if not is_linear:
+                tensors[name] = w.contiguous()
+                continue
+            base = name[:-len(".weight")]
+            scale = torch.clamp(w.abs().max() / _FP8_MAX, min=1e-12)
+            q = (w / scale).to(torch.float8_e4m3fn)
+            tensors[base + ".weight"] = q
+            tensors[base + ".weight_scale"] = scale.reshape(())
+            deq = q.float() * scale
+            dict(qmodel.named_parameters())[name].copy_(deq)
+    os.makedirs(out_dir, exist_ok=True)
+    save_file(tensors, os.path.join(out_dir, "model.safetensors"))
+    d = cfg.to_dict()
+    d["architectures"] = ["LlamaForCausalLM"]
+    d["quantization_config"] = {"quant_method": "fp8",
+                                "activation_scheme": "dynamic"}
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(d, f)
+    return qmodel.eval()
+
+
 def make_items(model):
     """Fixed eval set: prompts + the FP16 model's greedy answers (the
     'answer key' both stacks are scored against, like GSM8K answers)."""
@@ -212,19 +250,23 @@ def main():
     model, cfg = build_hf_model()
     fp16_dir = os.path.join(args.workdir, "fp16")
     gptq_dir = os.path.join(args.workdir, "gptq-w4a16")
+    fp8_dir = os.path.join(args.workdir, "fp8-w8a16")
     model.save_pretrained(fp16_dir, safe_serialization=True)
     qmodel = write_gptq_checkpoint(model, cfg, gptq_dir)
+    f8model = write_fp8_checkpoint(model, cfg, fp8_dir)
 
     prompts, answers = make_items(model)
     # HF-certified ground truths (the lm-eval-configs analogue).
     nll_fp16_hf = hf_nll(model, prompts, answers)
     nll_int4_hf = hf_nll(qmodel, prompts, answers)
+    nll_fp8_hf = hf_nll(f8model, prompts, answers)
     greedy_int4_hf = hf_greedy(qmodel, prompts)
-    del model, qmodel
+    del model, qmodel, f8model
 
     nll_fp16_eng, _ = engine_nll(fp16_dir, prompts, answers)
     nll_int4_eng, greedy_agree = engine_nll(gptq_dir, prompts, answers,
                                             greedy_key=greedy_int4_hf)
+    nll_fp8_eng, _ = engine_nll(fp8_dir, prompts, answers)
 
     def rel(a, b):
         return abs(a - b) / max(abs(b), 1e-9)
@@ -234,6 +276,7 @@ def main():
     checks = {
         "fp16_engine_matches_hf": rel(nll_fp16_eng, nll_fp16_hf) <= RTOL,
         "int4_engine_matches_hf": rel(nll_int4_eng, nll_int4_hf) <= RTOL,
+        "fp8_engine_matches_hf": rel(nll_fp8_eng, nll_fp8_hf) <= RTOL,
         # INT4 quality cost through the engine == through HF (abs diff of
         # the deltas, scaled by the fp16 NLL).
         "quant_delta_matches": abs(delta_eng - delta_hf) /
@@ -250,6 +293,8 @@ def main():
         "nll_int4_engine": round(nll_int4_eng, 6),
         "int4_delta_hf": round(delta_hf, 6),
         "int4_delta_engine": round(delta_eng, 6),
+        "nll_fp8_hf": round(nll_fp8_hf, 6),
+        "nll_fp8_engine": round(nll_fp8_eng, 6),
         "greedy_agreement_int4": greedy_agree,
         "checks": checks,
         "pass": all(checks.values()),

@@ -38,6 +38,48 @@ def detect_hbm_gbps() -> float:
     return 819.0
 
 
+def measure_hbm_gbps(size_mb: int = 512, reps: int = 8) -> float:
+    """Achievable HBM read bandwidth via chained in-graph reductions.
+    The tunnel charges ~0.5 ms per scan ITERATION regardless of body
+    (docs/PERF_NOTES.md round 3), so two chain depths are differenced:
+    per-read = (t_4 - t_1) / 3."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    rows = size_mb * 1024 * 1024 // 256
+    x = jax.random.normal(jax.random.PRNGKey(0), (rows, 128),
+                          jnp.bfloat16)
+
+    def mk(nper):
+        @jax.jit
+        def many(c):
+            def body(c, _):
+                for _ in range(nper):
+                    # The carry scales the whole read: each pass depends
+                    # on the previous (no CSE / hoisting).
+                    s = jnp.sum(x * c, dtype=jnp.float32)
+                    c = (s * jnp.float32(1e-12)).astype(jnp.bfloat16)
+                return c, ()
+            c, _ = jax.lax.scan(body, c, None, length=reps)
+            return c
+        return many
+
+    def timed(fn, c):
+        c = fn(c)
+        np.asarray(c)                 # fence
+        t0 = time.perf_counter()
+        c = fn(c)
+        np.asarray(c)
+        return (time.perf_counter() - t0) / reps
+
+    t1 = timed(mk(1), jnp.bfloat16(1))
+    t4 = timed(mk(4), jnp.bfloat16(1))
+    per_read = max((t4 - t1) / 3, 1e-9)
+    return size_mb * 1e6 / per_read / 1e9
+
+
 def count_quant_param_bytes(params) -> int:
     import jax
     total = 0
@@ -318,12 +360,20 @@ def main():
             block_size=args.block_size)
     hbm = detect_hbm_gbps()
     roof = roofline_tokens_per_s(params_bytes, hbm, batch, kv_bytes)
+    measured_bw = measure_hbm_gbps()
     print(json.dumps({
         "metric": f"decode_tokens_per_s_per_chip[{model_name}"
                   f"{'+' + quant if quant else ''},B={batch},ctx={ctx}]",
         "value": round(tokens_per_s, 2),
         "unit": "tokens/s/chip",
+        # vs the SPEC-sheet roofline (819 GB/s v5e). The tunnel device
+        # achieves far less: hbm_measured_gbps is the best chained
+        # full-HBM read XLA can do here (docs/PERF_NOTES.md round 3);
+        # vs_achievable re-rooflines against it.
         "vs_baseline": round(tokens_per_s / roof, 4),
+        "hbm_measured_gbps": round(measured_bw, 1),
+        "vs_achievable": round(tokens_per_s / roofline_tokens_per_s(
+            params_bytes, measured_bw, batch, kv_bytes), 4),
     }))
 
 

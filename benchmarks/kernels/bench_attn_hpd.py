@@ -39,31 +39,44 @@ def bench_config(hpd, ppcb, *, batch, kv_heads, q_heads, head, ctx,
         ws = jnp.asarray((np.arange(batch) * bpp + bpp - 1) * block_size
                          + (ctx - 1) % block_size, jnp.int32)
 
-    @jax.jit
-    def many(q, kv):
-        def body(carry, _):
-            q, kv = carry
-            if fused:
-                o, kv = paged_attention(
-                    q, kv, bt, cl, scale=scale,
-                    pages_per_compute_block=ppcb,
-                    new_k=nk, new_v=nk, write_slots=ws)
-            else:
-                o = paged_attention(q, kv, bt, cl, scale=scale,
-                                    pages_per_compute_block=ppcb)
-            # Chain: output becomes the next query (defeats hoisting).
-            return (o.astype(q.dtype), kv), ()
-        (q, kv), _ = jax.lax.scan(body, (q, kv), None, length=reps)
-        return q, kv
+    def mk(nper, sc):
+        @jax.jit
+        def many(q, kv):
+            def body(carry, _):
+                q, kv = carry
+                for _ in range(nper):
+                    if fused:
+                        o, kv = paged_attention(
+                            q, kv, bt, cl, scale=sc,
+                            pages_per_compute_block=ppcb,
+                            new_k=nk, new_v=nk, write_slots=ws)
+                    else:
+                        o = paged_attention(q, kv, bt, cl, scale=sc,
+                                            pages_per_compute_block=ppcb)
+                    # Chain: output is the next query (defeats hoisting).
+                    q = o.astype(q.dtype)
+                return (q, kv), ()
+            (q, kv), _ = jax.lax.scan(body, (q, kv), None, length=reps)
+            return q, kv
+        return many
 
-    t0 = time.perf_counter()
-    q2, kv = many(q, kv)
-    jax.block_until_ready(q2)
-    compile_and_run = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    q2, kv = many(q2, kv)
-    jax.block_until_ready(q2)
-    dt = (time.perf_counter() - t0) / reps
+    def timed(fn, q, kv):
+        import numpy as _np
+        q2, kv2 = fn(q, kv)
+        _np.asarray(q2[:1, :1, :1])          # fence
+        t0 = time.perf_counter()
+        q2, kv2 = fn(q2, kv2)
+        _np.asarray(q2[:1, :1, :1])
+        return (time.perf_counter() - t0) / reps, kv2
+
+    # The tunnel charges ~0.5 ms PER SCAN ITERATION regardless of body
+    # (docs/PERF_NOTES.md round 3): difference two chain depths so the
+    # per-call time excludes it.
+    t0c = time.perf_counter()
+    t1, kv = timed(mk(1, scale), q, kv)
+    compile_and_run = time.perf_counter() - t0c
+    t5, kv = timed(mk(5, scale * (1 + 1e-9)), q, kv)
+    dt = (t5 - t1) / 4
     kv_bytes = 2 * batch * ctx * kv_heads * head * 2
     return dt, kv_bytes / dt / 1e9, compile_and_run
 

@@ -296,6 +296,7 @@ class ParallelConfig:
         tensor_parallel_size: int = 1,
         data_parallel_size: int = 1,
         expert_parallel_size: int = 1,
+        sequence_parallel_size: int = 1,
         max_parallel_loading_workers: Optional[int] = None,
         disable_custom_all_reduce: bool = False,
         ray_workers_use_nsight: bool = False,
@@ -307,6 +308,7 @@ class ParallelConfig:
         self.tensor_parallel_size = tensor_parallel_size
         self.data_parallel_size = data_parallel_size
         self.expert_parallel_size = expert_parallel_size
+        self.sequence_parallel_size = sequence_parallel_size
         self.max_parallel_loading_workers = max_parallel_loading_workers
         self.disable_custom_all_reduce = disable_custom_all_reduce
         self.ray_workers_use_nsight = ray_workers_use_nsight
@@ -317,12 +319,13 @@ class ParallelConfig:
         # replicated — ops/moe.py fused_moe_ep), so it does not multiply
         # the world size.
         self.world_size = (pipeline_parallel_size * tensor_parallel_size *
-                           data_parallel_size)
+                           data_parallel_size * sequence_parallel_size)
         self._verify_args()
 
     def _verify_args(self) -> None:
         for name in ("pipeline_parallel_size", "tensor_parallel_size",
-                     "data_parallel_size", "expert_parallel_size"):
+                     "data_parallel_size", "expert_parallel_size",
+                     "sequence_parallel_size"):
             if getattr(self, name) < 1:
                 raise ValueError(f"{name} must be >= 1.")
         if self.expert_parallel_size not in (1, self.tensor_parallel_size):
@@ -330,10 +333,17 @@ class ParallelConfig:
                 "expert_parallel_size must be 1 or equal to "
                 "tensor_parallel_size (EP shards the expert stacks over "
                 "the tp mesh axis).")
+        if self.sequence_parallel_size > 1 and (
+                self.data_parallel_size > 1 or
+                self.pipeline_parallel_size > 1):
+            raise ValueError(
+                "sequence_parallel_size > 1 composes with tensor "
+                "parallelism only (not data/pipeline parallelism).")
 
     @property
     def mesh_shape(self) -> Tuple[int, ...]:
-        return (self.data_parallel_size, self.tensor_parallel_size)
+        return (self.data_parallel_size, self.sequence_parallel_size,
+                self.tensor_parallel_size)
 
 
 class SchedulerConfig:

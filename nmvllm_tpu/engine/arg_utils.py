@@ -39,6 +39,7 @@ class EngineArgs:
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
     expert_parallel_size: int = 1
+    sequence_parallel_size: int = 1
     # KV cache
     block_size: int = 16
     enable_prefix_caching: bool = False
@@ -138,6 +139,7 @@ class EngineArgs:
             tensor_parallel_size=self.tensor_parallel_size,
             data_parallel_size=self.data_parallel_size,
             expert_parallel_size=self.expert_parallel_size,
+            sequence_parallel_size=self.sequence_parallel_size,
             disable_custom_all_reduce=self.disable_custom_all_reduce,
             tokenizer_pool_config=TokenizerPoolConfig.create_config(
                 self.tokenizer_pool_size, self.tokenizer_pool_type,

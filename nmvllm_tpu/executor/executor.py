@@ -56,8 +56,22 @@ class TPUExecutor:
                 if engine_config.lora_config is not None:
                     raise ValueError("LoRA is not supported with "
                                      "data_parallel_size > 1.")
-            self.mesh = build_mesh(parallel.data_parallel_size,
-                                   parallel.tensor_parallel_size)
+            if parallel.sequence_parallel_size > 1:
+                # Sequence-parallel (ring-attention) prefill supports
+                # plain causal attention on full, unchunked prompts.
+                if engine_config.scheduler_config.chunked_prefill_enabled:
+                    raise ValueError("sequence_parallel_size > 1 does "
+                                     "not support chunked prefill.")
+                if engine_config.cache_config.enable_prefix_caching:
+                    raise ValueError("sequence_parallel_size > 1 does "
+                                     "not support prefix caching.")
+                if engine_config.speculative_config is not None:
+                    raise ValueError("sequence_parallel_size > 1 does "
+                                     "not support speculative decoding.")
+            self.mesh = build_mesh(
+                parallel.data_parallel_size,
+                parallel.tensor_parallel_size,
+                sequence_parallel_size=parallel.sequence_parallel_size)
             set_global_mesh(self.mesh)
             self._maybe_init_compile_cache()
             self.runner = ModelRunner(engine_config, self.mesh)
@@ -66,6 +80,11 @@ class TPUExecutor:
                 getattr(self.runner.model, "has_state_layers", False)):
             raise ValueError("Stateful (Mamba/Jamba) models are not "
                              "supported with data_parallel_size > 1.")
+        if (parallel.sequence_parallel_size > 1 and
+                getattr(self.runner.model, "has_state_layers", False)):
+            raise ValueError("Stateful (Mamba/Jamba) models are not "
+                             "supported with sequence_parallel_size > 1 "
+                             "(the state scan cannot shard along tokens).")
         self.cache_engine: Optional[CacheEngine] = None
         # Draft-model speculative decoding (reference SpecDecodeWorker /
         # MultiStepWorker): a second runner + KV pool; the draft's KV is

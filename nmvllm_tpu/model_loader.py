@@ -146,25 +146,64 @@ def load_safetensors_weights(model, params, model_dir: str, mesh,
         _set_in(params, path, arr)
         loaded += 1
 
+    def get_np(f, fpath, name):
+        """framework="np" get_tensor with an FP8 fallback: numpy has no
+        float8 dtypes, so FP8-serialized checkpoints (reference
+        fp8.py:92-108 ingests these directly) are read through the torch
+        frontend and viewed as the matching ml_dtypes float8."""
+        try:
+            return f.get_tensor(name)
+        except (TypeError, AttributeError, ValueError, KeyError):
+            dtype = f.get_slice(name).get_dtype()
+            if dtype not in ("F8_E4M3", "F8_E5M2"):
+                raise
+            import ml_dtypes
+            import torch
+            with safe_open(fpath, framework="pt") as ft:
+                t = ft.get_tensor(name)
+            np_dt = (ml_dtypes.float8_e4m3fn if dtype == "F8_E4M3"
+                     else ml_dtypes.float8_e5m2)
+            return t.view(torch.uint8).numpy().view(np_dt)
+
     for fname in files:
-        with safe_open(os.path.join(model_dir, fname), framework="np") as f:
+        fpath = os.path.join(model_dir, fname)
+        with safe_open(fpath, framework="np") as f:
             for tensor_name in f.keys():
                 # Quantized-layer tensors: buffer by layer prefix.
                 if tensor_name.endswith(_QUANT_SUFFIXES):
                     prefix, suffix = tensor_name.rsplit(".", 1)
                     quant_groups.setdefault(prefix, {})[suffix] = \
-                        f.get_tensor(tensor_name)
+                        get_np(f, fpath, tensor_name)
                     continue
                 # Mixtral experts: model.layers.N...experts.E.w{1,2,3}...
                 if ".experts." in tensor_name:
                     layer_prefix, rest = tensor_name.split(".experts.", 1)
                     expert_groups.setdefault(layer_prefix, {})[rest] = \
-                        f.get_tensor(tensor_name)
+                        get_np(f, fpath, tensor_name)
                     continue
                 if tensor_name not in name_map:
                     continue
                 path, transform = name_map[tensor_name]
-                arr = f.get_tensor(tensor_name)
+                arr = get_np(f, fpath, tensor_name)
+                head = getattr(model, "lm_head", None)
+                if (len(path) >= 2 and path[-2] == "lm_head"
+                        and path[-1] == "weight" and head is not None
+                        and getattr(head, "quant_method", None)
+                        is not None):
+                    # NMVLLM_QUANT_LM_HEAD: the param tree holds the
+                    # quantized layout (qweight/scales/zeros), not a
+                    # dense weight — pad the vocab and quantize on the
+                    # way in (embedding.py quantize_loaded).
+                    parent = _get_in(params, path[:-1])
+                    pad = head.padded_vocab - arr.shape[0]
+                    if pad > 0:
+                        arr = np.pad(arr, ((0, pad), (0, 0)))
+                    qparams = head.quantize_loaded(
+                        {"weight": jnp.asarray(arr, jnp.float32)})
+                    for qk, qv in qparams.items():
+                        if qk in parent:
+                            put(path[:-1] + (qk,), qv, cast=True)
+                    continue
                 if transform == "transpose":
                     arr = np.ascontiguousarray(arr.T)
                 elif transform == "pad_vocab":
@@ -310,7 +349,11 @@ def _load_quant_groups(model, params, name_map, quant_groups, quant_name,
         path, _ = name_map[weight_key]
         layer_path = path[:-1]
         if "weight_scale" in tensors:  # FP8-serialized checkpoint
-            put(layer_path + ("weight",), tensors.get("weight"), cast=True)
+            # The fp8 weight itself is not a quant-suffixed tensor: it
+            # landed through the regular name_map path (with its
+            # transpose transform) — only the scale arrives here.
+            if "weight" in tensors:
+                put(layer_path + ("weight",), tensors["weight"], cast=True)
             put(layer_path + ("weight_scale",), tensors["weight_scale"])
             continue
         if quant_name == "squeezellm":

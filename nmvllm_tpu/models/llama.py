@@ -203,7 +203,41 @@ class Attention:
 
         bs3, bs_offs = self._blocksparse_args()
         alibi = self._alibi_args()
-        if is_prefill:
+        from nmvllm_tpu.parallel.ring_attention import active_sp_axis
+        sp_axis = active_sp_axis() if is_prefill else None
+        if sp_axis is not None:
+            # Sequence-parallel prefill: this device holds the chunk's
+            # [idx*t, (idx+1)*t) token slice. Attention runs as a K/V
+            # ring over the sp axis (parallel/ring_attention.py); the
+            # replicated KV pool takes the FULL chunk's rows on every
+            # sp shard (all_gather over sp) so decode sees a consistent
+            # cache on all replicas.
+            if has_prefix:
+                raise NotImplementedError(
+                    "sequence-parallel prefill with a paged prefix "
+                    "(chunked prefill / prefix cache) is not supported")
+            if (self.sliding_window or self.attn_logit_soft_cap or
+                    alibi is not None or bs3 is not None):
+                raise NotImplementedError(
+                    "sequence-parallel prefill supports plain causal "
+                    "attention only (no sliding window / soft cap / "
+                    "alibi / blocksparse)")
+            from nmvllm_tpu.parallel.ring_attention import (
+                ring_prefill_attention)
+            kf = flat_k.reshape(b, t, self.kv_heads, self.head_dim)
+            vf = flat_v.reshape(b, t, self.kv_heads, self.head_dim)
+            kg = jax.lax.all_gather(kf, sp_axis, axis=1, tiled=True)
+            vg = jax.lax.all_gather(vf, sp_axis, axis=1, tiled=True)
+            slots_g = jax.lax.all_gather(meta.slot_mapping, sp_axis,
+                                         axis=1, tiled=True)
+            kv_cache = write_to_kv_cache(
+                kv_cache,
+                kg.reshape(-1, self.kv_heads, self.head_dim),
+                vg.reshape(-1, self.kv_heads, self.head_dim),
+                slots_g.reshape(-1))
+            o = ring_prefill_attention(q, k, v, meta.seq_lens,
+                                       axis_name=sp_axis, scale=self.scale)
+        elif is_prefill:
             kv_cache = write_to_kv_cache(
                 kv_cache, flat_k, flat_v, meta.slot_mapping.reshape(b * t))
             if has_prefix:

@@ -32,16 +32,15 @@ from nmvllm_tpu.utils import round_up
 def _paired_dequant(w_words, scales_row, zeros_row, cdtype):
     """(wpg, bn) int32 packed words -> (g, bn) dequantized cdtype.
 
-    Paired layout: ONE masked shift per 2 weights, bitcast int32->int16
-    (free), astype int16->cdtype (no sublane relayout for bf16)."""
-    mask = jnp.int32(0x000F000F)
-    parts = []
-    for mshift in range(4):
-        p = jax.lax.shift_right_logical(w_words, jnp.int32(4 * mshift)) \
-            & mask
-        parts.append(pltpu.bitcast(p, jnp.int16))
-    wd = jnp.concatenate(parts, axis=0).astype(cdtype)
-    return (wd - zeros_row.astype(cdtype)) * scales_row.astype(cdtype)
+    Shares quant_matmul's unpack: for bf16 the nibble is OR'd straight
+    into a bf16 mantissa (no int->float convert instruction,
+    NMVLLM_W4_MAGIC); otherwise masked-shift + int16 bitcast + astype."""
+    from nmvllm_tpu.ops.quant_matmul import _unpack_group
+    wd, bias = _unpack_group(w_words, cdtype)
+    zg = zeros_row.astype(cdtype)
+    if bias:
+        zg = zg + bias                     # exact: integer <= 143
+    return (wd - zg) * scales_row.astype(cdtype)
 
 
 def _fused_mlp_kernel(x_ref, nw_ref, g_qw_ref, g_s_ref, g_z_ref,

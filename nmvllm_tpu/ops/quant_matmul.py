@@ -205,6 +205,39 @@ def _quant_matmul_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _w4_magic_enabled() -> bool:
+    import os
+    return os.getenv("NMVLLM_W4_MAGIC", "1") not in ("0", "false")
+
+
+def _unpack_group(w, cdtype):
+    """(wpg, bn) int32 paired words -> (8*wpg, bn) cdtype nibble values.
+
+    bf16 fast path (NMVLLM_W4_MAGIC, default on): OR each nibble into a
+    bf16 mantissa — 0x4300 | n bitcasts to 128 + n exactly (exp 134,
+    mantissa ulp 1) — so there is NO int->float convert instruction at
+    all; the caller subtracts a (128 + z) zero-bias instead of z.
+    Returns (values, bias) where dequant = (values - (bias + z)) * s and
+    every intermediate is an exact small integer in cdtype.
+
+    Fallback (f32 compute, or flag off): masked-shift to int16 pairs +
+    astype (same (16,128) tile geometry, no relayout)."""
+    mask = jnp.int32(0x000F000F)
+    if cdtype == jnp.bfloat16 and _w4_magic_enabled():
+        magic = jnp.int32(0x43004300)
+        parts = []
+        for m in range(4):
+            p = (jax.lax.shift_right_logical(w, jnp.int32(4 * m)) & mask
+                 ) | magic
+            parts.append(pltpu.bitcast(p, jnp.bfloat16))
+        return jnp.concatenate(parts, axis=0), 128
+    parts = []
+    for m in range(4):
+        p = jax.lax.shift_right_logical(w, jnp.int32(4 * m)) & mask
+        parts.append(pltpu.bitcast(p, jnp.int16))
+    return jnp.concatenate(parts, axis=0).astype(cdtype), 0
+
+
 def _w4_paired_kernel(x_ref, *refs, group_size: int, bk: int,
                       has_res: bool = False):
     """Relayout-free paired W4 dequant-GEMM (docs/PERF_NOTES.md).
@@ -237,17 +270,14 @@ def _w4_paired_kernel(x_ref, *refs, group_size: int, bk: int,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     g0 = pl.program_id(2) * gpb
-    mask = jnp.int32(0x000F000F)
 
     def per_group(gi, _):
         w = w_ref[pl.ds(pl.multiple_of(gi * wpg, wpg), wpg), :]
-        parts = []
-        for m in range(4):
-            p = jax.lax.shift_right_logical(w, jnp.int32(4 * m)) & mask
-            parts.append(pltpu.bitcast(p, jnp.int16))
-        wd = jnp.concatenate(parts, axis=0).astype(cdtype)
+        wd, bias = _unpack_group(w, cdtype)
         sg = s_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
         zg = z_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
+        if bias:
+            zg = zg + bias                 # exact: integer <= 143
         deq_ref[pl.ds(pl.multiple_of(gi * g, g), g), :] = (wd - zg) * sg
         return 0
 
@@ -335,17 +365,14 @@ def _w4_paired_prologue_kernel(x_ref, aux_ref, *refs, group_size: int,
             act.astype(cdtype)
 
     g0 = kk * gpb
-    mask = jnp.int32(0x000F000F)
 
     def per_group(gi, _):
         w = w_ref[pl.ds(pl.multiple_of(gi * wpg, wpg), wpg), :]
-        parts = []
-        for m in range(4):
-            p = jax.lax.shift_right_logical(w, jnp.int32(4 * m)) & mask
-            parts.append(pltpu.bitcast(p, jnp.int16))
-        wd = jnp.concatenate(parts, axis=0).astype(cdtype)
+        wd, bias = _unpack_group(w, cdtype)
         sg = s_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
         zg = z_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
+        if bias:
+            zg = zg + bias                 # exact: integer <= 143
         deq_ref[pl.ds(pl.multiple_of(gi * g, g), g), :] = (wd - zg) * sg
         return 0
 

@@ -71,7 +71,7 @@ def build_pod_mesh(data_parallel_size: int, tensor_parallel_size: int):
     if n > len(devs):
         raise ValueError(f"mesh {data_parallel_size}x{tensor_parallel_size}"
                          f" needs {n} devices, have {len(devs)}")
-    arr = np.asarray(devs[:n]).reshape(data_parallel_size,
+    arr = np.asarray(devs[:n]).reshape(data_parallel_size, 1,
                                        tensor_parallel_size)
     return Mesh(arr, AXIS_NAMES)
 

@@ -158,6 +158,10 @@ class ModelRunner:
         # (core/block_manager.py seq_replica). Block/slot ids are
         # localized host-side before entering shard_map.
         self.dp = engine_config.parallel_config.data_parallel_size
+        # Sequence (context) parallelism: prefill tokens shard over the
+        # `sp` mesh axis and attention runs as a K/V ring
+        # (parallel/ring_attention.py). Decode replicates over sp.
+        self.sp = engine_config.parallel_config.sequence_parallel_size
         self.block_size = engine_config.cache_config.block_size
         self.model = None
         self.params = None
@@ -240,8 +244,10 @@ class ModelRunner:
         return self.decode_batch_buckets()[-1]
 
     def pad_prefill_len(self, n: int) -> int:
-        # Powers of two ≥ 16 (tpu_model_runner.py:591 pattern).
-        return max(16, next_power_of_2(n))
+        # Powers of two ≥ 16 (tpu_model_runner.py:591 pattern). Under
+        # sequence parallelism every sp shard must hold ≥ 16 tokens so
+        # the bucket is a multiple of 16*sp (both are powers of two).
+        return max(16 * self.sp, next_power_of_2(n))
 
     # ---------------------------------------------------------- input build
     def _native_registry(self):
@@ -652,6 +658,7 @@ class ModelRunner:
         vocab_size = self.vocab_size
 
         dp = self.dp
+        sp = self.sp
 
         def fwd(params, kv_caches, tokens, positions, slots, block_tables,
                 ctx, seq_lens, prefix_lens, state_slots, pixel_values,
@@ -663,16 +670,35 @@ class ModelRunner:
                 prefix_lens=prefix_lens, state_slots=state_slots)
             scope = (lora_scope(lora_indices, lora_stacks) if use_lora
                      else contextlib.nullcontext())
+            if sp > 1:
+                from nmvllm_tpu.parallel.ring_attention import (
+                    sp_prefill_scope)
+                from nmvllm_tpu.parallel.mesh import SP_AXIS
+                sp_scope = sp_prefill_scope(SP_AXIS)
+            else:
+                sp_scope = contextlib.nullcontext()
             mm_kw = {"pixel_values": pixel_values} if has_image else {}
+            if has_image and sp > 1:
+                raise NotImplementedError(
+                    "multimodal prefill is not supported with "
+                    "sequence_parallel_size > 1 (the vision-token merge "
+                    "indexes the full token axis)")
             if has_image and image_key is not None:
                 # Static crop-grid metadata (phi3v HD transform).
                 mm_kw["image_sizes"] = image_key
-            with scope:
+            with scope, sp_scope:
                 x, kv_caches = model.forward(params, tokens, positions,
                                              kv_caches, meta,
                                              is_prefill=True,
                                              has_prefix=has_prefix,
                                              **mm_kw)
+            if sp > 1:
+                # Token shards computed independently; reassemble the
+                # full chunk for last-token selection / prompt logprobs.
+                from nmvllm_tpu.parallel.mesh import SP_AXIS
+                x = jax.lax.all_gather(x, SP_AXIS, axis=1, tiled=True)
+                tokens = jax.lax.all_gather(tokens, SP_AXIS, axis=1,
+                                            tiled=True)
             if dp > 1:
                 # The prompt computes on every data replica, but only the
                 # owner (whose pool shard holds the sequence's pages and
@@ -721,10 +747,16 @@ class ModelRunner:
                           if num_prompt_logprobs > 0 else None)
         hid_spec = ((P(),) if capture_hidden else ())
         bspec = self._batch_spec
+        if sp > 1:
+            from nmvllm_tpu.parallel.mesh import SP_AXIS
+            tok_spec = P(None, SP_AXIS)   # (B, T) sharded along tokens
+        else:
+            tok_spec = P()
+        slot_spec = tok_spec if sp > 1 else bspec
         sharded_fwd = shard_map_fn(
             fwd, mesh,
-            in_specs=(param_specs, kv_specs, P(), P(), bspec, bspec, P(),
-                      P(), P(), P(), P(), bspec, *lora_specs),
+            in_specs=(param_specs, kv_specs, tok_spec, tok_spec, slot_spec,
+                      bspec, P(), P(), P(), P(), P(), bspec, *lora_specs),
             out_specs=(P(), prompt_lp_spec, kv_specs) + hid_spec)
 
         @functools.partial(jax.jit, donate_argnums=(1,))

@@ -20,9 +20,9 @@ def test_pod_mesh_host_major_layout():
         import pytest
         pytest.skip("needs 8 virtual devices")
     mesh = build_pod_mesh(2, 4)
-    assert mesh.shape == {"data": 2, "tp": 4}
+    assert mesh.shape == {"data": 2, "sp": 1, "tp": 4}
     # tp groups contiguous in device-id order (ICI locality proxy).
-    ids = np.vectorize(lambda d: d.id)(mesh.devices)
+    ids = np.vectorize(lambda d: d.id)(mesh.devices).reshape(2, 4)
     for row in ids:
         assert list(row) == sorted(row)
         assert row[-1] - row[0] == 3

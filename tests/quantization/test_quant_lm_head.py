@@ -60,3 +60,74 @@ def test_quantize_loaded_noop_without_flag(monkeypatch):
     h = ParallelLMHead(1000, 256, tied=False)
     p = h.init(jax.random.PRNGKey(0))
     assert h.quantize_loaded(dict(p)).keys() == p.keys()
+
+
+def test_quantized_head_loads_from_safetensors(monkeypatch, tmp_path):
+    """A REAL checkpoint's lm_head.weight must land into the quantized
+    head layout (the init tree has qweight/scales/zeros, no dense
+    weight): the loader pads the vocab and quantizes on the way in.
+    Regression: this path raised KeyError('weight') before round 3."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from nmvllm_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
+                                   ModelConfig, ParallelConfig,
+                                   SchedulerConfig)
+    from nmvllm_tpu.model_loader import get_model
+    from nmvllm_tpu.parallel.mesh import build_mesh
+    from nmvllm_tpu.transformers_utils.config import get_hf_config
+
+    monkeypatch.setenv("NMVLLM_QUANT_LM_HEAD", "8")
+    cfg = get_hf_config("debug-llama")
+    rng = np.random.default_rng(0)
+    tensors = {}
+    # Minimal full checkpoint for debug-llama.
+    tensors["model.embed_tokens.weight"] = rng.normal(
+        size=(cfg.vocab_size, cfg.hidden_size)).astype(np.float32) * 0.02
+    tensors["lm_head.weight"] = rng.normal(
+        size=(cfg.vocab_size, cfg.hidden_size)).astype(np.float32) * 0.02
+    tensors["model.norm.weight"] = np.ones(cfg.hidden_size, np.float32)
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        hd = cfg.head_dim
+        qd, kvd = cfg.num_attention_heads * hd, cfg.num_key_value_heads * hd
+        for nm, shape in (("self_attn.q_proj", (qd, cfg.hidden_size)),
+                          ("self_attn.k_proj", (kvd, cfg.hidden_size)),
+                          ("self_attn.v_proj", (kvd, cfg.hidden_size)),
+                          ("self_attn.o_proj", (cfg.hidden_size, qd)),
+                          ("mlp.gate_proj",
+                           (cfg.intermediate_size, cfg.hidden_size)),
+                          ("mlp.up_proj",
+                           (cfg.intermediate_size, cfg.hidden_size)),
+                          ("mlp.down_proj",
+                           (cfg.hidden_size, cfg.intermediate_size))):
+            tensors[p + nm + ".weight"] = rng.normal(
+                size=shape).astype(np.float32) * 0.02
+        tensors[p + "input_layernorm.weight"] = np.ones(
+            cfg.hidden_size, np.float32)
+        tensors[p + "post_attention_layernorm.weight"] = np.ones(
+            cfg.hidden_size, np.float32)
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+    import json as _json
+    d = cfg.to_dict()
+    d["architectures"] = ["LlamaForCausalLM"]
+    (tmp_path / "config.json").write_text(_json.dumps(d))
+
+    ec = EngineConfig(
+        model_config=ModelConfig(model=str(tmp_path), dtype="float32"),
+        cache_config=CacheConfig(block_size=16),
+        parallel_config=ParallelConfig(),
+        scheduler_config=SchedulerConfig(max_model_len=64),
+        device_config=DeviceConfig())
+    model, params = get_model(ec, build_mesh(1, 1))
+    head = params["lm_head"]
+    assert "qweight" in head and "weight" not in head
+    # Logits through the quantized head match the dense reference.
+    x = jnp.asarray(rng.normal(size=(2, cfg.hidden_size)), jnp.float32)
+    lg = model.lm_head(head, x.astype(jnp.bfloat16),
+                       inside_shard_map=False)
+    wd = tensors["lm_head.weight"]  # (V, H)
+    ref = x @ wd.T
+    top_q = np.asarray(jnp.argmax(lg[:, :cfg.vocab_size], -1))
+    top_d = np.argmax(np.asarray(ref), -1)
+    assert (top_q == top_d).all()
