@@ -49,12 +49,16 @@ def measure_hbm_gbps(size_mb: int = 512, reps: int = 8) -> float:
     import jax.numpy as jnp
     import numpy as np
     rows = size_mb * 1024 * 1024 // 256
-    x = jax.random.normal(jax.random.PRNGKey(0), (rows, 128),
-                          jnp.bfloat16)
+    # x must be an ARGUMENT, not a closure: a closed-over 512 MB array
+    # becomes an HLO constant and overflows the tunnel's remote-compile
+    # request size limit (HTTP 413).
+    x = jax.jit(lambda k: jax.random.normal(k, (rows, 128),
+                                            jnp.bfloat16))(
+        jax.random.PRNGKey(0))
 
     def mk(nper):
         @jax.jit
-        def many(c):
+        def many(x, c):
             def body(c, _):
                 for _ in range(nper):
                     # The carry scales the whole read: each pass depends
@@ -67,10 +71,10 @@ def measure_hbm_gbps(size_mb: int = 512, reps: int = 8) -> float:
         return many
 
     def timed(fn, c):
-        c = fn(c)
+        c = fn(x, c)
         np.asarray(c)                 # fence
         t0 = time.perf_counter()
-        c = fn(c)
+        c = fn(x, c)
         np.asarray(c)
         return (time.perf_counter() - t0) / reps
 
