@@ -121,6 +121,71 @@ def write_gptq_checkpoint(model, cfg, out_dir):
     return qmodel.eval()
 
 
+_AWQ_ORDER = [0, 2, 4, 6, 1, 3, 5, 7]
+
+
+def awq_pack(w_t: np.ndarray, group: int):
+    """Asymmetric 4-bit in the AWQ wire format: qweight (K, N/8) int32
+    packed along N with the interleaved nibble order [0,2,4,6,1,3,5,7],
+    qzeros (K/g, N/8) likewise, scales (K/g, N) fp16 (no -1 bias)."""
+    k, n = w_t.shape
+    g = w_t.reshape(k // group, group, n)
+    wmax, wmin = g.max(axis=1), g.min(axis=1)
+    scale = np.maximum((wmax - wmin) / 15.0, 1e-8)
+    zero = np.clip(np.round(-wmin / scale), 0, 15).astype(np.int32)
+    q = np.clip(np.round(g / scale[:, None, :]) + zero[:, None, :],
+                0, 15).astype(np.int32).reshape(k, n)
+    deq = ((q.reshape(k // group, group, n) - zero[:, None, :]) *
+           scale[:, None, :]).reshape(k, n)
+
+    def pack_n(a):                      # (R, C) ints -> (R, C/8) int32
+        r, c = a.shape
+        out = np.zeros((r, c // 8), np.uint32)
+        for i, col in enumerate(_AWQ_ORDER):
+            out |= (a[:, col::8] & 0xF).astype(np.uint32) << (4 * i)
+        return np.ascontiguousarray(out.view(np.int32))
+
+    return (pack_n(q), pack_n(zero),
+            np.ascontiguousarray(scale.astype(np.float16)), deq)
+
+
+def write_awq_checkpoint(model, cfg, out_dir):
+    """Serialize the HF model in the AWQ wire format; returns the
+    dequantized-INT4 HF copy for ground-truth scoring."""
+    import copy
+    import torch
+    from safetensors.numpy import save_file
+    qmodel = copy.deepcopy(model)
+    tensors = {}
+    for name, p in model.named_parameters():
+        arr = p.detach().numpy()
+        is_linear = (name.endswith(".weight") and arr.ndim == 2
+                     and "embed_tokens" not in name
+                     and "lm_head" not in name
+                     and "norm" not in name)
+        if not is_linear:
+            tensors[name] = np.ascontiguousarray(arr.astype(np.float32))
+            continue
+        base = name[:-len(".weight")]
+        qw, qz, sc, deq = awq_pack(arr.T.astype(np.float32), GROUP)
+        tensors[base + ".qweight"] = qw
+        tensors[base + ".qzeros"] = qz
+        tensors[base + ".scales"] = sc
+        with torch.no_grad():
+            dict(qmodel.named_parameters())[name].copy_(
+                torch.from_numpy(deq.T.copy()))
+    os.makedirs(out_dir, exist_ok=True)
+    save_file(tensors, os.path.join(out_dir, "model.safetensors"))
+    d = cfg.to_dict()
+    d["architectures"] = ["LlamaForCausalLM"]
+    d["quantization_config"] = {
+        "quant_method": "awq", "w_bit": 4, "q_group_size": GROUP,
+        "zero_point": True}
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(d, f)
+    return qmodel.eval()
+
+
 def write_fp8_checkpoint(model, cfg, out_dir):
     """Serialize the HF model in the reference's FP8 wire format
     (float8_e4m3fn weights + per-tensor weight_scale — reference
@@ -251,22 +316,26 @@ def main():
     fp16_dir = os.path.join(args.workdir, "fp16")
     gptq_dir = os.path.join(args.workdir, "gptq-w4a16")
     fp8_dir = os.path.join(args.workdir, "fp8-w8a16")
+    awq_dir = os.path.join(args.workdir, "awq-w4a16")
     model.save_pretrained(fp16_dir, safe_serialization=True)
     qmodel = write_gptq_checkpoint(model, cfg, gptq_dir)
     f8model = write_fp8_checkpoint(model, cfg, fp8_dir)
+    awqmodel = write_awq_checkpoint(model, cfg, awq_dir)
 
     prompts, answers = make_items(model)
     # HF-certified ground truths (the lm-eval-configs analogue).
     nll_fp16_hf = hf_nll(model, prompts, answers)
     nll_int4_hf = hf_nll(qmodel, prompts, answers)
     nll_fp8_hf = hf_nll(f8model, prompts, answers)
+    nll_awq_hf = hf_nll(awqmodel, prompts, answers)
     greedy_int4_hf = hf_greedy(qmodel, prompts)
-    del model, qmodel, f8model
+    del model, qmodel, f8model, awqmodel
 
     nll_fp16_eng, _ = engine_nll(fp16_dir, prompts, answers)
     nll_int4_eng, greedy_agree = engine_nll(gptq_dir, prompts, answers,
                                             greedy_key=greedy_int4_hf)
     nll_fp8_eng, _ = engine_nll(fp8_dir, prompts, answers)
+    nll_awq_eng, _ = engine_nll(awq_dir, prompts, answers)
 
     def rel(a, b):
         return abs(a - b) / max(abs(b), 1e-9)
@@ -277,6 +346,7 @@ def main():
         "fp16_engine_matches_hf": rel(nll_fp16_eng, nll_fp16_hf) <= RTOL,
         "int4_engine_matches_hf": rel(nll_int4_eng, nll_int4_hf) <= RTOL,
         "fp8_engine_matches_hf": rel(nll_fp8_eng, nll_fp8_hf) <= RTOL,
+        "awq_engine_matches_hf": rel(nll_awq_eng, nll_awq_hf) <= RTOL,
         # INT4 quality cost through the engine == through HF (abs diff of
         # the deltas, scaled by the fp16 NLL).
         "quant_delta_matches": abs(delta_eng - delta_hf) /
@@ -295,6 +365,8 @@ def main():
         "int4_delta_engine": round(delta_eng, 6),
         "nll_fp8_hf": round(nll_fp8_hf, 6),
         "nll_fp8_engine": round(nll_fp8_eng, 6),
+        "nll_awq_hf": round(nll_awq_hf, 6),
+        "nll_awq_engine": round(nll_awq_eng, 6),
         "greedy_agreement_int4": greedy_agree,
         "checks": checks,
         "pass": all(checks.values()),
