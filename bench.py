@@ -267,7 +267,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="auto",
                         choices=["auto", "llama3-8b-int4", "debug"])
-    parser.add_argument("--batch", type=int, default=56)
+    # B=64 verified to fit HBM and beat B=56 (1496 vs 1386 tok/s,
+    # docs/PERF_NOTES.md round 3); B=80 OOMs.
+    parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--context-len", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--block-size", type=int, default=32)
