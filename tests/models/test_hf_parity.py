@@ -9,7 +9,10 @@ import numpy as np
 import pytest
 
 FAMILIES = ["llama", "gpt2", "gptj", "opt", "gptneox", "bloom", "falcon",
-            "deepseek_v2"]
+            "deepseek_v2",
+            # round 3: rotary/MoE/softcap/logit-scale/GQA-variant coverage
+            "mixtral", "qwen2", "qwen2_moe", "gemma", "gemma2", "phi3",
+            "starcoder2", "stablelm", "cohere", "olmo", "dbrx"]
 
 PROMPT = [11, 42, 7, 99, 23, 180, 301, 5, 64, 250, 17, 333]
 
@@ -57,6 +60,76 @@ def _hf_tiny_model(family):
             routed_scaling_factor=1.0, norm_topk_prob=False,
             first_k_dense_replace=1, moe_layer_freq=1,
             max_position_embeddings=1024, **common)
+    elif family == "mixtral":
+        cfg = tf.MixtralConfig(hidden_size=256, intermediate_size=512,
+                               num_hidden_layers=2, num_attention_heads=2,
+                               num_key_value_heads=1, num_local_experts=4,
+                               num_experts_per_tok=2,
+                               max_position_embeddings=1024, **common)
+    elif family == "qwen2":
+        cfg = tf.Qwen2Config(hidden_size=256, intermediate_size=512,
+                             num_hidden_layers=2, num_attention_heads=2,
+                             num_key_value_heads=1,
+                             max_position_embeddings=1024, **common)
+    elif family == "qwen2_moe":
+        cfg = tf.Qwen2MoeConfig(hidden_size=256, intermediate_size=512,
+                                moe_intermediate_size=128,
+                                shared_expert_intermediate_size=256,
+                                num_hidden_layers=2, num_attention_heads=2,
+                                num_key_value_heads=1, num_experts=4,
+                                num_experts_per_tok=2,
+                                decoder_sparse_step=1, norm_topk_prob=False,
+                                max_position_embeddings=1024, **common)
+    elif family == "gemma":
+        cfg = tf.GemmaConfig(hidden_size=256, intermediate_size=512,
+                             num_hidden_layers=2, num_attention_heads=2,
+                             num_key_value_heads=1, head_dim=128,
+                             max_position_embeddings=1024, **common)
+    elif family == "gemma2":
+        cfg = tf.Gemma2Config(hidden_size=256, intermediate_size=512,
+                              num_hidden_layers=2, num_attention_heads=2,
+                              num_key_value_heads=1, head_dim=128,
+                              attn_logit_softcapping=50.0,
+                              final_logit_softcapping=30.0,
+                              sliding_window=8, query_pre_attn_scalar=128,
+                              max_position_embeddings=1024, **common)
+    elif family == "phi3":
+        # HF default pad/eos ids (32000+) exceed the tiny vocab.
+        cfg = tf.Phi3Config(hidden_size=256, intermediate_size=512,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            num_key_value_heads=1, pad_token_id=0,
+                            bos_token_id=1, eos_token_id=2,
+                            max_position_embeddings=1024, **common)
+    elif family == "starcoder2":
+        cfg = tf.Starcoder2Config(hidden_size=256, intermediate_size=512,
+                                  num_hidden_layers=2,
+                                  num_attention_heads=2,
+                                  num_key_value_heads=1, use_bias=True,
+                                  max_position_embeddings=1024, **common)
+    elif family == "stablelm":
+        cfg = tf.StableLmConfig(hidden_size=256, intermediate_size=512,
+                                num_hidden_layers=2, num_attention_heads=2,
+                                num_key_value_heads=1,
+                                max_position_embeddings=1024, **common)
+    elif family == "cohere":
+        cfg = tf.CohereConfig(hidden_size=256, intermediate_size=512,
+                              num_hidden_layers=2, num_attention_heads=2,
+                              num_key_value_heads=2, logit_scale=0.5,
+                              use_qk_norm=False,
+                              max_position_embeddings=1024, **common)
+    elif family == "olmo":
+        cfg = tf.OlmoConfig(hidden_size=256, intermediate_size=512,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            num_key_value_heads=2, clip_qkv=8.0,
+                            max_position_embeddings=1024, **common)
+    elif family == "dbrx":
+        cfg = tf.DbrxConfig(
+            d_model=256, n_heads=2, n_layers=2, max_seq_len=1024,
+            attn_config=tf.models.dbrx.configuration_dbrx.DbrxAttentionConfig(
+                kv_n_heads=1, rope_theta=10000.0),
+            ffn_config=tf.models.dbrx.configuration_dbrx.DbrxFFNConfig(
+                ffn_hidden_size=256, moe_num_experts=4, moe_top_k=2),
+            **common)
     else:
         raise ValueError(family)
     import torch
