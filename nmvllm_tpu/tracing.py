@@ -60,16 +60,20 @@ def is_otel_installed() -> bool:
 
 def init_tracer(instrumenting_module_name: str,
                 otlp_traces_endpoint: str):
-    if not is_otel_installed():
+    try:
+        # A partial install (opentelemetry-api without the OTLP
+        # exporter/sdk) must fall back too — probe the full chain.
+        from opentelemetry import trace
+        from opentelemetry.exporter.otlp.proto.grpc.trace_exporter import (
+            OTLPSpanExporter)
+        from opentelemetry.sdk.trace import TracerProvider
+        from opentelemetry.sdk.trace.export import BatchSpanProcessor
+    except ImportError:
         logger.warning(
-            "OpenTelemetry is not installed; using in-memory tracer "
-            "(endpoint %s not contacted).", otlp_traces_endpoint)
+            "OpenTelemetry (with OTLP exporter) is not installed; using "
+            "in-memory tracer (endpoint %s not contacted).",
+            otlp_traces_endpoint)
         return InMemoryTracer(otlp_traces_endpoint)
-    from opentelemetry import trace
-    from opentelemetry.exporter.otlp.proto.grpc.trace_exporter import (
-        OTLPSpanExporter)
-    from opentelemetry.sdk.trace import TracerProvider
-    from opentelemetry.sdk.trace.export import BatchSpanProcessor
     provider = TracerProvider()
     provider.add_span_processor(
         BatchSpanProcessor(OTLPSpanExporter(

@@ -171,9 +171,12 @@ class PipelineModelRunner(ModelRunner):
     def _num_micro(self, batch: int) -> int:
         return self.pp if batch % self.pp == 0 else 1
 
-    def _get_decode_fn(self, flags_key, use_lora: bool = False):
+    def _get_decode_fn(self, flags_key, use_lora: bool = False,
+                       return_logits: bool = False):
         if self.capture_hidden:
             raise self._unsupported("MLP-speculator drafting")
+        if return_logits:
+            raise self._unsupported("per-request logits processors")
         key = ("pp_decode", flags_key, use_lora)
         if key in self._step_fns:
             return self._step_fns[key]
@@ -219,11 +222,14 @@ class PipelineModelRunner(ModelRunner):
     def _get_prefill_fn(self, flags_key, has_prefix: bool, do_sample: bool,
                         n_samples: int = 1, use_lora: bool = False,
                         num_prompt_logprobs: int = 0,
-                        has_image: bool = False, image_key=None):
+                        has_image: bool = False, image_key=None,
+                        return_logits: bool = False):
         if has_image:
             raise self._unsupported("multimodal input")
         if self.capture_hidden:
             raise self._unsupported("MLP-speculator drafting")
+        if return_logits:
+            raise self._unsupported("per-request logits processors")
         key = ("pp_prefill", flags_key, has_prefix, do_sample, n_samples,
                num_prompt_logprobs, use_lora)
         if key in self._step_fns:

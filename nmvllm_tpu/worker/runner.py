@@ -172,6 +172,10 @@ class ModelRunner:
                           TP_AXIS, None, None)
         self._step_fns: Dict[Any, Any] = {}
         self._rng = jax.random.PRNGKey(self.model_config.seed)
+        # Host-side sampling for rows with plain logits processors
+        # (in-graph sampling cannot run arbitrary Python callables).
+        self._host_sample_rng = np.random.default_rng(
+            self.model_config.seed)
         self.max_blocks_per_seq = cdiv(self.scheduler_config.max_model_len,
                                        self.block_size)
         # Recurrent-state slot pool (Mamba/Jamba layers): seq_id -> slot.
@@ -535,8 +539,98 @@ class ModelRunner:
         kv_specs = [self._kv_spec for _ in range(len(self.model.layers))]
         return self._param_specs, kv_specs
 
-    def _get_decode_fn(self, flags_key, use_lora: bool = False):
-        key = ("decode", flags_key, use_lora)
+    # -------------------------------------------- host logits processors
+    def _rows_with_processors(self, rows):
+        """{batch-list index: [callable, ...]} for rows carrying plain
+        (non-guided) logits processors — those cannot run in-graph, so
+        their sampling reroutes through the host (reference applies the
+        callables on the logits tensor per row, sampler.py
+        _apply_logits_processors)."""
+        out = {}
+        for i, (meta, seq_id) in enumerate(rows):
+            sp = meta.sampling_params
+            if sp is None or sp.use_beam_search:
+                continue
+            procs = [p for p in sp.logits_processors
+                     if not getattr(p, "is_guided", False)]
+            if procs:
+                out[i] = procs
+        return out
+
+    def _host_process_sample(self, logits_row, sp, procs, prev_tokens):
+        """Apply per-request logits processors host-side and sample one
+        token (greedy / temperature + top-k/top-p), mirroring the
+        in-graph sampler's conventions. Returns (token, logprob,
+        processed_scaled_logits)."""
+        arr = np.array(np.asarray(logits_row)[:self.vocab_size],
+                       np.float32)
+        for proc in procs:
+            arr = np.asarray(proc(list(prev_tokens), arr), np.float32)
+        if sp.temperature == 0.0:
+            scaled = arr
+            tok = int(arr.argmax())
+        else:
+            scaled = arr / max(sp.temperature, 1e-5)
+            masked = scaled.copy()
+            if sp.top_k and 0 < sp.top_k < masked.size:
+                thr = np.partition(masked, -sp.top_k)[-sp.top_k]
+                masked[masked < thr] = -np.inf
+            if sp.top_p < 1.0:
+                order = np.argsort(-masked)
+                s = masked[order]
+                p = np.exp(s - s.max())
+                p = p / p.sum()
+                keep_n = max(1, int(np.searchsorted(
+                    np.cumsum(p), sp.top_p) + 1))
+                cut = np.full_like(masked, -np.inf)
+                cut[order[:keep_n]] = masked[order[:keep_n]]
+                masked = cut
+            p = np.exp(masked - np.nanmax(masked))
+            p[~np.isfinite(p)] = 0.0
+            p = p / p.sum()
+            rng = (np.random.default_rng(sp.seed)
+                   if sp.seed is not None else self._host_sample_rng)
+            tok = int(rng.choice(p.size, p=p))
+        lse = float(np.logaddexp.reduce(scaled.astype(np.float64)))
+        return tok, float(scaled[tok]) - lse, scaled
+
+    def _patch_processor_rows(self, out, proc_rows, logits_np, rows,
+                              row_idx=None):
+        """Replace in-graph samples of processor rows with host samples
+        computed from the processed logits; returns a patched
+        SamplerOutputArrays-compatible object (numpy fields)."""
+        from nmvllm_tpu.layers.sampler import SamplerOutputArrays
+        next_tokens = np.array(np.asarray(out.next_tokens))
+        chosen_lp = np.array(np.asarray(out.logprob))
+        topk_ids = (np.array(np.asarray(out.topk_ids))
+                    if out.topk_ids is not None else None)
+        topk_lp = (np.array(np.asarray(out.topk_logprobs))
+                   if out.topk_logprobs is not None else None)
+        pos = list(row_idx) if row_idx is not None else \
+            list(range(len(rows)))
+        for li, procs in proc_rows.items():
+            meta, seq_id = rows[li]
+            bi = pos[li]
+            sp = meta.sampling_params
+            prev = meta.seq_data[seq_id].output_token_ids
+            tok, lp, scaled = self._host_process_sample(
+                logits_np[bi], sp, procs, prev)
+            next_tokens[bi] = tok
+            chosen_lp[bi] = lp
+            if topk_ids is not None and sp.logprobs:
+                want = min(topk_ids.shape[1], scaled.size)
+                top = np.argpartition(-scaled, want - 1)[:want]
+                top = top[np.argsort(-scaled[top])]
+                lse = float(np.logaddexp.reduce(
+                    scaled.astype(np.float64)))
+                topk_ids[bi, :want] = top
+                topk_lp[bi, :want] = scaled[top] - lse
+        return SamplerOutputArrays(next_tokens, chosen_lp, topk_ids,
+                                   topk_lp)
+
+    def _get_decode_fn(self, flags_key, use_lora: bool = False,
+                       return_logits: bool = False):
+        key = ("decode", flags_key, use_lora, return_logits)
         if key in self._step_fns:
             return self._step_fns[key]
         flags = dict(flags_key)
@@ -585,9 +679,13 @@ class ModelRunner:
             logits, kv_caches = res[0], res[1]
             out = sample(logits, sampling_tensors, vocab_size=vocab_size,
                          **flags)
+            rets = [kv_caches, out]
             if capture_hidden:
-                return kv_caches, out, res[2]
-            return kv_caches, out
+                rets.append(res[2])
+            if return_logits:
+                # Host-side logits-processor rows re-sample on the host.
+                rets.append(logits)
+            return tuple(rets)
 
         self._step_fns[key] = step
         return step
@@ -646,9 +744,11 @@ class ModelRunner:
     def _get_prefill_fn(self, flags_key, has_prefix: bool, do_sample: bool,
                         n_samples: int = 1, use_lora: bool = False,
                         num_prompt_logprobs: int = 0,
-                        has_image: bool = False, image_key=None):
+                        has_image: bool = False, image_key=None,
+                        return_logits: bool = False):
         key = ("prefill", flags_key, has_prefix, do_sample, n_samples,
-               use_lora, num_prompt_logprobs, has_image, image_key)
+               use_lora, num_prompt_logprobs, has_image, image_key,
+               return_logits)
         if key in self._step_fns:
             return self._step_fns[key]
         flags = dict(flags_key)
@@ -773,9 +873,12 @@ class ModelRunner:
                              vocab_size=vocab_size, **flags)
             else:
                 out = None
+            rets = [kv_caches, out, prompt_lp]
             if capture_hidden:
-                return kv_caches, out, prompt_lp, res[3]
-            return kv_caches, out, prompt_lp
+                rets.append(res[3])
+            if return_logits:
+                rets.append(logits)
+            return tuple(rets)
 
         self._step_fns[key] = step
         return step
@@ -1100,7 +1203,9 @@ class ModelRunner:
         flags_key = tuple(sorted(flags.items()))
         use_lora, lora_idx, lora_stacks = self._lora_args(prep.rows, b,
                                                           prep.row_idx)
-        step = self._get_decode_fn(flags_key, use_lora)
+        proc_rows = self._rows_with_processors(prep.rows)
+        step = self._get_decode_fn(flags_key, use_lora,
+                                   return_logits=bool(proc_rows))
         logger.debug("decode step: B=%d rows=%d flags=%s lora=%s", b,
                      len(prep.rows), flags, use_lora)
         state_slots = self._state_slots_for_rows(prep.rows, b,
@@ -1120,6 +1225,10 @@ class ModelRunner:
                    else range(len(prep.rows)))
             for i, (_, sid) in zip(pos, prep.rows):
                 self.seq_hidden[sid] = hid[i]
+        if proc_rows:
+            out = self._patch_processor_rows(out, proc_rows,
+                                             np.asarray(res[-1]),
+                                             prep.rows, prep.row_idx)
         sampler_output = self._to_sampler_output(out, prep.rows, metas,
                                                  prep.row_idx)
         return kv_caches, sampler_output
@@ -1284,11 +1393,14 @@ class ModelRunner:
         img_sizes = mm.get("image_sizes") if isinstance(mm, dict) else None
         image_key = (tuple(int(v) for v in np.asarray(img_sizes).reshape(-1))
                      if img_sizes is not None else None)
+        proc_rows = (self._rows_with_processors(rows)
+                     if meta.do_sample else {})
         step = self._get_prefill_fn(flags_key, has_prefix, meta.do_sample,
                                     n_samples=len(rows), use_lora=use_lora,
                                     num_prompt_logprobs=num_plp,
                                     has_image=has_image,
-                                    image_key=image_key)
+                                    image_key=image_key,
+                                    return_logits=bool(proc_rows))
         logger.debug("prefill step: T=%d chunk=%d prefix=%s flags=%s "
                      "lora=%s image=%s", t, chunk, has_prefix, flags,
                      use_lora, has_image)
@@ -1330,6 +1442,15 @@ class ModelRunner:
             hid = np.asarray(res[3])
             for sid in seq_ids:
                 self.seq_hidden[sid] = hid[0]
+        if proc_rows and out is not None:
+            # best_of siblings: in-graph tiles the shared prompt logits
+            # to n_samples rows; row i of the logits output is row 0.
+            logits_np = np.asarray(res[-1])
+            if logits_np.shape[0] < len(rows):
+                logits_np = np.broadcast_to(
+                    logits_np[:1], (len(rows),) + logits_np.shape[1:])
+            out = self._patch_processor_rows(out, proc_rows, logits_np,
+                                             rows)
         plp_list = None
         if prompt_lp is not None:
             # Chunk position j's logits predict chunk token j+1; entry i of
