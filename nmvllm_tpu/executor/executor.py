@@ -35,9 +35,16 @@ class TPUExecutor:
             if parallel.data_parallel_size > 1:
                 raise ValueError("data_parallel_size > 1 cannot combine "
                                  "with pipeline_parallel_size > 1 yet.")
-            if engine_config.speculative_config is not None:
-                raise ValueError("Speculative decoding is not supported "
-                                 "with pipeline_parallel_size > 1.")
+            spec = engine_config.speculative_config
+            if spec is not None and spec.method != "ngram":
+                # ngram drafts are host-side; the PP runner verifies them
+                # through the stage ring (pp_runner._get_spec_decode_fn).
+                # Draft-model/MLP-speculator proposals would need a
+                # second pipeline.
+                raise ValueError(
+                    "Only ngram speculative decoding is supported with "
+                    "pipeline_parallel_size > 1 (use "
+                    "ngram_prompt_lookup_max).")
             self.mesh = build_pp_mesh(parallel.pipeline_parallel_size,
                                       parallel.tensor_parallel_size)
             set_global_mesh(self.mesh)

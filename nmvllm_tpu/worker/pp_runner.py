@@ -22,10 +22,13 @@ tensors, and output conversion; only the compiled step builders differ:
 Multi-LoRA runs under PP: adapter stacks are positionally stacked over
 the layer axis and sharded over ``pp`` alongside params["layers"]
 (PPLoRAState), re-bound per scan step to the proto layers' names.
-Still unsupported under PP (raise with a clear message): speculative
-decoding, multimodal prompts, stateful (Mamba) models. Matches the
-reference's own PP restrictions in spirit (its sync engine refuses PP
-entirely, llm_engine.py:845-848).
+ngram speculative decoding runs under PP too (the multi-query verify
+flows through the stage ring, _get_spec_decode_fn) — beyond the
+reference, whose sync engine refuses PP entirely
+(llm_engine.py:845-848). Still unsupported under PP (raise with a
+clear message): draft-model/MLP-speculator proposals (would need a
+second pipeline), multimodal prompts, stateful (Mamba) models,
+per-request logits processors.
 """
 import functools
 from typing import Any, List
@@ -303,11 +306,84 @@ class PipelineModelRunner(ModelRunner):
         self._step_fns[key] = step
         return step
 
-    def _get_spec_decode_fn(self, *a, **kw):
-        raise self._unsupported("speculative decoding")
+    def _get_spec_decode_fn(self, num_spec: int, flags_key,
+                            use_lora: bool = False):
+        """Multi-query verification under pipeline parallelism — BEYOND
+        the reference (its synchronous engine refuses PP outright,
+        llm_engine.py:845-848, and its spec worker is single-stage).
+        Each row's [last_token, draft_0..k-1] chunk flows through the
+        stage ring as a prefill-shaped microbatch; the pipeline fwd
+        captures the final-normed hidden at ALL s positions, logits are
+        computed per position, and the shared in-graph acceptance
+        (worker/runner.py spec_accept_and_sample) emits 1..k+1 tokens."""
+        from nmvllm_tpu.worker.runner import spec_accept_and_sample
+        spec_cfg = self.config.speculative_config
+        acc_method = (getattr(spec_cfg, "acceptance_method",
+                              "rejection_sampler")
+                      if spec_cfg else "rejection_sampler")
+        typ_thr = float(getattr(
+            spec_cfg, "typical_acceptance_sampler_posterior_threshold",
+            0.09) if spec_cfg else 0.09)
+        typ_alpha = float(getattr(
+            spec_cfg, "typical_acceptance_sampler_posterior_alpha", 0.3)
+            if spec_cfg else 0.3)
+        key = ("pp_spec", num_spec, flags_key, use_lora, acc_method)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        flags = dict(flags_key)
+        model = self.model
+        param_specs, kv_spec = self._specs_tuple()
+        mesh = self.mesh
+        pp = self.pp
+        vocab_size = self.vocab_size
+        num_micro_for = self._num_micro
+        lora_names = self._lora_names if use_lora else None
+        s = num_spec + 1
+
+        def fwd(params, kv, tokens, positions, slots, block_tables, ctx,
+                seq_lens, prefix_lens, lora_indices, lora_stacks):
+            nm = num_micro_for(tokens.shape[0])
+            inner = make_pipeline_fwd(model, pp, nm, is_prefill=True,
+                                      has_prefix=True,
+                                      capture_hidden=True,
+                                      lora_names=lora_names)
+            _, hidden, kv = inner(params, kv, tokens, positions, slots,
+                                  block_tables, ctx, seq_lens,
+                                  prefix_lens, lora_indices, lora_stacks)
+            b = hidden.shape[0]
+            logits = model.compute_logits(
+                params, hidden.reshape(b * s, hidden.shape[-1]))
+            return logits.reshape(b, s, -1), kv
+
+        lora_specs = (P(), self._lora_spec_tree())
+        sharded_fwd = shard_map_fn(
+            fwd, mesh,
+            in_specs=(param_specs, kv_spec, P(), P(), P(), P(), P(), P(),
+                      P(), *lora_specs),
+            out_specs=(P(), kv_spec))
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(params, kv_caches, tokens, positions, slots, block_tables,
+                 ctx, seq_lens, prefix_lens, drafts, draft_lens,
+                 sampling_tensors, lora_indices, lora_stacks):
+            logits, kv_caches = sharded_fwd(
+                params, kv_caches, tokens, positions, slots, block_tables,
+                ctx, seq_lens, prefix_lens, lora_indices, lora_stacks)
+            out_t = spec_accept_and_sample(
+                logits, sampling_tensors, flags, drafts, draft_lens,
+                vocab_size=vocab_size, num_spec=num_spec,
+                acc_method=acc_method, typ_thr=typ_thr,
+                typ_alpha=typ_alpha)
+            return kv_caches, out_t
+
+        self._step_fns[key] = step
+        return step
 
     def _get_propose_fn(self, *a, **kw):
-        raise self._unsupported("speculative decoding")
+        # Draft-model k-step proposal chains would need a second
+        # pipeline; ngram (host-side) proposals are the PP-supported
+        # speculative mode.
+        raise self._unsupported("draft-model speculative proposals")
 
     def execute_embedding(self, meta, kv_caches):
         raise self._unsupported("embedding models")

@@ -55,6 +55,154 @@ def shard_map_fn(f, mesh, in_specs, out_specs):
                          out_specs=out_specs, check_rep=False)
 
 
+
+def spec_accept_and_sample(logits, sampling_tensors, flags, drafts,
+                           draft_lens, *, vocab_size: int, num_spec: int,
+                           acc_method: str, typ_thr: float,
+                           typ_alpha: float):
+    """Shared in-graph speculative acceptance (reference
+    rejection_sampler.py / typical_acceptance_sampler.py): takes the
+    (B, s, V_pad) verification logits (s = num_spec + 1) and returns
+    (out_tokens, n_acc, lp, topk_ids, topk_lp). Used by both the
+    single-stage and the pipeline-parallel verify steps."""
+    from nmvllm_tpu.layers.sampler import _EPS, _apply_top_k_top_p
+    s = num_spec + 1
+    logits = logits.astype(jnp.float32)
+    b = logits.shape[0]
+    v_pad = logits.shape[-1]
+    if v_pad > vocab_size:
+        logits = jnp.where(
+            jnp.arange(v_pad)[None, None, :] < vocab_size, logits,
+            float("-inf"))
+    # Full sampler on position 0 — serves draft_len==0 rows.
+    out0 = sample(logits[:, 0, :], sampling_tensors,
+                  vocab_size=vocab_size, **flags)
+
+    t = sampling_tensors
+    if flags.get("do_penalties", False):
+        # Per-position histories: position j's output history is
+        # the base history + drafts[0..j-1] (its output only
+        # matters when those drafts are all accepted, i.e. they
+        # ARE the preceding tokens — matches sequential
+        # decoding's penalty state; reference batch-expansion
+        # rebuilds SamplingTensors per expanded row the same
+        # way, spec_decode/batch_expansion.py).
+        import dataclasses as _dc
+
+        from nmvllm_tpu.layers.sampler import _apply_penalties
+        spec_idx = jnp.arange(drafts.shape[1])[None, :]
+        pen = []
+        for j in range(s):
+            extra = jnp.where(
+                (spec_idx < j) & (spec_idx < draft_lens[:, None]),
+                drafts, vocab_size)
+            tj = _dc.replace(t, output_tokens=jnp.concatenate(
+                [t.output_tokens, extra], axis=1))
+            pen.append(_apply_penalties(
+                logits[:, j, :vocab_size], tj, vocab_size))
+        pen = jnp.stack(pen, axis=1)
+        if v_pad > vocab_size:
+            pen = jnp.pad(pen, ((0, 0), (0, 0),
+                                (0, v_pad - vocab_size)),
+                          constant_values=float("-inf"))
+        logits = pen
+    temp = jnp.maximum(t.temperature, _EPS)
+    greedy = t.temperature < _EPS
+    scaled = logits / temp[:, None, None]
+    flat = scaled.reshape(b * s, v_pad)
+    if flags.get("do_top_k_top_p", False):
+        flat = _apply_top_k_top_p(
+            flat, jnp.repeat(t.top_k, s), jnp.repeat(t.top_p, s))
+    if flags.get("do_min_p", False):
+        from nmvllm_tpu.layers.sampler import _apply_min_p
+        flat = _apply_min_p(flat, jnp.repeat(t.min_p, s))
+    probs = jax.nn.softmax(flat, axis=-1).reshape(b, s, v_pad)
+    argmax_tok = jnp.argmax(scaled, axis=-1).astype(jnp.int32)
+
+    # Modified rejection sampling with one-hot proposals
+    # (reference rejection_sampler.py; ngram/greedy-draft q is a
+    # point mass, so accept d_j with prob p(d_j)). Greedy rows
+    # reduce to exact argmax matching.
+    k = num_spec
+    keys = jax.vmap(jax.random.wrap_key_data)(t.key_data)
+
+    def row_uniform(key):
+        ks = jax.vmap(lambda j: jax.random.fold_in(key, j))(
+            jnp.arange(2 * s))
+        return jax.vmap(lambda kk: jax.random.uniform(kk))(ks)
+    u = jax.vmap(row_uniform)(keys)          # (B, 2s)
+    p_draft = jnp.take_along_axis(
+        probs[:, :k, :], drafts[..., None], axis=-1)[..., 0]
+    if acc_method == "typical_acceptance":
+        # Entropy-adaptive deterministic acceptance (reference
+        # typical_acceptance_sampler.py:100, MEDUSA §3.3.1).
+        from nmvllm_tpu.spec_decode.rejection_sampler import (
+            typical_acceptance_mask)
+        accept_st = typical_acceptance_mask(
+            probs[:, :k, :], drafts, typ_thr, typ_alpha)
+    else:
+        accept_st = u[:, :k] < p_draft
+    accept_gr = drafts == argmax_tok[:, :k]
+    match = jnp.where(greedy[:, None], accept_gr, accept_st) & (
+        jnp.arange(k)[None, :] < draft_lens[:, None])
+    acc = jnp.cumprod(match.astype(jnp.int32), axis=1)
+    n_acc = jnp.sum(acc, axis=1)
+
+    # Correction/bonus token at each position: greedy -> argmax;
+    # stochastic -> gumbel sample from probs with the (rejected)
+    # draft zeroed out (residual of the one-hot proposal).
+    drafts_pad = jnp.concatenate(
+        [drafts, jnp.full((b, 1), -1, jnp.int32)], axis=1)
+    resid = probs.at[
+        jnp.arange(b)[:, None], jnp.arange(s)[None, :],
+        jnp.clip(drafts_pad, 0, v_pad - 1)].mul(
+            jnp.where(drafts_pad >= 0, 0.0, 1.0))
+    # Positionwise categorical via inverse-CDF on the residual.
+    cdf = jnp.cumsum(resid, axis=-1)
+    total = cdf[..., -1:]
+    thresh = u[:, s:2 * s, None] * jnp.maximum(total, 1e-20)
+    sampled_corr = jnp.sum(
+        (cdf < thresh).astype(jnp.int32), axis=-1).astype(jnp.int32)
+    sampled_corr = jnp.minimum(sampled_corr, v_pad - 1)
+    if acc_method == "typical_acceptance":
+        # Replacement is the target argmax (reference
+        # _replacement_token_ids:155), not a residual sample.
+        corr = argmax_tok
+    else:
+        corr = jnp.where(greedy[:, None], argmax_tok,
+                         sampled_corr)
+    # Position 0: draft-less (or greedy) rows use the full
+    # sampler's token; stochastic rows with a rejected first draft
+    # use the residual sample (exactness of modified rejection
+    # sampling).
+    if acc_method == "typical_acceptance":
+        corr0 = jnp.where(draft_lens == 0, out0.next_tokens,
+                          corr[:, 0])
+    else:
+        corr0 = jnp.where(greedy | (draft_lens == 0),
+                          out0.next_tokens, sampled_corr[:, 0])
+    corr = corr.at[:, 0].set(corr0)
+
+    pos = jnp.arange(s)[None, :]
+    accepted_tok = jnp.concatenate(
+        [drafts, jnp.zeros((b, 1), jnp.int32)], axis=1)
+    out_tokens = jnp.where(
+        pos < n_acc[:, None], accepted_tok,
+        jnp.where(pos == n_acc[:, None], corr, -1))
+    lp_all = jax.nn.log_softmax(scaled, axis=-1)
+    lp = jnp.take_along_axis(
+        lp_all, jnp.maximum(out_tokens, 0)[..., None],
+        axis=-1)[..., 0]
+    lp = lp.at[:, 0].set(out0.logprob)
+    if flags.get("num_logprobs", 0) > 0:
+        topk_lp, topk_ids = jax.lax.top_k(
+            lp_all, flags["num_logprobs"])
+    else:
+        topk_lp = topk_ids = None
+    return (out_tokens, n_acc.astype(jnp.int32), lp, topk_ids, topk_lp)
+
+
+
 class LoRAState:
     """Device-resident multi-LoRA state (reference: WorkerLoRAManager,
     vllm/lora/worker_manager.py): per-target-layer adapter slot stacks +
@@ -957,140 +1105,11 @@ class ModelRunner:
                                   ctx, seq_lens, prefix_lens,
                                   lora_indices, lora_stacks)
             logits, kv_caches = res_fwd[0], res_fwd[1]
-            logits = logits.astype(jnp.float32)
-            b = logits.shape[0]
-            v_pad = logits.shape[-1]
-            if v_pad > vocab_size:
-                logits = jnp.where(
-                    jnp.arange(v_pad)[None, None, :] < vocab_size, logits,
-                    float("-inf"))
-            # Full sampler on position 0 — serves draft_len==0 rows.
-            out0 = sample(logits[:, 0, :], sampling_tensors,
-                          vocab_size=vocab_size, **flags)
-
-            t = sampling_tensors
-            if flags.get("do_penalties", False):
-                # Per-position histories: position j's output history is
-                # the base history + drafts[0..j-1] (its output only
-                # matters when those drafts are all accepted, i.e. they
-                # ARE the preceding tokens — matches sequential
-                # decoding's penalty state; reference batch-expansion
-                # rebuilds SamplingTensors per expanded row the same
-                # way, spec_decode/batch_expansion.py).
-                import dataclasses as _dc
-
-                from nmvllm_tpu.layers.sampler import _apply_penalties
-                spec_idx = jnp.arange(drafts.shape[1])[None, :]
-                pen = []
-                for j in range(s):
-                    extra = jnp.where(
-                        (spec_idx < j) & (spec_idx < draft_lens[:, None]),
-                        drafts, vocab_size)
-                    tj = _dc.replace(t, output_tokens=jnp.concatenate(
-                        [t.output_tokens, extra], axis=1))
-                    pen.append(_apply_penalties(
-                        logits[:, j, :vocab_size], tj, vocab_size))
-                pen = jnp.stack(pen, axis=1)
-                if v_pad > vocab_size:
-                    pen = jnp.pad(pen, ((0, 0), (0, 0),
-                                        (0, v_pad - vocab_size)),
-                                  constant_values=float("-inf"))
-                logits = pen
-            temp = jnp.maximum(t.temperature, _EPS)
-            greedy = t.temperature < _EPS
-            scaled = logits / temp[:, None, None]
-            flat = scaled.reshape(b * s, v_pad)
-            if flags.get("do_top_k_top_p", False):
-                flat = _apply_top_k_top_p(
-                    flat, jnp.repeat(t.top_k, s), jnp.repeat(t.top_p, s))
-            if flags.get("do_min_p", False):
-                from nmvllm_tpu.layers.sampler import _apply_min_p
-                flat = _apply_min_p(flat, jnp.repeat(t.min_p, s))
-            probs = jax.nn.softmax(flat, axis=-1).reshape(b, s, v_pad)
-            argmax_tok = jnp.argmax(scaled, axis=-1).astype(jnp.int32)
-
-            # Modified rejection sampling with one-hot proposals
-            # (reference rejection_sampler.py; ngram/greedy-draft q is a
-            # point mass, so accept d_j with prob p(d_j)). Greedy rows
-            # reduce to exact argmax matching.
-            k = num_spec
-            keys = jax.vmap(jax.random.wrap_key_data)(t.key_data)
-
-            def row_uniform(key):
-                ks = jax.vmap(lambda j: jax.random.fold_in(key, j))(
-                    jnp.arange(2 * s))
-                return jax.vmap(lambda kk: jax.random.uniform(kk))(ks)
-            u = jax.vmap(row_uniform)(keys)          # (B, 2s)
-            p_draft = jnp.take_along_axis(
-                probs[:, :k, :], drafts[..., None], axis=-1)[..., 0]
-            if acc_method == "typical_acceptance":
-                # Entropy-adaptive deterministic acceptance (reference
-                # typical_acceptance_sampler.py:100, MEDUSA §3.3.1).
-                from nmvllm_tpu.spec_decode.rejection_sampler import (
-                    typical_acceptance_mask)
-                accept_st = typical_acceptance_mask(
-                    probs[:, :k, :], drafts, typ_thr, typ_alpha)
-            else:
-                accept_st = u[:, :k] < p_draft
-            accept_gr = drafts == argmax_tok[:, :k]
-            match = jnp.where(greedy[:, None], accept_gr, accept_st) & (
-                jnp.arange(k)[None, :] < draft_lens[:, None])
-            acc = jnp.cumprod(match.astype(jnp.int32), axis=1)
-            n_acc = jnp.sum(acc, axis=1)
-
-            # Correction/bonus token at each position: greedy -> argmax;
-            # stochastic -> gumbel sample from probs with the (rejected)
-            # draft zeroed out (residual of the one-hot proposal).
-            drafts_pad = jnp.concatenate(
-                [drafts, jnp.full((b, 1), -1, jnp.int32)], axis=1)
-            resid = probs.at[
-                jnp.arange(b)[:, None], jnp.arange(s)[None, :],
-                jnp.clip(drafts_pad, 0, v_pad - 1)].mul(
-                    jnp.where(drafts_pad >= 0, 0.0, 1.0))
-            # Positionwise categorical via inverse-CDF on the residual.
-            cdf = jnp.cumsum(resid, axis=-1)
-            total = cdf[..., -1:]
-            thresh = u[:, s:2 * s, None] * jnp.maximum(total, 1e-20)
-            sampled_corr = jnp.sum(
-                (cdf < thresh).astype(jnp.int32), axis=-1).astype(jnp.int32)
-            sampled_corr = jnp.minimum(sampled_corr, v_pad - 1)
-            if acc_method == "typical_acceptance":
-                # Replacement is the target argmax (reference
-                # _replacement_token_ids:155), not a residual sample.
-                corr = argmax_tok
-            else:
-                corr = jnp.where(greedy[:, None], argmax_tok,
-                                 sampled_corr)
-            # Position 0: draft-less (or greedy) rows use the full
-            # sampler's token; stochastic rows with a rejected first draft
-            # use the residual sample (exactness of modified rejection
-            # sampling).
-            if acc_method == "typical_acceptance":
-                corr0 = jnp.where(draft_lens == 0, out0.next_tokens,
-                                  corr[:, 0])
-            else:
-                corr0 = jnp.where(greedy | (draft_lens == 0),
-                                  out0.next_tokens, sampled_corr[:, 0])
-            corr = corr.at[:, 0].set(corr0)
-
-            pos = jnp.arange(s)[None, :]
-            accepted_tok = jnp.concatenate(
-                [drafts, jnp.zeros((b, 1), jnp.int32)], axis=1)
-            out_tokens = jnp.where(
-                pos < n_acc[:, None], accepted_tok,
-                jnp.where(pos == n_acc[:, None], corr, -1))
-            lp_all = jax.nn.log_softmax(scaled, axis=-1)
-            lp = jnp.take_along_axis(
-                lp_all, jnp.maximum(out_tokens, 0)[..., None],
-                axis=-1)[..., 0]
-            lp = lp.at[:, 0].set(out0.logprob)
-            if flags.get("num_logprobs", 0) > 0:
-                topk_lp, topk_ids = jax.lax.top_k(
-                    lp_all, flags["num_logprobs"])
-            else:
-                topk_lp = topk_ids = None
-            out_t = (out_tokens, n_acc.astype(jnp.int32), lp,
-                     topk_ids, topk_lp)
+            out_t = spec_accept_and_sample(
+                logits.astype(jnp.float32), sampling_tensors, flags,
+                drafts, draft_lens, vocab_size=vocab_size,
+                num_spec=num_spec, acc_method=acc_method,
+                typ_thr=typ_thr, typ_alpha=typ_alpha)
             if capture_hidden:
                 return kv_caches, out_t, res_fwd[2]
             return kv_caches, out_t

@@ -39,10 +39,12 @@ def test_pp_engine_matches_single_stage(pp, tp, model, example_prompts):
 def test_pp_rejects_unsupported_combos():
     if len(jax.devices()) < 2:
         pytest.skip("needs more virtual devices")
-    with pytest.raises(ValueError, match="peculative"):
+    # ngram spec is SUPPORTED under PP (test_pp_spec_decode.py);
+    # draft-model proposals are not (second pipeline needed).
+    with pytest.raises(ValueError, match="ngram"):
         LLM(model="debug-llama", dtype="float32",
             num_gpu_blocks_override=16, max_model_len=64,
-            pipeline_parallel_size=2, ngram_prompt_lookup_max=2,
+            pipeline_parallel_size=2, speculative_model="debug-llama",
             num_speculative_tokens=2)
 
 
