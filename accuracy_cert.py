@@ -186,6 +186,78 @@ def write_awq_checkpoint(model, cfg, out_dir):
     return qmodel.eval()
 
 
+def compressed_pack(w_t: np.ndarray, group: int, bits: int = 4):
+    """Symmetric wNa16 in the compressed-tensors wire format (what the
+    reference's certified W4A16 models ship): weight_packed (N, K/8)
+    int32 (values biased by 8, packed LSB-first along K), weight_scale
+    (N, K/g). Mirrors reference quant_utils.py quantize_weights."""
+    k, n = w_t.shape
+    maxq = (1 << bits) - 1
+    half = (maxq + 1) // 2
+    g = w_t.reshape(k // group, group, n)
+    scale = np.abs(g).max(axis=1) * 2.0 / maxq          # (K/g, N)
+    scale = np.maximum(scale, 1e-8)
+    q = np.clip(np.round(g / scale[:, None, :]) + half, 0, maxq)
+    q = q.astype(np.int32)
+    deq = ((q - half) * scale[:, None, :]).reshape(k, n)
+    q = q.reshape(k, n).T                               # (N, K) wire-major
+    pack = 32 // bits
+    wp = np.zeros((n, k // pack), np.uint32)
+    for i in range(pack):
+        wp |= (q[:, i::pack] & maxq).astype(np.uint32) << (bits * i)
+    return (np.ascontiguousarray(wp.view(np.int32)),
+            np.ascontiguousarray(scale.T.astype(np.float16)),  # (N, K/g)
+            deq)
+
+
+def write_compressed_checkpoint(model, cfg, out_dir):
+    """Serialize in the compressed-tensors W4A16 wire format; returns
+    the dequantized HF copy for ground-truth scoring."""
+    import copy
+    import torch
+    from safetensors.numpy import save_file
+    qmodel = copy.deepcopy(model)
+    tensors = {}
+    for name, p in model.named_parameters():
+        arr = p.detach().numpy()
+        is_linear = (name.endswith(".weight") and arr.ndim == 2
+                     and "embed_tokens" not in name
+                     and "lm_head" not in name
+                     and "norm" not in name)
+        if not is_linear:
+            tensors[name] = np.ascontiguousarray(arr.astype(np.float32))
+            continue
+        base = name[:-len(".weight")]
+        wp, ws, deq = compressed_pack(arr.T.astype(np.float32), GROUP)
+        tensors[base + ".weight_packed"] = wp
+        tensors[base + ".weight_scale"] = ws
+        tensors[base + ".weight_shape"] = np.asarray(arr.shape, np.int64)
+        with torch.no_grad():
+            dict(qmodel.named_parameters())[name].copy_(
+                torch.from_numpy(deq.T.copy()))
+    os.makedirs(out_dir, exist_ok=True)
+    save_file(tensors, os.path.join(out_dir, "model.safetensors"))
+    d = cfg.to_dict()
+    d["architectures"] = ["LlamaForCausalLM"]
+    d["quantization_config"] = {
+        "quant_method": "compressed-tensors",
+        "format": "pack-quantized",
+        "config_groups": {
+            "group_0": {
+                "targets": ["Linear"],
+                "weights": {"num_bits": 4, "type": "int",
+                            "symmetric": True, "strategy": "group",
+                            "group_size": GROUP},
+                "input_activations": None,
+            }
+        },
+        "ignore": ["lm_head"],
+    }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(d, f)
+    return qmodel.eval()
+
+
 def write_fp8_checkpoint(model, cfg, out_dir):
     """Serialize the HF model in the reference's FP8 wire format
     (float8_e4m3fn weights + per-tensor weight_scale — reference
@@ -321,6 +393,8 @@ def main():
     qmodel = write_gptq_checkpoint(model, cfg, gptq_dir)
     f8model = write_fp8_checkpoint(model, cfg, fp8_dir)
     awqmodel = write_awq_checkpoint(model, cfg, awq_dir)
+    ct_dir = os.path.join(args.workdir, "compressed-w4a16")
+    ctmodel = write_compressed_checkpoint(model, cfg, ct_dir)
 
     prompts, answers = make_items(model)
     # HF-certified ground truths (the lm-eval-configs analogue).
@@ -328,14 +402,16 @@ def main():
     nll_int4_hf = hf_nll(qmodel, prompts, answers)
     nll_fp8_hf = hf_nll(f8model, prompts, answers)
     nll_awq_hf = hf_nll(awqmodel, prompts, answers)
+    nll_ct_hf = hf_nll(ctmodel, prompts, answers)
     greedy_int4_hf = hf_greedy(qmodel, prompts)
-    del model, qmodel, f8model, awqmodel
+    del model, qmodel, f8model, awqmodel, ctmodel
 
     nll_fp16_eng, _ = engine_nll(fp16_dir, prompts, answers)
     nll_int4_eng, greedy_agree = engine_nll(gptq_dir, prompts, answers,
                                             greedy_key=greedy_int4_hf)
     nll_fp8_eng, _ = engine_nll(fp8_dir, prompts, answers)
     nll_awq_eng, _ = engine_nll(awq_dir, prompts, answers)
+    nll_ct_eng, _ = engine_nll(ct_dir, prompts, answers)
 
     def rel(a, b):
         return abs(a - b) / max(abs(b), 1e-9)
@@ -347,6 +423,8 @@ def main():
         "int4_engine_matches_hf": rel(nll_int4_eng, nll_int4_hf) <= RTOL,
         "fp8_engine_matches_hf": rel(nll_fp8_eng, nll_fp8_hf) <= RTOL,
         "awq_engine_matches_hf": rel(nll_awq_eng, nll_awq_hf) <= RTOL,
+        "compressed_tensors_engine_matches_hf":
+            rel(nll_ct_eng, nll_ct_hf) <= RTOL,
         # INT4 quality cost through the engine == through HF (abs diff of
         # the deltas, scaled by the fp16 NLL).
         "quant_delta_matches": abs(delta_eng - delta_hf) /
@@ -367,6 +445,8 @@ def main():
         "nll_fp8_engine": round(nll_fp8_eng, 6),
         "nll_awq_hf": round(nll_awq_hf, 6),
         "nll_awq_engine": round(nll_awq_eng, 6),
+        "nll_compressed_tensors_hf": round(nll_ct_hf, 6),
+        "nll_compressed_tensors_engine": round(nll_ct_eng, 6),
         "greedy_agreement_int4": greedy_agree,
         "checks": checks,
         "pass": all(checks.values()),

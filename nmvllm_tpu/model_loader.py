@@ -114,7 +114,10 @@ def _set_in(tree, path, value):
 
 _QUANT_SUFFIXES = (".qweight", ".qzeros", ".scales", ".g_idx",
                    ".weight_scale", ".input_scale", ".lookup_table",
-                   ".codes", ".codebooks")
+                   ".codes", ".codebooks",
+                   # compressed-tensors wNa16 wire format
+                   ".weight_packed", ".weight_zero_point",
+                   ".weight_shape")
 
 
 def load_safetensors_weights(model, params, model_dir: str, mesh,
@@ -348,6 +351,29 @@ def _load_quant_groups(model, params, name_map, quant_groups, quant_name,
             continue
         path, _ = name_map[weight_key]
         layer_path = path[:-1]
+        if "weight_packed" in tensors:
+            # compressed-tensors wNa16 (the reference's certified W4A16
+            # checkpoints ship this schema): (N, K/pack) packed weights
+            # + (N, K/g) scales, symmetric biased-unsigned values.
+            from nmvllm_tpu.quantization.compressed_tensors import (
+                CompressedTensorsConfig, wNa16_wire_to_canonical)
+            cc = CompressedTensorsConfig.from_config(hf_quant)
+            ga = None
+            for gdef in cc.groups:
+                if gdef.matches(prefix) and gdef.weights is not None:
+                    ga = gdef.weights
+                    break
+            nb = ga.num_bits if ga else 4
+            gs = (ga.group_size if ga and ga.group_size
+                  and ga.group_size > 0 else 128)
+            sym = ga.symmetric if ga else True
+            qw, scales, zeros = wNa16_wire_to_canonical(
+                tensors["weight_packed"], tensors["weight_scale"],
+                tensors.get("weight_zero_point"), nb, gs, symmetric=sym)
+            put(layer_path + ("qweight",), qw, cast=False)
+            put(layer_path + ("scales",), scales)
+            put(layer_path + ("zeros",), zeros, cast=False)
+            continue
         if "weight_scale" in tensors:  # FP8-serialized checkpoint
             # The fp8 weight itself is not a quant-suffixed tensor: it
             # landed through the regular name_map path (with its

@@ -124,3 +124,59 @@ class CompressedTensorsConfig(QuantizationConfig):
                                      symmetric=w.symmetric)
         from nmvllm_tpu.layers.linear import UnquantizedLinearMethod
         return UnquantizedLinearMethod()
+
+
+def wNa16_wire_to_canonical(weight_packed, weight_scale,
+                            weight_zero_point, bits: int, group_size: int,
+                            symmetric: bool = True):
+    """Repack a compressed-tensors wNa16 layer to the canonical kernel
+    layout.
+
+    Wire format (reference compressed_tensors_wNa16.py:56-74 +
+    quant_utils.py quantize_weights): ``weight_packed`` (N, K/pack)
+    int32, values UNSIGNED biased by 2^(bits-1), packed LSB-first along
+    K; ``weight_scale`` (N, K/g) float; symmetric checkpoints carry no
+    zero point (implicit half-range zero)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from nmvllm_tpu.ops.quant_matmul import pack_weights
+
+    pack = 32 // bits
+    mask = (1 << bits) - 1
+    half = 1 << (bits - 1)
+    wp = np.asarray(weight_packed).view(np.uint32)          # (N, K/pack)
+    n, kp = wp.shape
+    k = kp * pack
+    q = np.empty((n, k), np.int32)
+    for i in range(pack):
+        q[:, i::pack] = ((wp >> (bits * i)) & mask).astype(np.int32)
+    w_int = np.ascontiguousarray(q.T)                       # (K, N)
+    g = group_size if group_size and group_size > 0 else k
+    scales = np.ascontiguousarray(
+        np.asarray(weight_scale, np.float32).T)             # (K/g, N)
+    if not symmetric and weight_zero_point is not None and \
+            np.asarray(weight_zero_point).size:
+        zp = np.asarray(weight_zero_point)
+        if zp.dtype in (np.int32, np.uint32) and \
+                zp.shape[-1] * pack == n:
+            # Packed along N like the weights.
+            z = np.empty((zp.shape[0], n), np.int32)
+            zv = zp.view(np.uint32)
+            for i in range(pack):
+                z[:, i::pack] = ((zv >> (bits * i)) & mask).astype(
+                    np.int32)
+            zeros = np.ascontiguousarray(z)                 # (K/g, N)?
+            if zeros.shape != (k // g, n):
+                zeros = np.ascontiguousarray(zeros.T)
+        else:
+            zeros = np.ascontiguousarray(
+                np.asarray(zp, np.int32).T.reshape(k // g, n))
+    else:
+        zeros = np.full((k // g, n), half, np.int32)
+    if bits == 8:
+        w8 = (w_int - half).astype(np.int8)
+        return (jnp.asarray(w8), jnp.asarray(scales),
+                jnp.asarray(zeros))
+    packed = pack_weights(jnp.asarray(w_int), bits, g)
+    return packed, jnp.asarray(scales), jnp.asarray(zeros)

@@ -106,3 +106,34 @@ def test_squeezellm_checkpoint_e2e(tmp_path):
                        sampling_params=SamplingParams(temperature=0.0,
                                                       max_tokens=4))
     assert len(out[0].outputs[0].token_ids) == 4
+
+
+def test_compressed_tensors_wNa16_wire_roundtrip():
+    """compressed-tensors wNa16 wire format (the reference's certified
+    W4A16 schema: weight_packed (N, K/8) biased-unsigned LSB-first +
+    weight_scale (N, K/g)) must dequantize exactly through
+    wNa16_wire_to_canonical + the canonical kernel reference."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nmvllm_tpu.ops.quant_matmul import quant_matmul_reference
+    from nmvllm_tpu.quantization.compressed_tensors import (
+        wNa16_wire_to_canonical)
+
+    rng = np.random.default_rng(0)
+    k, n, g = 256, 128, 128
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.02
+    grp = w.reshape(k // g, g, n)
+    scale = np.maximum(np.abs(grp).max(axis=1) * 2.0 / 15.0, 1e-8)
+    q = np.clip(np.round(grp / scale[:, None, :]) + 8, 0, 15).astype(
+        np.int32)
+    deq = ((q - 8) * scale[:, None, :]).reshape(k, n)
+    q = q.reshape(k, n).T                     # (N, K)
+    wp = np.zeros((n, k // 8), np.uint32)
+    for i in range(8):
+        wp |= (q[:, i::8] & 0xF).astype(np.uint32) << (4 * i)
+    ws = np.ascontiguousarray(scale.T.astype(np.float16))  # (N, K/g)
+
+    qw, s, z = wNa16_wire_to_canonical(wp.view(np.int32), ws, None, 4, g)
+    eff = np.asarray(quant_matmul_reference(
+        jnp.eye(k, dtype=jnp.float32), qw, s, z, bits=4, group_size=g))
+    assert np.abs(eff - deq).max() < 1e-4
