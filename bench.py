@@ -81,7 +81,7 @@ def measure_hbm_gbps(size_mb: int = 512, reps: int = 8) -> float:
     t1 = timed(mk(1), jnp.bfloat16(1))
     t4 = timed(mk(4), jnp.bfloat16(1))
     per_read = max((t4 - t1) / 3, 1e-9)
-    return size_mb * 1e6 / per_read / 1e9
+    return size_mb * 2**20 / per_read / 1e9
 
 
 def count_quant_param_bytes(params) -> int:

@@ -339,6 +339,12 @@ class ParallelConfig:
             raise ValueError(
                 "sequence_parallel_size > 1 composes with tensor "
                 "parallelism only (not data/pipeline parallelism).")
+        sp = self.sequence_parallel_size
+        if sp & (sp - 1):
+            raise ValueError(
+                f"sequence_parallel_size must be a power of two "
+                f"(prefill buckets are powers of two and must divide "
+                f"evenly across sp shards), got {sp}.")
 
     @property
     def mesh_shape(self) -> Tuple[int, ...]:

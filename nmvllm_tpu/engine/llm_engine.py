@@ -293,6 +293,14 @@ class LLMEngine:
             sp = meta.sampling_params
             if sp is not None and sp.use_beam_search:
                 return None  # beam batches need beam candidate assembly
+            if sp is not None and any(
+                    not getattr(p, "is_guided", False)
+                    for p in sp.logits_processors):
+                # Plain (callable) processors resample on the HOST from
+                # the step's raw logits — a path only the normal decode
+                # step has. Force the whole batch down it; in-graph
+                # guided masks ride sampling tensors and stay spec-safe.
+                return None
             # Greedy AND stochastic rows speculate (the verification step
             # runs modified rejection sampling with one-hot proposals);
             # features the in-graph verifier doesn't model stay excluded.

@@ -92,6 +92,13 @@ class TPUExecutor:
             raise ValueError("Stateful (Mamba/Jamba) models are not "
                              "supported with sequence_parallel_size > 1 "
                              "(the state scan cannot shard along tokens).")
+        if (parallel.sequence_parallel_size > 1 and not getattr(
+                self.runner.model, "supports_sequence_parallel", False)):
+            raise ValueError(
+                "This model family's attention does not implement the "
+                "sequence-parallel ring-prefill hook; running it with "
+                "sequence_parallel_size > 1 would silently shard prefill "
+                "attention incorrectly.")
         self.cache_engine: Optional[CacheEngine] = None
         # Draft-model speculative decoding (reference SpecDecodeWorker /
         # MultiStepWorker): a second runner + KV pool; the draft's KV is

@@ -149,11 +149,14 @@ def load_safetensors_weights(model, params, model_dir: str, mesh,
         _set_in(params, path, arr)
         loaded += 1
 
+    pt_handles: Dict[str, Any] = {}
+
     def get_np(f, fpath, name):
         """framework="np" get_tensor with an FP8 fallback: numpy has no
         float8 dtypes, so FP8-serialized checkpoints (reference
         fp8.py:92-108 ingests these directly) are read through the torch
-        frontend and viewed as the matching ml_dtypes float8."""
+        frontend (one lazily-opened handle per shard file) and viewed as
+        the matching ml_dtypes float8."""
         try:
             return f.get_tensor(name)
         except (TypeError, AttributeError, ValueError, KeyError):
@@ -162,8 +165,9 @@ def load_safetensors_weights(model, params, model_dir: str, mesh,
                 raise
             import ml_dtypes
             import torch
-            with safe_open(fpath, framework="pt") as ft:
-                t = ft.get_tensor(name)
+            if fpath not in pt_handles:
+                pt_handles[fpath] = safe_open(fpath, framework="pt")
+            t = pt_handles[fpath].get_tensor(name)
             np_dt = (ml_dtypes.float8_e4m3fn if dtype == "F8_E4M3"
                      else ml_dtypes.float8_e5m2)
             return t.view(torch.uint8).numpy().view(np_dt)
@@ -364,8 +368,12 @@ def _load_quant_groups(model, params, name_map, quant_groups, quant_name,
                     ga = gdef.weights
                     break
             nb = ga.num_bits if ga else 4
-            gs = (ga.group_size if ga and ga.group_size
-                  and ga.group_size > 0 else 128)
+            # Pass group_size through unchanged: -1/None means
+            # per-channel ("channel" strategy) and the converter +
+            # serving method both resolve it to g = K with (1, N)
+            # scales/zeros — coercing to 128 here would mismatch the
+            # method's layout.
+            gs = ga.group_size if ga else 128
             sym = ga.symmetric if ga else True
             qw, scales, zeros = wNa16_wire_to_canonical(
                 tensors["weight_packed"], tensors["weight_scale"],

@@ -253,6 +253,9 @@ class DeepseekV2DecoderLayer:
 
 
 class DeepseekV2ForCausalLM(LlamaForCausalLM):
+    # MLA attention (DeepseekV2Attention) does not implement the
+    # sequence-parallel ring-prefill hook LlamaAttention has.
+    supports_sequence_parallel = False
 
     def __init__(self, cfg, **kwargs):
         super().__init__(cfg, **kwargs)

@@ -531,6 +531,10 @@ class LlamaForCausalLM:
     """
 
     rotary_neox_style = True  # GPT-J-lineage subclasses set False
+    # LlamaAttention implements the sequence-parallel ring-prefill hook
+    # (active_sp_axis); families with their own attention (MLA,
+    # gpt_family, Mamba, blocksparse) do not and must refuse sp>1.
+    supports_sequence_parallel = True
 
     def __init__(self, cfg, *, tp_size: int = 1,
                  method_factory: Optional[MethodFactory] = None,

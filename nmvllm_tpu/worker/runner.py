@@ -705,15 +705,50 @@ class ModelRunner:
                 out[i] = procs
         return out
 
-    def _host_process_sample(self, logits_row, sp, procs, prev_tokens):
+    def _host_process_sample(self, logits_row, sp, procs, prev_tokens,
+                             prompt_tokens=(), salt=0):
         """Apply per-request logits processors host-side and sample one
-        token (greedy / temperature + top-k/top-p), mirroring the
-        in-graph sampler's conventions. Returns (token, logprob,
-        processed_scaled_logits)."""
+        token, mirroring the in-graph sampler's full pipeline for this
+        row: processors -> logit_bias -> penalties -> min-tokens stop
+        ban -> guided mask -> temperature + top-k/top-p/min_p.
+        Returns (token, logprob, processed_scaled_logits)."""
         arr = np.array(np.asarray(logits_row)[:self.vocab_size],
                        np.float32)
         for proc in procs:
             arr = np.asarray(proc(list(prev_tokens), arr), np.float32)
+        if sp.logit_bias:
+            for tid, bias in sp.logit_bias.items():
+                t = int(tid)
+                if 0 <= t < arr.size:
+                    arr[t] += float(bias)
+        out_ids = np.asarray(list(prev_tokens), np.int64)
+        if (sp.presence_penalty or sp.frequency_penalty
+                or sp.repetition_penalty != 1.0):
+            counts = np.bincount(out_ids[(out_ids >= 0) &
+                                         (out_ids < arr.size)],
+                                 minlength=arr.size)
+            if sp.repetition_penalty != 1.0:
+                seen = counts > 0
+                pids = np.asarray(list(prompt_tokens), np.int64)
+                seen[pids[(pids >= 0) & (pids < arr.size)]] = True
+                rp = sp.repetition_penalty
+                arr[seen] = np.where(arr[seen] > 0, arr[seen] / rp,
+                                     arr[seen] * rp)
+            arr -= sp.frequency_penalty * counts
+            arr -= sp.presence_penalty * (counts > 0)
+        if sp.min_tokens > 0 and len(prev_tokens) < sp.min_tokens:
+            for t in sp.all_stop_token_ids:
+                if t is not None and 0 <= int(t) < arr.size:
+                    arr[int(t)] = -np.inf
+        for proc in sp.logits_processors:
+            if getattr(proc, "is_guided", False):
+                allowed = proc.allowed_token_ids(list(prev_tokens))
+                if allowed is not None:
+                    mask = np.full_like(arr, -np.inf)
+                    ids = [int(t) for t in allowed
+                           if t is not None and 0 <= int(t) < arr.size]
+                    mask[ids] = 0.0
+                    arr = arr + mask
         if sp.temperature == 0.0:
             scaled = arr
             tok = int(arr.argmax())
@@ -733,11 +768,20 @@ class ModelRunner:
                 cut = np.full_like(masked, -np.inf)
                 cut[order[:keep_n]] = masked[order[:keep_n]]
                 masked = cut
+            if sp.min_p > 0.0:
+                pm = np.exp(masked - np.nanmax(masked))
+                pm[~np.isfinite(pm)] = 0.0
+                pm /= max(pm.sum(), 1e-20)
+                masked[pm < sp.min_p * pm.max()] = -np.inf
             p = np.exp(masked - np.nanmax(masked))
             p[~np.isfinite(p)] = 0.0
             p = p / p.sum()
-            rng = (np.random.default_rng(sp.seed)
-                   if sp.seed is not None else self._host_sample_rng)
+            # Seeded rows fold the step (output length) and sibling salt
+            # into the stream so each step advances (the in-graph
+            # sampler folds output_len into its key the same way).
+            rng = (np.random.default_rng(
+                (sp.seed, len(prev_tokens), salt))
+                if sp.seed is not None else self._host_sample_rng)
             tok = int(rng.choice(p.size, p=p))
         lse = float(np.logaddexp.reduce(scaled.astype(np.float64)))
         return tok, float(scaled[tok]) - lse, scaled
@@ -760,9 +804,15 @@ class ModelRunner:
             meta, seq_id = rows[li]
             bi = pos[li]
             sp = meta.sampling_params
-            prev = meta.seq_data[seq_id].output_token_ids
+            data = meta.seq_data[seq_id]
+            prev = data.output_token_ids
+            # Sibling salt: the position WITHIN the group (stable across
+            # requests, unlike the global seq_id) so best_of siblings
+            # draw distinct seeded streams that stay reproducible.
+            sibling = list(meta.seq_data).index(seq_id)
             tok, lp, scaled = self._host_process_sample(
-                logits_np[bi], sp, procs, prev)
+                logits_np[bi], sp, procs, prev,
+                prompt_tokens=data.prompt_token_ids, salt=sibling)
             next_tokens[bi] = tok
             chosen_lp[bi] = lp
             if topk_ids is not None and sp.logprobs:

@@ -94,3 +94,20 @@ def test_parallel_config_sp_composition_rules():
     cfg = ParallelConfig(sequence_parallel_size=2, tensor_parallel_size=2)
     assert cfg.world_size == 4
     assert cfg.mesh_shape == (1, 2, 2)
+
+
+def test_sp_rejects_models_without_ring_hook():
+    """Only families whose attention implements the ring-prefill hook
+    (LlamaAttention lineage) may run sp>1; custom-attention families
+    (DeepSeek-V2 MLA) would silently shard prefill attention
+    incorrectly (review finding)."""
+    from nmvllm_tpu import LLM
+    with pytest.raises(ValueError, match="ring-prefill hook"):
+        LLM(model="debug-deepseek-v2", sequence_parallel_size=2,
+            num_gpu_blocks_override=16, max_model_len=64)
+
+
+def test_sp_must_be_power_of_two():
+    from nmvllm_tpu.config import ParallelConfig
+    with pytest.raises(ValueError, match="power of two"):
+        ParallelConfig(sequence_parallel_size=3)
