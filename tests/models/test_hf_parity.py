@@ -12,7 +12,8 @@ FAMILIES = ["llama", "gpt2", "gptj", "opt", "gptneox", "bloom", "falcon",
             "deepseek_v2",
             # round 3: rotary/MoE/softcap/logit-scale/GQA-variant coverage
             "mixtral", "qwen2", "qwen2_moe", "gemma", "gemma2", "phi3",
-            "starcoder2", "stablelm", "cohere", "olmo", "dbrx"]
+            "starcoder2", "stablelm", "cohere", "olmo", "dbrx",
+            "phi", "mpt"]
 
 PROMPT = [11, 42, 7, 99, 23, 180, 301, 5, 64, 250, 17, 333]
 
@@ -122,6 +123,17 @@ def _hf_tiny_model(family):
                             num_hidden_layers=2, num_attention_heads=2,
                             num_key_value_heads=2, clip_qkv=8.0,
                             max_position_embeddings=1024, **common)
+    elif family == "phi":
+        cfg = tf.PhiConfig(hidden_size=256, intermediate_size=512,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           partial_rotary_factor=0.5,
+                           max_position_embeddings=1024, **common)
+    elif family == "mpt":
+        cfg = tf.MptConfig(
+            d_model=256, n_heads=2, n_layers=2, max_seq_len=1024,
+            attn_config=tf.models.mpt.configuration_mpt.MptAttentionConfig(
+                alibi=True, qk_ln=False),
+            **common)
     elif family == "dbrx":
         cfg = tf.DbrxConfig(
             d_model=256, n_heads=2, n_layers=2, max_seq_len=1024,
