@@ -258,6 +258,55 @@ def write_compressed_checkpoint(model, cfg, out_dir):
     return qmodel.eval()
 
 
+def write_w8a8_checkpoint(model, cfg, out_dir):
+    """Serialize in the compressed-tensors INT8 W8A8 wire format
+    (per-channel symmetric int8 weights + (N, 1) weight_scale, dynamic
+    int8 activations); returns the dequantized-weights HF copy. The
+    engine additionally quantizes activations per token, so the NLL
+    check absorbs that (tiny) extra noise inside the same rtol."""
+    import copy
+    import torch
+    from safetensors.numpy import save_file
+    qmodel = copy.deepcopy(model)
+    tensors = {}
+    for name, p in model.named_parameters():
+        arr = p.detach().numpy()
+        is_linear = (name.endswith(".weight") and arr.ndim == 2
+                     and "embed_tokens" not in name
+                     and "lm_head" not in name
+                     and "norm" not in name)
+        if not is_linear:
+            tensors[name] = np.ascontiguousarray(arr.astype(np.float32))
+            continue
+        base = name[:-len(".weight")]
+        w = arr.astype(np.float32)                       # (N, K)
+        scale = np.maximum(np.abs(w).max(axis=1, keepdims=True) / 127.0,
+                           1e-10)
+        q = np.clip(np.round(w / scale), -128, 127).astype(np.int8)
+        tensors[base + ".weight"] = q
+        tensors[base + ".weight_scale"] = np.ascontiguousarray(
+            scale.astype(np.float32))
+        with torch.no_grad():
+            dict(qmodel.named_parameters())[name].copy_(
+                torch.from_numpy(q.astype(np.float32) * scale))
+    os.makedirs(out_dir, exist_ok=True)
+    save_file(tensors, os.path.join(out_dir, "model.safetensors"))
+    d = cfg.to_dict()
+    d["architectures"] = ["LlamaForCausalLM"]
+    d["quantization_config"] = {
+        "quant_method": "compressed-tensors", "format": "int-quantized",
+        "config_groups": {"group_0": {
+            "targets": ["Linear"],
+            "weights": {"num_bits": 8, "type": "int",
+                        "symmetric": True, "strategy": "channel"},
+            "input_activations": {"num_bits": 8, "type": "int",
+                                  "symmetric": True, "dynamic": True}}},
+        "ignore": ["lm_head"]}
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(d, f)
+    return qmodel.eval()
+
+
 def write_fp8_checkpoint(model, cfg, out_dir):
     """Serialize the HF model in the reference's FP8 wire format
     (float8_e4m3fn weights + per-tensor weight_scale — reference
@@ -395,6 +444,8 @@ def main():
     awqmodel = write_awq_checkpoint(model, cfg, awq_dir)
     ct_dir = os.path.join(args.workdir, "compressed-w4a16")
     ctmodel = write_compressed_checkpoint(model, cfg, ct_dir)
+    w8_dir = os.path.join(args.workdir, "compressed-w8a8")
+    w8model = write_w8a8_checkpoint(model, cfg, w8_dir)
 
     prompts, answers = make_items(model)
     # HF-certified ground truths (the lm-eval-configs analogue).
@@ -403,8 +454,9 @@ def main():
     nll_fp8_hf = hf_nll(f8model, prompts, answers)
     nll_awq_hf = hf_nll(awqmodel, prompts, answers)
     nll_ct_hf = hf_nll(ctmodel, prompts, answers)
+    nll_w8_hf = hf_nll(w8model, prompts, answers)
     greedy_int4_hf = hf_greedy(qmodel, prompts)
-    del model, qmodel, f8model, awqmodel, ctmodel
+    del model, qmodel, f8model, awqmodel, ctmodel, w8model
 
     nll_fp16_eng, _ = engine_nll(fp16_dir, prompts, answers)
     nll_int4_eng, greedy_agree = engine_nll(gptq_dir, prompts, answers,
@@ -412,6 +464,7 @@ def main():
     nll_fp8_eng, _ = engine_nll(fp8_dir, prompts, answers)
     nll_awq_eng, _ = engine_nll(awq_dir, prompts, answers)
     nll_ct_eng, _ = engine_nll(ct_dir, prompts, answers)
+    nll_w8_eng, _ = engine_nll(w8_dir, prompts, answers)
 
     def rel(a, b):
         return abs(a - b) / max(abs(b), 1e-9)
@@ -425,6 +478,7 @@ def main():
         "awq_engine_matches_hf": rel(nll_awq_eng, nll_awq_hf) <= RTOL,
         "compressed_tensors_engine_matches_hf":
             rel(nll_ct_eng, nll_ct_hf) <= RTOL,
+        "w8a8_engine_matches_hf": rel(nll_w8_eng, nll_w8_hf) <= RTOL,
         # INT4 quality cost through the engine == through HF (abs diff of
         # the deltas, scaled by the fp16 NLL).
         "quant_delta_matches": abs(delta_eng - delta_hf) /
@@ -447,6 +501,8 @@ def main():
         "nll_awq_engine": round(nll_awq_eng, 6),
         "nll_compressed_tensors_hf": round(nll_ct_hf, 6),
         "nll_compressed_tensors_engine": round(nll_ct_eng, 6),
+        "nll_w8a8_hf": round(nll_w8_hf, 6),
+        "nll_w8a8_engine": round(nll_w8_eng, 6),
         "greedy_agreement_int4": greedy_agree,
         "checks": checks,
         "pass": all(checks.values()),

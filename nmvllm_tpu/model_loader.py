@@ -382,13 +382,17 @@ def _load_quant_groups(model, params, name_map, quant_groups, quant_name,
             put(layer_path + ("scales",), scales)
             put(layer_path + ("zeros",), zeros, cast=False)
             continue
-        if "weight_scale" in tensors:  # FP8-serialized checkpoint
-            # The fp8 weight itself is not a quant-suffixed tensor: it
+        if "weight_scale" in tensors:  # FP8- or INT8-serialized weights
+            # The weight itself is not a quant-suffixed tensor: it
             # landed through the regular name_map path (with its
             # transpose transform) — only the scale arrives here.
+            # compressed-tensors channel strategy stores (N, 1) scales;
+            # reshape to the serving param's shape ((N,) here).
             if "weight" in tensors:
                 put(layer_path + ("weight",), tensors["weight"], cast=True)
-            put(layer_path + ("weight_scale",), tensors["weight_scale"])
+            ws = np.asarray(tensors["weight_scale"])
+            target = _get_in(params, layer_path + ("weight_scale",))
+            put(layer_path + ("weight_scale",), ws.reshape(target.shape))
             continue
         if quant_name == "squeezellm":
             # LUT-decode to dense (reference squeezellm.py; extra_formats).
