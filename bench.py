@@ -267,9 +267,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="auto",
                         choices=["auto", "llama3-8b-int4", "debug"])
-    # B=64 verified to fit HBM and beat B=56 (1496 vs 1386 tok/s,
-    # docs/PERF_NOTES.md round 3); B=80 OOMs.
-    parser.add_argument("--batch", type=int, default=64)
+    # B=72 verified to fit HBM and beat B=64/56 (1561 vs 1496/1386
+    # tok/s, docs/PERF_NOTES.md round 3); B=80 OOMs.
+    parser.add_argument("--batch", type=int, default=72)
     parser.add_argument("--context-len", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--block-size", type=int, default=32)
@@ -360,10 +360,15 @@ def main():
         # diagnostic and pointlessly retried a deterministic failure.
         if "RESOURCE_EXHAUSTED" not in str(e):
             raise
-        batch = 32
-        tokens_per_s, params_bytes, kv_bytes = run_decode_bench(
-            model_name, quant, batch, ctx, steps,
-            block_size=args.block_size)
+        for batch in (56, 32):
+            try:
+                tokens_per_s, params_bytes, kv_bytes = run_decode_bench(
+                    model_name, quant, batch, ctx, steps,
+                    block_size=args.block_size)
+                break
+            except Exception as e2:
+                if "RESOURCE_EXHAUSTED" not in str(e2) or batch == 32:
+                    raise
     hbm = detect_hbm_gbps()
     roof = roofline_tokens_per_s(params_bytes, hbm, batch, kv_bytes)
     measured_bw = measure_hbm_gbps()
