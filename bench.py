@@ -78,9 +78,14 @@ def measure_hbm_gbps(size_mb: int = 512, reps: int = 8) -> float:
         np.asarray(c)
         return (time.perf_counter() - t0) / reps
 
-    t1 = timed(mk(1), jnp.bfloat16(1))
-    t4 = timed(mk(4), jnp.bfloat16(1))
-    per_read = max((t4 - t1) / 3, 1e-9)
+    # Deep chain (1 vs 8 reads/iter) + two trials bracketing drift:
+    # shallow deltas on the tunnel are noisy enough to read above the
+    # 819 GB/s spec.
+    f1, f8 = mk(1), mk(8)
+    t1a = timed(f1, jnp.bfloat16(1))
+    t8 = timed(f8, jnp.bfloat16(1))
+    t1b = timed(f1, jnp.bfloat16(1))
+    per_read = max((t8 - (t1a + t1b) / 2) / 7, 1e-9)
     return size_mb * 2**20 / per_read / 1e9
 
 
