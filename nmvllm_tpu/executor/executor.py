@@ -33,8 +33,17 @@ class TPUExecutor:
             from nmvllm_tpu.parallel.mesh import build_pp_mesh
             from nmvllm_tpu.worker.pp_runner import PipelineModelRunner
             if parallel.data_parallel_size > 1:
-                raise ValueError("data_parallel_size > 1 cannot combine "
-                                 "with pipeline_parallel_size > 1 yet.")
+                # PP×DP: stage ring over `pp`, batch rows + KV pool over
+                # `data` (same replica-partitioned pool as single-stage
+                # DP). Features carrying extra per-row device state keep
+                # the single-stage DP restrictions.
+                if engine_config.speculative_config is not None:
+                    raise ValueError("Speculative decoding is not "
+                                     "supported with data_parallel_size "
+                                     "> 1.")
+                if engine_config.lora_config is not None:
+                    raise ValueError("LoRA is not supported with "
+                                     "data_parallel_size > 1.")
             spec = engine_config.speculative_config
             if spec is not None and spec.method != "ngram":
                 # ngram drafts are host-side; the PP runner verifies them
@@ -45,8 +54,10 @@ class TPUExecutor:
                     "Only ngram speculative decoding is supported with "
                     "pipeline_parallel_size > 1 (use "
                     "ngram_prompt_lookup_max).")
-            self.mesh = build_pp_mesh(parallel.pipeline_parallel_size,
-                                      parallel.tensor_parallel_size)
+            self.mesh = build_pp_mesh(
+                parallel.pipeline_parallel_size,
+                parallel.tensor_parallel_size,
+                data_parallel_size=parallel.data_parallel_size)
             set_global_mesh(self.mesh)
             self._maybe_init_compile_cache()
             self.runner = PipelineModelRunner(engine_config, self.mesh)

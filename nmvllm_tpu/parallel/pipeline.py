@@ -48,8 +48,13 @@ def pp_param_specs(model):
     return {"layers": stacked, **other}
 
 
-def pp_kv_spec():
-    return P(PP_AXIS, None, None, TP_AXIS, None, None)
+def pp_kv_spec(data_parallel: bool = False):
+    """(L, blocks, 2, kv_heads, bs, d): layers over pp, kv heads over tp;
+    under PP×DP the block pool additionally shards over the data axis
+    (replica r owns its pool segment, as in the single-stage DP path)."""
+    from nmvllm_tpu.parallel.mesh import DATA_AXIS
+    return P(PP_AXIS, DATA_AXIS if data_parallel else None, None,
+             TP_AXIS, None, None)
 
 
 def layer_static_sig(layer):

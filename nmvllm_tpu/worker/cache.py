@@ -106,7 +106,7 @@ class CacheEngine:
             with self.mesh:
                 self.kv_caches = _alloc(
                     (self.num_layers,) + shape,
-                    P(PP_AXIS, None, None, TP_AXIS, None, None),
+                    P(PP_AXIS, block_axis, None, TP_AXIS, None, None),
                     self.dtype)
             self._alloc_host_pool()
             return self.kv_caches

@@ -122,7 +122,7 @@ class PipelineModelRunner(ModelRunner):
     def __init__(self, engine_config: EngineConfig, mesh) -> None:
         super().__init__(engine_config, mesh)
         self.pp = engine_config.parallel_config.pipeline_parallel_size
-        self._kv_spec = pp_kv_spec()
+        self._kv_spec = pp_kv_spec(data_parallel=self.dp > 1)
 
     # ------------------------------------------------------------------ load
     def load_model(self) -> None:
@@ -202,11 +202,15 @@ class PipelineModelRunner(ModelRunner):
                          jnp.zeros_like(ctx), lora_indices, lora_stacks)
 
         lora_specs = (P(), self._lora_spec_tree())
+        # PP×DP: batch rows shard over the data axis (each replica
+        # decodes the rows whose pages live in its pool segment, as in
+        # the single-stage DP path); logits come back row-sharded.
+        bspec = self._batch_spec
         sharded_fwd = shard_map_fn(
             fwd, mesh,
-            in_specs=(param_specs, kv_spec, P(), P(), P(), P(), P(),
-                      *lora_specs),
-            out_specs=(P(), kv_spec))
+            in_specs=(param_specs, kv_spec, bspec, bspec, bspec, bspec,
+                      bspec, *lora_specs),
+            out_specs=(bspec, kv_spec))
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
@@ -246,20 +250,37 @@ class PipelineModelRunner(ModelRunner):
         want_plp = num_prompt_logprobs > 0
         lora_names = self._lora_names if use_lora else None
 
+        dp = self.dp
+
         def fwd(params, kv, tokens, positions, slots, block_tables, ctx,
-                seq_lens, prefix_lens, lora_indices, lora_stacks):
+                seq_lens, prefix_lens, owner, lora_indices, lora_stacks):
             inner = make_pipeline_fwd(model, pp, 1, is_prefill=True,
                                       has_prefix=has_prefix,
                                       capture_hidden=want_plp,
                                       lora_names=lora_names)
+
+            def owner_select(a):
+                # PP×DP prefill: the prompt computes on every data
+                # replica but only the owner (whose pool segment took
+                # the KV writes; non-owners ran with slots=-1 and zeroed
+                # tables) produced valid paged-prefix reads — select it
+                # (same scheme as worker/runner.py _get_prefill_fn).
+                if dp == 1:
+                    return a
+                from nmvllm_tpu.parallel.mesh import DATA_AXIS
+                return jax.lax.psum(a * owner[0].astype(a.dtype),
+                                    DATA_AXIS)
+
             if not want_plp:
                 logits, kv = inner(params, kv, tokens, positions, slots,
                                    block_tables, ctx, seq_lens,
                                    prefix_lens, lora_indices, lora_stacks)
-                return logits, None, kv
+                return owner_select(logits), None, kv
             logits, x, kv = inner(params, kv, tokens, positions, slots,
                                   block_tables, ctx, seq_lens, prefix_lens,
                                   lora_indices, lora_stacks)
+            logits = owner_select(logits)
+            x = owner_select(x)
             # Per-position prompt logprobs off the captured final-norm
             # hidden states (same math as ModelRunner._get_prefill_fn).
             all_logits = model.compute_logits(
@@ -278,21 +299,21 @@ class PipelineModelRunner(ModelRunner):
 
         prompt_lp_spec = (P(), P(), P()) if want_plp else None
         lora_specs = (P(), self._lora_spec_tree())
+        bspec = self._batch_spec
         sharded_fwd = shard_map_fn(
             fwd, mesh,
-            in_specs=(param_specs, kv_spec, P(), P(), P(), P(), P(), P(),
-                      P(), *lora_specs),
+            in_specs=(param_specs, kv_spec, P(), P(), bspec, bspec, P(),
+                      P(), P(), bspec, *lora_specs),
             out_specs=(P(), prompt_lp_spec, kv_spec))
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
                  ctx, seq_lens, prefix_lens, state_slots, pixel_values,
                  owner, sampling_tensors, lora_indices, lora_stacks):
-            # `owner` is the data-parallel owner mask (unused: DP does
-            # not combine with PP yet — executor guards it).
             logits, prompt_lp, kv_caches = sharded_fwd(
                 params, kv_caches, tokens, positions, slots, block_tables,
-                ctx, seq_lens, prefix_lens, lora_indices, lora_stacks)
+                ctx, seq_lens, prefix_lens, owner, lora_indices,
+                lora_stacks)
             if do_sample:
                 if n_samples > 1:
                     # best_of siblings: same prompt logits, distinct keys.
