@@ -45,15 +45,18 @@ class TPUExecutor:
                     raise ValueError("LoRA is not supported with "
                                      "data_parallel_size > 1.")
             spec = engine_config.speculative_config
-            if spec is not None and spec.method != "ngram":
-                # ngram drafts are host-side; the PP runner verifies them
-                # through the stage ring (pp_runner._get_spec_decode_fn).
-                # Draft-model/MLP-speculator proposals would need a
-                # second pipeline.
+            if spec is not None and spec.method not in ("ngram",
+                                                        "draft_model"):
+                # ngram drafts are host-side and draft models run as a
+                # plain replicated runner on the pp mesh (below); both
+                # verify through the stage ring
+                # (pp_runner._get_spec_decode_fn). MLP-speculators need
+                # the TARGET's hidden states (capture_hidden), which the
+                # stage scan does not expose.
                 raise ValueError(
-                    "Only ngram speculative decoding is supported with "
-                    "pipeline_parallel_size > 1 (use "
-                    "ngram_prompt_lookup_max).")
+                    "MLP-speculator speculative decoding is not "
+                    "supported with pipeline_parallel_size > 1 (use "
+                    "ngram_prompt_lookup_max or a draft model).")
             self.mesh = build_pp_mesh(
                 parallel.pipeline_parallel_size,
                 parallel.tensor_parallel_size,
@@ -133,6 +136,13 @@ class TPUExecutor:
                 # KV-less draft head conditioned on the target's hidden
                 # states (reference MLPSpeculatorWorker,
                 # spec_decode/mlp_speculator_worker.py:12).
+                if engine_config.parallel_config.pipeline_parallel_size > 1:
+                    raise ValueError(
+                        "MLP-speculator speculative decoding is not "
+                        "supported with pipeline_parallel_size > 1: the "
+                        "stage scan does not expose the target's hidden "
+                        "states (capture_hidden). Use ngram or a draft "
+                        "model.")
                 import jax as _jax
 
                 from nmvllm_tpu.models.mlp_speculator import MLPSpeculator
@@ -148,8 +158,22 @@ class TPUExecutor:
                     self.mlp_speculator.propose, static_argnums=(3,))
                 self.runner.capture_hidden = True
             else:
+                draft_parallel = engine_config.parallel_config
+                if draft_parallel.pipeline_parallel_size > 1:
+                    # Under PP the draft runs as a plain single-stage
+                    # runner REPLICATED over the pp (and data) mesh axes:
+                    # its params/KV specs mention only `tp`, so every
+                    # stage holds the full draft and proposals need no
+                    # stage ring. Give it a pp=1 config so its
+                    # CacheEngine allocates the flat per-layer layout.
+                    from nmvllm_tpu.config import ParallelConfig
+                    draft_parallel = ParallelConfig(
+                        pipeline_parallel_size=1,
+                        tensor_parallel_size=(
+                            draft_parallel.tensor_parallel_size))
                 self._draft_config = dataclasses.replace(
                     engine_config, model_config=draft_mc,
+                    parallel_config=draft_parallel,
                     speculative_config=None)
                 self.draft_runner = ModelRunner(self._draft_config,
                                                 self.mesh)
@@ -219,7 +243,7 @@ class TPUExecutor:
         if self.draft_runner is not None:
             self.draft_cache_engine = CacheEngine(
                 self.config.cache_config, self._draft_config.model_config,
-                self.config.parallel_config, self.mesh)
+                self._draft_config.parallel_config, self.mesh)
             self.draft_cache_engine.allocate()
 
     # ------------------------------------------------------------- stepping
