@@ -13,7 +13,10 @@ FAMILIES = ["llama", "gpt2", "gptj", "opt", "gptneox", "bloom", "falcon",
             # round 3: rotary/MoE/softcap/logit-scale/GQA-variant coverage
             "mixtral", "qwen2", "qwen2_moe", "gemma", "gemma2", "phi3",
             "starcoder2", "stablelm", "cohere", "olmo", "dbrx",
-            "phi", "mpt"]
+            "phi", "mpt",
+            # round 3 late: hybrid Mamba/attention/MoE recurrence,
+            # sliding-window prefill, MQA bigcode
+            "jamba", "mistral_swa", "gpt_bigcode"]
 
 PROMPT = [11, 42, 7, 99, 23, 180, 301, 5, 64, 250, 17, 333]
 
@@ -142,6 +145,31 @@ def _hf_tiny_model(family):
             ffn_config=tf.models.dbrx.configuration_dbrx.DbrxFFNConfig(
                 ffn_hidden_size=256, moe_num_experts=4, moe_top_k=2),
             **common)
+    elif family == "jamba":
+        # Layer 0: mamba + MoE; layer 1: attention + dense MLP — covers
+        # the conv/selective-scan prefill path, the hybrid cache, and
+        # the per-layer MoE/dense alternation in one 2-layer model.
+        cfg = tf.JambaConfig(hidden_size=256, intermediate_size=512,
+                             num_hidden_layers=2, num_attention_heads=2,
+                             num_key_value_heads=1,
+                             attn_layer_offset=1, attn_layer_period=2,
+                             expert_layer_offset=0, expert_layer_period=2,
+                             num_experts=4, num_experts_per_tok=2,
+                             mamba_d_state=16, mamba_d_conv=4,
+                             mamba_expand=2, mamba_dt_rank=8,
+                             max_position_embeddings=1024,
+                             use_mamba_kernels=False, **common)
+    elif family == "mistral_swa":
+        # Sliding window SHORTER than the prompt so windowed prefill
+        # attention actually masks (HF applies it during prefill too).
+        cfg = tf.MistralConfig(hidden_size=256, intermediate_size=512,
+                               num_hidden_layers=2, num_attention_heads=2,
+                               num_key_value_heads=1, sliding_window=8,
+                               max_position_embeddings=1024, **common)
+    elif family == "gpt_bigcode":
+        cfg = tf.GPTBigCodeConfig(n_embd=256, n_layer=2, n_head=2,
+                                  n_positions=1024, multi_query=True,
+                                  **common)
     else:
         raise ValueError(family)
     import torch
