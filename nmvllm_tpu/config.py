@@ -42,6 +42,7 @@ class ModelConfig:
         quantization_param_path: Optional[str] = None,
         enforce_eager: bool = False,
         max_logprobs: int = 20,
+        disable_sliding_window: bool = False,
         skip_tokenizer_init: bool = False,
         served_model_name: Optional[str] = None,
         hf_config: Optional[Any] = None,
@@ -58,6 +59,7 @@ class ModelConfig:
         self.quantization_param_path = quantization_param_path
         self.enforce_eager = enforce_eager
         self.max_logprobs = max_logprobs
+        self.disable_sliding_window = disable_sliding_window
         self.skip_tokenizer_init = skip_tokenizer_init
         self.served_model_name = served_model_name or model
 
@@ -74,6 +76,14 @@ class ModelConfig:
         self.dtype = _resolve_dtype(dtype, self.hf_config)
         self.max_model_len = _get_and_verify_max_len(self.shape_config,
                                                     max_model_len)
+        if disable_sliding_window:
+            # Reference vllm/config.py:87,121: serve the model with FULL
+            # attention, capping max_model_len to the window so no
+            # position ever exceeds what windowed training saw. Enables
+            # prefix caching on sliding-window checkpoints.
+            window = self._hf_sliding_window()
+            if window is not None:
+                self.max_model_len = min(self.max_model_len, window)
         self._verify_quantization()
 
     # --- architecture accessors -------------------------------------------
@@ -120,10 +130,16 @@ class ModelConfig:
     def get_vocab_size(self) -> int:
         return self.shape_config.vocab_size
 
-    def get_sliding_window(self) -> Optional[int]:
+    def _hf_sliding_window(self) -> Optional[int]:
         if not getattr(self.shape_config, "use_sliding_window", True):
             return None
         return getattr(self.shape_config, "sliding_window", None)
+
+    def get_sliding_window(self) -> Optional[int]:
+        if getattr(self, "disable_sliding_window", False):
+            # Full attention, max_model_len capped to the window (init).
+            return None
+        return self._hf_sliding_window()
 
     def _verify_quantization(self) -> None:
         from nmvllm_tpu.quantization import QUANTIZATION_METHODS

@@ -50,6 +50,7 @@ class EngineArgs:
     max_num_batched_tokens: Optional[int] = None
     max_num_seqs: int = 256
     max_logprobs: int = 20
+    disable_sliding_window: bool = False
     enable_chunked_prefill: bool = False
     preemption_mode: Optional[str] = None
     use_v2_block_manager: bool = True
@@ -124,6 +125,7 @@ class EngineArgs:
             quantization_param_path=self.quantization_param_path,
             enforce_eager=self.enforce_eager,
             max_logprobs=self.max_logprobs,
+            disable_sliding_window=self.disable_sliding_window,
             skip_tokenizer_init=self.skip_tokenizer_init,
             served_model_name=self.served_model_name)
         cache_config = CacheConfig(
