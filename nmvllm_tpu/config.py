@@ -83,7 +83,22 @@ class ModelConfig:
             # prefix caching on sliding-window checkpoints.
             window = self._hf_sliding_window()
             if window is not None:
+                if max_model_len is not None and max_model_len > window:
+                    # Mirror reference _get_and_verify_max_len
+                    # (vllm/config.py:1426+): an EXPLICIT user length
+                    # beyond the window is an error, not a silent cap.
+                    raise ValueError(
+                        f"User-specified max_model_len ({max_model_len}) "
+                        f"exceeds the model's sliding window ({window}); "
+                        "with disable_sliding_window the model runs full "
+                        "attention capped to the window.")
                 self.max_model_len = min(self.max_model_len, window)
+                # Structurally disable windowed masks: model layers read
+                # the window straight from the HF config
+                # (models/llama.py Attention), so enforce the
+                # full-attention invariant at the source rather than via
+                # the length cap alone.
+                self.shape_config.use_sliding_window = False
         self._verify_quantization()
 
     # --- architecture accessors -------------------------------------------

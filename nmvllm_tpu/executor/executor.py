@@ -159,6 +159,12 @@ class TPUExecutor:
                 self.runner.capture_hidden = True
             else:
                 draft_parallel = engine_config.parallel_config
+                # The pp=1 rebuild below carries only tp; it would
+                # mis-size the draft cache if spec+DP were ever allowed.
+                assert draft_parallel.data_parallel_size == 1, (
+                    "draft-model spec decoding assumes dp == 1 (guarded "
+                    "above); update the draft ParallelConfig rebuild if "
+                    "that guard is relaxed")
                 if draft_parallel.pipeline_parallel_size > 1:
                     # Under PP the draft runs as a plain single-stage
                     # runner REPLICATED over the pp (and data) mesh axes:

@@ -22,13 +22,15 @@ tensors, and output conversion; only the compiled step builders differ:
 Multi-LoRA runs under PP: adapter stacks are positionally stacked over
 the layer axis and sharded over ``pp`` alongside params["layers"]
 (PPLoRAState), re-bound per scan step to the proto layers' names.
-ngram speculative decoding runs under PP too (the multi-query verify
-flows through the stage ring, _get_spec_decode_fn) — beyond the
-reference, whose sync engine refuses PP entirely
+ngram AND draft-model speculative decoding run under PP too (the
+multi-query verify flows through the stage ring,
+_get_spec_decode_fn; draft proposals come from a separate ModelRunner
+replicated over the pp axis — this runner never proposes) — beyond
+the reference, whose sync engine refuses PP entirely
 (llm_engine.py:845-848). Still unsupported under PP (raise with a
-clear message): draft-model/MLP-speculator proposals (would need a
-second pipeline), multimodal prompts, stateful (Mamba) models,
-per-request logits processors.
+clear message): MLP-speculator proposals (need the target's hidden
+states, which the stage scan does not expose), multimodal prompts,
+stateful (Mamba) models, per-request logits processors.
 """
 import functools
 from typing import Any, List
@@ -401,10 +403,12 @@ class PipelineModelRunner(ModelRunner):
         return step
 
     def _get_propose_fn(self, *a, **kw):
-        # Draft-model k-step proposal chains would need a second
-        # pipeline; ngram (host-side) proposals are the PP-supported
-        # speculative mode.
-        raise self._unsupported("draft-model speculative proposals")
+        # The TARGET's pipeline runner never proposes: ngram drafts are
+        # host-side and draft-model proposals come from the separate
+        # replicated draft ModelRunner (executor.py). Reaching this
+        # means the executor mis-routed a proposal to the target.
+        raise self._unsupported("speculative proposals on the target "
+                                "pipeline runner")
 
     def execute_embedding(self, meta, kv_caches):
         raise self._unsupported("embedding models")

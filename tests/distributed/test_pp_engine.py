@@ -39,12 +39,15 @@ def test_pp_engine_matches_single_stage(pp, tp, model, example_prompts):
 def test_pp_rejects_unsupported_combos():
     if len(jax.devices()) < 2:
         pytest.skip("needs more virtual devices")
-    # ngram spec is SUPPORTED under PP (test_pp_spec_decode.py);
-    # draft-model proposals are not (second pipeline needed).
-    with pytest.raises(ValueError, match="ngram"):
+    # ngram AND draft-model spec are SUPPORTED under PP
+    # (test_pp_spec_decode.py); only MLP-speculators are rejected — they
+    # need the target's hidden states, which the stage scan never
+    # exposes (executor.py MLP-speculator guard).
+    with pytest.raises(ValueError, match="MLP-speculator"):
         LLM(model="debug-llama", dtype="float32",
             num_gpu_blocks_override=16, max_model_len=64,
-            pipeline_parallel_size=2, speculative_model="debug-llama",
+            pipeline_parallel_size=2,
+            speculative_model="debug-mlp-speculator",
             num_speculative_tokens=2)
 
 

@@ -23,6 +23,25 @@ def test_config_caps_max_len_and_hides_window():
                      dtype="auto", seed=0, disable_sliding_window=True)
     assert mc.get_sliding_window() is None
     assert mc.max_model_len == 64
+    # Structural enforcement: model layers read the window from the HF
+    # config, so the flag must clear it there too (not rely on the cap).
+    assert mc.shape_config.use_sliding_window is False
+
+
+def test_explicit_max_len_beyond_window_raises():
+    # Reference _get_and_verify_max_len: an explicit user max_model_len
+    # larger than the window errors instead of silently capping.
+    with pytest.raises(ValueError, match="sliding window"):
+        ModelConfig(model="debug-mistral", tokenizer="debug-mistral",
+                    tokenizer_mode="auto", trust_remote_code=False,
+                    dtype="auto", seed=0, disable_sliding_window=True,
+                    max_model_len=128)
+    # At or below the window is fine.
+    mc = ModelConfig(model="debug-mistral", tokenizer="debug-mistral",
+                     tokenizer_mode="auto", trust_remote_code=False,
+                     dtype="auto", seed=0, disable_sliding_window=True,
+                     max_model_len=32)
+    assert mc.max_model_len == 32
 
 
 def test_prefix_caching_works_with_disabled_window():
