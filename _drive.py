@@ -1,35 +1,37 @@
-"""Round-4 verify drive: disable_sliding_window config hardening +
-PP draft-spec support through the public LLM surface."""
+"""Round-4 verify drive: batched multi-prompt prefill through the
+public LLM surface (parity + single-dispatch check)."""
+import os
+
 from nmvllm_tpu import LLM, SamplingParams
-from nmvllm_tpu.config import ModelConfig
 
-# 1. Explicit over-window max_model_len now raises.
-try:
-    ModelConfig(model="debug-mistral", tokenizer="debug-mistral",
-                tokenizer_mode="auto", trust_remote_code=False,
-                dtype="auto", seed=0, disable_sliding_window=True,
-                max_model_len=128)
-    raise SystemExit("FAIL: over-window max_model_len did not raise")
-except ValueError as e:
-    print("over-window raise OK:", e)
+PROMPTS = ["the quick brown fox jumps over", "a b c",
+           "one two three four five six", "hello world this is a test"]
+SP = SamplingParams(temperature=0.0, max_tokens=8)
 
-# 2. disable_sliding_window still serves full attention end-to-end.
-llm = LLM(model="debug-mistral", disable_sliding_window=True,
-          enable_prefix_caching=True, num_gpu_blocks_override=64,
-          max_num_seqs=4)
-out = llm.generate(["the quick brown fox"],
-                   SamplingParams(temperature=0.0, max_tokens=8))
-print("full-attn tokens:", out[0].outputs[0].token_ids)
-assert len(out[0].outputs[0].token_ids) == 8
-del llm
 
-# 3. Draft-model spec under PP still generates (executor assert path).
-llm = LLM(model="debug-llama", pipeline_parallel_size=2,
-          num_gpu_blocks_override=64, max_num_seqs=8, max_model_len=256,
-          speculative_model="debug-llama", num_speculative_tokens=3)
-out = llm.generate(["a b c d a b c d a b"],
-                   SamplingParams(temperature=0.0, max_tokens=12,
-                                  ignore_eos=True))
-print("pp draft-spec tokens:", out[0].outputs[0].token_ids)
-assert len(out[0].outputs[0].token_ids) == 12
+def run():
+    llm = LLM(model="debug-llama", num_gpu_blocks_override=64,
+              max_num_seqs=8, max_model_len=128)
+    runner = llm.llm_engine.executor.runner
+    calls = {"batch": 0, "single": 0}
+    ob, osg = runner.execute_prefill_batch, runner.execute_prefill
+    runner.execute_prefill_batch = (
+        lambda m, kv: (calls.__setitem__("batch", calls["batch"] + 1),
+                       ob(m, kv))[1])
+    runner.execute_prefill = (
+        lambda m, kv: (calls.__setitem__("single", calls["single"] + 1),
+                       osg(m, kv))[1])
+    outs = llm.generate(PROMPTS, SP)
+    return [tuple(o.outputs[0].token_ids) for o in outs], calls
+
+
+os.environ["NMVLLM_BATCHED_PREFILL"] = "0"
+base, c0 = run()
+os.environ["NMVLLM_BATCHED_PREFILL"] = "1"
+batched, c1 = run()
+print("unbatched dispatches:", c0, "batched dispatches:", c1)
+assert c0 == {"batch": 0, "single": 4}
+assert c1 == {"batch": 1, "single": 0}
+assert batched == base, (batched, base)
+print("tokens:", batched[0])
 print("DRIVE OK")

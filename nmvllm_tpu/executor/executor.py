@@ -252,6 +252,28 @@ class TPUExecutor:
                 self._draft_config.parallel_config, self.mesh)
             self.draft_cache_engine.allocate()
 
+    def _prefill_draft(self, metas) -> None:
+        """Piggyback prompt prefill onto the draft runner's KV (draft-model
+        speculative decoding) and mark the draft cache fresh."""
+        if self.draft_cache_engine is None:
+            return
+        dkv = self.draft_cache_engine.kv_caches
+        batchable = [m for m in metas
+                     if self.draft_runner.can_batch_prefill(m)]
+        rest = [m for m in metas if m not in batchable]
+        if len(batchable) >= 2:
+            dkv, _ = self.draft_runner.execute_prefill_batch(batchable, dkv)
+        else:
+            rest = list(metas)
+        for meta in rest:
+            dkv, _ = self.draft_runner.execute_prefill(meta, dkv)
+        self.draft_cache_engine.kv_caches = dkv
+        for meta in metas:
+            for sid, d in meta.seq_data.items():
+                self._draft_upto[sid] = (d.get_num_computed_tokens() +
+                                         meta.token_chunk_size - 1)
+                self._draft_pending_k.pop(sid, None)
+
     # ------------------------------------------------------------- stepping
     def execute_model(
             self,
@@ -271,20 +293,40 @@ class TPUExecutor:
         kv = self.cache_engine.kv_caches
 
         outputs_by_request = {}
+        # Batched multi-prompt prefill (reference tpu_model_runner.py:
+        # 199-247 pads and batches prompts into ONE forward): eligible
+        # groups sharing do_sample go in one compiled dispatch; feature-
+        # carrying groups (best_of, prompt_logprobs, LoRA, images, ...)
+        # take the single-group path.
+        import os
+        batching_on = os.getenv("NMVLLM_BATCHED_PREFILL", "1") not in (
+            "0", "false")
+        batches: list = []
+        singles: list = []
+        by_sample = {True: [], False: []}
         for meta in prefills:
+            if batching_on and self.runner.can_batch_prefill(meta):
+                by_sample[meta.do_sample].append(meta)
+            else:
+                singles.append(meta)
+        for group in by_sample.values():
+            if len(group) >= 2:
+                batches.append(group)
+            else:
+                singles.extend(group)
+        for group in batches:
+            kv, out = self.runner.execute_prefill_batch(group, kv)
+            for i, meta in enumerate(group):
+                outputs_by_request[meta.request_id] = (
+                    out.outputs[i] if out is not None else None)
+            self._prefill_draft(group)
+        for meta in singles:
             kv, out = self.runner.execute_prefill(meta, kv)
             if out is not None:
                 outputs_by_request[meta.request_id] = out.outputs[0]
             else:
                 outputs_by_request[meta.request_id] = None
-            if self.draft_cache_engine is not None:
-                dkv, _ = self.draft_runner.execute_prefill(
-                    meta, self.draft_cache_engine.kv_caches)
-                self.draft_cache_engine.kv_caches = dkv
-                for sid, d in meta.seq_data.items():
-                    self._draft_upto[sid] = (d.get_num_computed_tokens() +
-                                             meta.token_chunk_size - 1)
-                    self._draft_pending_k.pop(sid, None)
+            self._prefill_draft([meta])
         if decodes:
             kv, out = self.runner.execute_decode(decodes, kv)
             for meta, group_out in zip(decodes, out.outputs):

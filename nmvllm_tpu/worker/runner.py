@@ -1405,6 +1405,97 @@ class ModelRunner:
         return kv_caches, SamplerOutput(
             outputs=outputs, spec_decode_worker_metrics=metrics)
 
+    def can_batch_prefill(self, meta: SequenceGroupMetadata) -> bool:
+        """Eligibility for the multi-prompt batched prefill dispatch
+        (reference pads+batches prompts into one forward,
+        vllm/worker/tpu_model_runner.py:199-247, model_runner.py:332).
+        Feature-carrying groups fall back to the single-group path."""
+        if len(meta.seq_data) != 1:
+            return False          # best_of siblings sample over tiled rows
+        sp = meta.sampling_params
+        if sp is not None and sp.prompt_logprobs is not None:
+            return False          # per-position logprobs index row 0
+        if sp is not None and sp.logits_processors:
+            return False          # host resampling patches single rows
+        if meta.multi_modal_data:
+            return False          # vision towers take one image tensor
+        if meta.lora_request is not None:
+            return False
+        if self.dp > 1 or self.sp > 1:
+            return False          # owner masks / ring shards are per-call
+        if self._model_is_stateful() or self.capture_hidden:
+            return False
+        return True
+
+    def execute_prefill_batch(self, metas: List[SequenceGroupMetadata],
+                              kv_caches
+                              ) -> Tuple[Any, Optional[SamplerOutput]]:
+        """Run SEVERAL prompt groups in one compiled dispatch: rows padded
+        to a (batch bucket, token bucket) grid, per-row seq/prefix lens.
+        All metas must be can_batch_prefill-eligible and share do_sample;
+        mixed prefix/no-prefix rows ride the paged-prefix step with
+        prefix_len 0. One dispatch replaces N (reference
+        tpu_model_runner.py:199-247 batches prompts the same way)."""
+        do_sample = metas[0].do_sample
+        assert all(m.do_sample == do_sample for m in metas)
+        rows = []
+        chunks = []
+        computed = []
+        for meta in metas:
+            (seq_id, data), = meta.seq_data.items()
+            rows.append((meta, seq_id))
+            computed.append(data.get_num_computed_tokens())
+            chunks.append(meta.token_chunk_size)
+        b = len(metas)
+        b_pad = max(1, next_power_of_2(b))
+        t = self.pad_prefill_len(max(chunks))
+        has_prefix = any(c > 0 for c in computed)
+
+        tokens = np.zeros((b_pad, t), np.int32)
+        positions = np.zeros((b_pad, t), np.int32)
+        slots = np.full((b_pad, t), -1, np.int32)
+        block_tables = np.zeros((b_pad, self.max_blocks_per_seq), np.int32)
+        ctx = np.ones((b_pad,), np.int32)
+        seq_lens = np.ones((b_pad,), np.int32)
+        prefix_lens = np.zeros((b_pad,), np.int32)
+        for i, (meta, seq_id) in enumerate(rows):
+            data = meta.seq_data[seq_id]
+            nc, chunk = computed[i], chunks[i]
+            ids = data.get_token_ids()[nc:nc + chunk]
+            tokens[i, :chunk] = ids
+            positions[i, :chunk] = np.arange(nc, nc + chunk)
+            table = meta.block_tables[seq_id]
+            block_tables[i, :len(table)] = table
+            for j in range(chunk):
+                pos = nc + j
+                slots[i, j] = (table[pos // self.block_size] *
+                               self.block_size + pos % self.block_size)
+            ctx[i] = nc + chunk
+            seq_lens[i] = chunk
+            prefix_lens[i] = nc
+
+        tensors, flags = self.build_sampling_tensors(rows, b_pad)
+        flags_key = tuple(sorted(flags.items()))
+        use_lora, lora_idx, lora_stacks = self._lora_args(rows, b_pad)
+        step = self._get_prefill_fn(flags_key, has_prefix, do_sample,
+                                    n_samples=1, use_lora=use_lora)
+        logger.debug("batched prefill step: B=%d/%d T=%d prefix=%s "
+                     "flags=%s", b, b_pad, t, has_prefix, flags)
+        state_slots = self._state_slots_for_rows(rows, b_pad, create=True)
+        pv = jnp.zeros((1, 1), jnp.float32)
+        owner = np.ones((b_pad,), np.float32)
+        res = step(
+            self.params, kv_caches, jnp.asarray(tokens),
+            jnp.asarray(positions), jnp.asarray(slots),
+            jnp.asarray(block_tables), jnp.asarray(ctx),
+            jnp.asarray(seq_lens), jnp.asarray(prefix_lens),
+            jnp.asarray(state_slots), pv, jnp.asarray(owner), tensors,
+            lora_idx, lora_stacks)
+        kv_caches, out = res[0], res[1]
+        if out is None:
+            return kv_caches, None
+        return kv_caches, self._to_sampler_output(out, rows, metas)
+
     def execute_prefill(self, meta: SequenceGroupMetadata,
                         kv_caches) -> Tuple[Any, Optional[SamplerOutput]]:
         """Run one prompt (or prompt chunk): batch dim 1, padded length.
