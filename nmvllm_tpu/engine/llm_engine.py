@@ -64,6 +64,14 @@ class LLMEngine:
             self.tokenizer = None
             self.detokenizer = None
 
+        import os
+
+        import jax as _jax
+        # Per-step cross-host schedule fingerprint check (multi-host
+        # pods; opt-in — it costs one tiny collective per step).
+        self._multihost_check = (
+            os.getenv("NMVLLM_MULTIHOST_CHECK", "0") not in ("0", "false")
+            and _jax.process_count() > 1)
         self.executor = TPUExecutor(engine_config)
         self._initialize_kv_caches()
 
@@ -237,6 +245,18 @@ class LLMEngine:
     def step(self) -> List[RequestOutput]:
         seq_group_metadata_list, scheduler_outputs = \
             self.scheduler.schedule()
+        if self._multihost_check:
+            # Host-replicated scheduling contract (parallel/multihost.py):
+            # every host must have produced the identical schedule this
+            # step — fingerprint it and compare across processes.
+            from nmvllm_tpu.parallel.multihost import \
+                assert_same_across_hosts
+            fp = [(m.request_id, m.is_prompt, m.token_chunk_size,
+                   sorted((sid, tuple(t), d.get_len()) for sid, t in
+                          m.block_tables.items()
+                          for d in (m.seq_data[sid],)))
+                  for m in seq_group_metadata_list]
+            assert_same_across_hosts(fp, "schedule fingerprint")
         if not scheduler_outputs.is_empty():
             execute_model_req = ExecuteModelRequest(
                 seq_group_metadata_list=seq_group_metadata_list,

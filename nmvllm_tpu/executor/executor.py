@@ -89,10 +89,26 @@ class TPUExecutor:
                 if engine_config.speculative_config is not None:
                     raise ValueError("sequence_parallel_size > 1 does "
                                      "not support speculative decoding.")
-            self.mesh = build_mesh(
-                parallel.data_parallel_size,
-                parallel.tensor_parallel_size,
-                sequence_parallel_size=parallel.sequence_parallel_size)
+            import jax
+            if jax.process_count() > 1:
+                # Multi-host pod: one identical engine per host over the
+                # GLOBAL device set (host-replicated scheduling,
+                # parallel/multihost.py). tp groups are host-major so
+                # they ride ICI; only dp crosses DCN. The caller (or the
+                # pod runtime) initializes jax.distributed first.
+                if (parallel.sequence_parallel_size > 1 or
+                        parallel.pipeline_parallel_size > 1):
+                    raise ValueError(
+                        "multi-host meshes support dp x tp only")
+                from nmvllm_tpu.parallel.multihost import build_pod_mesh
+                self.mesh = build_pod_mesh(
+                    parallel.data_parallel_size,
+                    parallel.tensor_parallel_size)
+            else:
+                self.mesh = build_mesh(
+                    parallel.data_parallel_size,
+                    parallel.tensor_parallel_size,
+                    sequence_parallel_size=parallel.sequence_parallel_size)
             set_global_mesh(self.mesh)
             self._maybe_init_compile_cache()
             self.runner = ModelRunner(engine_config, self.mesh)

@@ -866,6 +866,21 @@ class ModelRunner:
                       bspec, P(), *lora_specs),
             out_specs=(bspec, kv_specs) + hid_spec)
 
+        # Multi-host pods: row-sharded (data-axis) outputs span
+        # non-addressable devices, so the host could not np.asarray
+        # them — replicate everything the host reads in-graph (one
+        # all-gather over dp; single-host keeps the sharded fast path).
+        import jax as _jax
+        replicate_out = self.dp > 1 and _jax.process_count() > 1
+
+        def _host_visible(tree):
+            if not replicate_out:
+                return tree
+            from jax.sharding import NamedSharding
+            rep = NamedSharding(mesh, P())
+            return jax.tree.map(
+                lambda a: jax.lax.with_sharding_constraint(a, rep), tree)
+
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, tokens, positions, slots, block_tables,
                  ctx, state_slots, sampling_tensors, lora_indices,
@@ -877,12 +892,12 @@ class ModelRunner:
             logits, kv_caches = res[0], res[1]
             out = sample(logits, sampling_tensors, vocab_size=vocab_size,
                          **flags)
-            rets = [kv_caches, out]
+            rets = [kv_caches, _host_visible(out)]
             if capture_hidden:
-                rets.append(res[2])
+                rets.append(_host_visible(res[2]))
             if return_logits:
                 # Host-side logits-processor rows re-sample on the host.
-                rets.append(logits)
+                rets.append(_host_visible(logits))
             return tuple(rets)
 
         self._step_fns[key] = step
