@@ -36,12 +36,21 @@ import numpy as np
 
 RTOL = 0.02            # the reference certification tolerance
 SEED = 20240820
-N_ITEMS = 24           # eval items ("questions")
+N_ITEMS = 96           # eval items ("questions"); r3 VERDICT: 24 was
+                       # too small-N to resolve a real 5% regression
 PROMPT_LEN = 24
 ANSWER_LEN = 8
 
 HIDDEN, INTER, LAYERS, HEADS, KV_HEADS, VOCAB = 512, 1024, 4, 4, 2, 1024
 GROUP = 128
+
+# --full-geometry: the GPTQ leg at full Llama-3-8B width/depth (seeded
+# synthetic weights) so 8B-scale kernel numerics — group counts, K
+# depths, accumulation lengths — are what gets certified (r3 VERDICT
+# item 4). HF ground truth runs f32 on CPU; the engine leg runs the
+# production Pallas path on the TPU.
+FULL_GEOM = dict(HIDDEN=4096, INTER=14336, LAYERS=32, HEADS=32,
+                 KV_HEADS=8, VOCAB=128256)
 
 
 def build_hf_model():
@@ -345,6 +354,48 @@ def write_fp8_checkpoint(model, cfg, out_dir):
     return qmodel.eval()
 
 
+def write_sparse24_checkpoint(model, cfg, out_dir):
+    """Magnitude-prune every linear to 2:4 along the input (K) dim and
+    serialize as a PLAIN dense checkpoint — the engine compresses it at
+    load under ``sparsity="semi_structured_sparse_w16a16"`` (reference
+    magic_wand LazyCompressedParameter; cert semantics:
+    tests/models_core/test_magic_wand.py scores sparse vs same-model
+    dense). Returns the pruned HF copy for ground-truth scoring."""
+    import copy
+    import torch
+    from safetensors.numpy import save_file
+    smodel = copy.deepcopy(model)
+    tensors = {}
+    for name, p in model.named_parameters():
+        arr = p.detach().numpy()
+        is_linear = (name.endswith(".weight") and arr.ndim == 2
+                     and "embed_tokens" not in name
+                     and "lm_head" not in name
+                     and "norm" not in name)
+        if not is_linear:
+            tensors[name] = np.ascontiguousarray(arr.astype(np.float32))
+            continue
+        w = arr.astype(np.float32)                      # (N, K)
+        n, k = w.shape
+        g = w.reshape(n, k // 4, 4)
+        # Keep the 2 largest-|w| per group of 4 along K.
+        order = np.argsort(-np.abs(g), axis=-1)
+        mask = np.zeros_like(g, dtype=bool)
+        np.put_along_axis(mask, order[..., :2], True, axis=-1)
+        pruned = np.where(mask, g, 0.0).reshape(n, k)
+        tensors[name] = np.ascontiguousarray(pruned)
+        with torch.no_grad():
+            dict(smodel.named_parameters())[name].copy_(
+                torch.from_numpy(pruned))
+    os.makedirs(out_dir, exist_ok=True)
+    save_file(tensors, os.path.join(out_dir, "model.safetensors"))
+    d = cfg.to_dict()
+    d["architectures"] = ["LlamaForCausalLM"]
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(d, f)
+    return smodel.eval()
+
+
 def make_items(model):
     """Fixed eval set: prompts + the FP16 model's greedy answers (the
     'answer key' both stacks are scored against, like GSM8K answers)."""
@@ -389,16 +440,19 @@ def hf_nll(model, prompts, answers):
     return tot / cnt
 
 
-def engine_nll(model_dir, prompts, answers, greedy_key=None):
+def engine_nll(model_dir, prompts, answers, greedy_key=None,
+               **llm_kwargs):
     """Same metric through the engine's public LLM surface (prompt
     logprobs over prompt+answer), plus greedy agreement against the
     SAME checkpoint's HF greedy continuations (`greedy_key`) — serving
     stacks running identical weights must agree token-for-token except
-    at near-ties."""
+    at near-ties. ``llm_kwargs`` selects engine-side compression legs
+    (kv_cache_dtype="fp8", sparsity=...)."""
     from nmvllm_tpu import LLM, SamplingParams
-    llm = LLM(model=str(model_dir), dtype="float32",
-              num_gpu_blocks_override=192, max_num_seqs=8,
-              max_model_len=128)
+    kwargs = dict(dtype="float32", num_gpu_blocks_override=192,
+                  max_num_seqs=8, max_model_len=128)
+    kwargs.update(llm_kwargs)
+    llm = LLM(model=str(model_dir), **kwargs)
     seqs = [p + a for p, a in zip(prompts, answers)]
     outs = llm.generate(prompt_token_ids=seqs,
                         sampling_params=SamplingParams(
@@ -419,19 +473,93 @@ def engine_nll(model_dir, prompts, answers, greedy_key=None):
             g.outputs[0].token_ids[i] == a[i]
             for g, a in zip(gouts, greedy_key)
             for i in range(min(len(g.outputs[0].token_ids), ANSWER_LEN)))
-        greedy_agree = match / (N_ITEMS * ANSWER_LEN)
+        greedy_agree = match / (len(prompts) * ANSWER_LEN)
     del llm
     return tot / cnt, greedy_agree
 
 
+def full_geometry_leg(workdir):
+    """GPTQ W4A16 at full Llama-3-8B geometry: seeded synthetic weights,
+    HF f32 ground truth on CPU, engine NLL through the production
+    loader + Pallas kernels (8B-scale group counts / K depths /
+    accumulation lengths). Fewer items than the small-geometry matrix —
+    each HF forward is an 8B f32 CPU pass."""
+    global HIDDEN, INTER, LAYERS, HEADS, KV_HEADS, VOCAB
+    saved = (HIDDEN, INTER, LAYERS, HEADS, KV_HEADS, VOCAB)
+    HIDDEN, INTER, LAYERS, HEADS, KV_HEADS, VOCAB = (
+        FULL_GEOM["HIDDEN"], FULL_GEOM["INTER"], FULL_GEOM["LAYERS"],
+        FULL_GEOM["HEADS"], FULL_GEOM["KV_HEADS"], FULL_GEOM["VOCAB"])
+    n_items = 12
+    try:
+        import torch
+        model, cfg = build_hf_model()
+        gptq_dir = os.path.join(workdir, "gptq-8b-geom")
+        qmodel = write_gptq_checkpoint(model, cfg, gptq_dir)
+        del model
+        rng = np.random.default_rng(SEED + 1)
+        prompts = rng.integers(4, 32000, (n_items, PROMPT_LEN)).tolist()
+        answers = []
+        with torch.no_grad():
+            for p in prompts:
+                out = qmodel.generate(torch.tensor([p]),
+                                      max_new_tokens=ANSWER_LEN,
+                                      do_sample=False)
+                answers.append(out[0, PROMPT_LEN:].tolist())
+        nll_hf = hf_nll(qmodel, prompts, answers)
+        del qmodel
+        import gc
+        gc.collect()
+        nll_eng, _ = engine_nll(gptq_dir, prompts, answers,
+                                dtype="bfloat16",
+                                num_gpu_blocks_override=64)
+        rel = abs(nll_eng - nll_hf) / max(abs(nll_hf), 1e-9)
+        # bf16 serving vs f32 HF at 8B depth: certify at 2x the small-
+        # geometry rtol (the reference's GSM8K rtol compares equal-dtype
+        # runs; here the engine intentionally serves bf16).
+        return {
+            "geometry": "llama-3-8b (4096/14336 x 32L, vocab 128256)",
+            "items": n_items,
+            "nll_int4_hf_f32": round(nll_hf, 6),
+            "nll_int4_engine_bf16": round(nll_eng, 6),
+            "rel_err": round(rel, 6),
+            "pass": rel <= 2 * RTOL,
+        }
+    finally:
+        HIDDEN, INTER, LAYERS, HEADS, KV_HEADS, VOCAB = saved
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="ACCURACY_r03.json")
+    ap.add_argument("--out", default="ACCURACY_r04.json")
     ap.add_argument("--workdir", default="/tmp/nmvllm_accuracy_cert")
+    ap.add_argument("--full-geometry", action="store_true",
+                    help="additionally run the GPTQ leg at full "
+                         "Llama-3-8B geometry (slow: 8B f32 HF ground "
+                         "truth on CPU)")
+    ap.add_argument("--skip-small", action="store_true",
+                    help="run ONLY the full-geometry leg (merge into an "
+                         "existing --out)")
     args = ap.parse_args()
 
     import jax
     platform = jax.devices()[0].platform
+
+    if args.skip_small:
+        leg = full_geometry_leg(args.workdir)
+        try:
+            with open(args.out) as f:
+                result = json.load(f)
+        except FileNotFoundError:
+            result = {"metric":
+                      "accuracy_certification_rehearsal[gptq-w4a16-llama]"}
+        result["full_geometry_leg"] = leg
+        result["checks"] = result.get("checks", {})
+        result["checks"]["full_geometry_int4_matches_hf"] = leg["pass"]
+        result["pass"] = all(result["checks"].values())
+        print(json.dumps(result))
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        sys.exit(0 if result["pass"] else 1)
 
     model, cfg = build_hf_model()
     fp16_dir = os.path.join(args.workdir, "fp16")
@@ -446,6 +574,8 @@ def main():
     ctmodel = write_compressed_checkpoint(model, cfg, ct_dir)
     w8_dir = os.path.join(args.workdir, "compressed-w8a8")
     w8model = write_w8a8_checkpoint(model, cfg, w8_dir)
+    sp_dir = os.path.join(args.workdir, "sparse24")
+    spmodel = write_sparse24_checkpoint(model, cfg, sp_dir)
 
     prompts, answers = make_items(model)
     # HF-certified ground truths (the lm-eval-configs analogue).
@@ -455,8 +585,9 @@ def main():
     nll_awq_hf = hf_nll(awqmodel, prompts, answers)
     nll_ct_hf = hf_nll(ctmodel, prompts, answers)
     nll_w8_hf = hf_nll(w8model, prompts, answers)
+    nll_sp_hf = hf_nll(spmodel, prompts, answers)
     greedy_int4_hf = hf_greedy(qmodel, prompts)
-    del model, qmodel, f8model, awqmodel, ctmodel, w8model
+    del model, qmodel, f8model, awqmodel, ctmodel, w8model, spmodel
 
     nll_fp16_eng, _ = engine_nll(fp16_dir, prompts, answers)
     nll_int4_eng, greedy_agree = engine_nll(gptq_dir, prompts, answers,
@@ -465,6 +596,21 @@ def main():
     nll_awq_eng, _ = engine_nll(awq_dir, prompts, answers)
     nll_ct_eng, _ = engine_nll(ct_dir, prompts, answers)
     nll_w8_eng, _ = engine_nll(w8_dir, prompts, answers)
+    # 2:4 sparse: the engine compresses the pruned-dense checkpoint at
+    # load and serves the Pallas 2:4 GEMM; scored against the pruned HF
+    # model (reference test_magic_wand.py sparse-vs-dense semantics).
+    nll_sp_eng, _ = engine_nll(
+        sp_dir, prompts, answers,
+        sparsity="semi_structured_sparse_w16a16")
+    # FP8 KV cache on the FP8 checkpoint (the reference's certified
+    # ...-FP8-KV config): KV quantization is engine-side noise the rtol
+    # must absorb. Chunked prefill is FORCED so the scored chunk reads
+    # the earlier chunks' K/V back from the fp8-paged cache — a plain
+    # prefill never touches stored KV and would certify nothing.
+    nll_fp8kv_eng, _ = engine_nll(fp8_dir, prompts, answers,
+                                  kv_cache_dtype="fp8",
+                                  enable_chunked_prefill=True,
+                                  max_num_batched_tokens=16)
 
     def rel(a, b):
         return abs(a - b) / max(abs(b), 1e-9)
@@ -479,9 +625,17 @@ def main():
         "compressed_tensors_engine_matches_hf":
             rel(nll_ct_eng, nll_ct_hf) <= RTOL,
         "w8a8_engine_matches_hf": rel(nll_w8_eng, nll_w8_hf) <= RTOL,
+        "sparse24_engine_matches_hf": rel(nll_sp_eng, nll_sp_hf) <= RTOL,
+        "fp8_kv_engine_matches_hf":
+            rel(nll_fp8kv_eng, nll_fp8_hf) <= RTOL,
         # INT4 quality cost through the engine == through HF (abs diff of
         # the deltas, scaled by the fp16 NLL).
         "quant_delta_matches": abs(delta_eng - delta_hf) /
+        max(nll_fp16_hf, 1e-9) <= RTOL,
+        # Sparse-vs-dense quality cost visible and matching (reference
+        # magic_wand cert is sparse vs same-model dense).
+        "sparse_delta_matches": abs(
+            (nll_sp_eng - nll_fp16_eng) - (nll_sp_hf - nll_fp16_hf)) /
         max(nll_fp16_hf, 1e-9) <= RTOL,
     }
     result = {
@@ -503,6 +657,9 @@ def main():
         "nll_compressed_tensors_engine": round(nll_ct_eng, 6),
         "nll_w8a8_hf": round(nll_w8_hf, 6),
         "nll_w8a8_engine": round(nll_w8_eng, 6),
+        "nll_sparse24_hf": round(nll_sp_hf, 6),
+        "nll_sparse24_engine": round(nll_sp_eng, 6),
+        "nll_fp8_kv_engine": round(nll_fp8kv_eng, 6),
         "greedy_agreement_int4": greedy_agree,
         "checks": checks,
         "pass": all(checks.values()),
@@ -513,6 +670,11 @@ def main():
                  "serving surface -> NLL scoring) against HF transformers "
                  "ground truths at the reference rtol"),
     }
+    if args.full_geometry:
+        leg = full_geometry_leg(args.workdir)
+        result["full_geometry_leg"] = leg
+        checks["full_geometry_int4_matches_hf"] = leg["pass"]
+        result["pass"] = all(checks.values())
     print(json.dumps(result))
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

@@ -89,6 +89,129 @@ def measure_hbm_gbps(size_mb: int = 512, reps: int = 8) -> float:
     return size_mb * 2**20 / per_read / 1e9
 
 
+def measure_hbm_bracketed(samples: int = 3):
+    """VERDICT r3 item 8: the single-shot probe drifted ~2x between
+    windows. Take N in-run samples and report (min, max, spread); the
+    caller drops `vs_achievable` when the spread exceeds 15% (a drifting
+    tunnel number is not evidence)."""
+    vals = [measure_hbm_gbps() for _ in range(samples)]
+    lo, hi = min(vals), max(vals)
+    spread = (hi - lo) / max(hi, 1e-9)
+    return lo, hi, spread
+
+
+def run_prefill_bench(model_name: str, quantization,
+                      configs, block_size: int = 32,
+                      dtype: str = "bfloat16", num_layers_override=None):
+    """On-device differenced prefill-step timings (VERDICT r3 item 6):
+    the TTFT-proportional number the serving harness cannot measure
+    through the tunnel RPC. One model build; per (B, T) config a jitted
+    prefill forward (causal flash attention + KV write + last-token
+    logits) is chained R deep inside one scan iteration and differenced
+    against a depth-1 chain (docs/PERF_NOTES.md microbench rule)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from nmvllm_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
+                                   ModelConfig, ParallelConfig,
+                                   SchedulerConfig)
+    from nmvllm_tpu.model_loader import (_finalize, build_model,
+                                         init_params_on_mesh)
+    from nmvllm_tpu.models.base import AttentionMetadata
+    from nmvllm_tpu.parallel.mesh import build_mesh
+    from nmvllm_tpu.utils import cdiv
+    from nmvllm_tpu.worker.runner import shard_map_fn
+
+    mesh = build_mesh(1, 1)
+    model_config = ModelConfig(model=model_name, quantization=quantization,
+                               dtype=dtype)
+    engine_config = EngineConfig(
+        model_config=model_config,
+        cache_config=CacheConfig(block_size=block_size),
+        parallel_config=ParallelConfig(),
+        scheduler_config=SchedulerConfig(
+            max_model_len=max(t for _, t in configs),
+            max_num_seqs=max(b for b, _ in configs)),
+        device_config=DeviceConfig())
+    model = build_model(engine_config)
+    if num_layers_override is not None:
+        model.layers = model.layers[:num_layers_override]
+    params = _finalize(model, init_params_on_mesh(model, mesh, 0))
+    num_layers = len(model.layers)
+
+    param_specs = model.specs()
+    kv_specs = [P(None, None, "tp") for _ in range(num_layers)]
+    results = {}
+    for b, t in configs:
+        blocks = b * cdiv(t, block_size) + 1
+        kv_shape = (blocks, 2, model.total_num_kv_heads, block_size,
+                    model.head_dim)
+        bt = np.arange(b * cdiv(t, block_size)).reshape(b, -1).astype(
+            np.int32)
+        slots = (bt[:, :, None] * block_size +
+                 np.arange(block_size)[None, None, :]).reshape(b, -1)
+        slots = slots[:, :t].astype(np.int32)
+        positions = np.tile(np.arange(t, dtype=np.int32), (b, 1))
+        seq_lens = np.full((b,), t, np.int32)
+
+        def fwd(params, kv_caches, tokens, positions, slots,
+                block_tables, seq_lens):
+            meta = AttentionMetadata(
+                slot_mapping=slots, block_tables=block_tables,
+                context_lens=seq_lens, seq_lens=seq_lens,
+                prefix_lens=jnp.zeros_like(seq_lens))
+            x, kv_caches = model.forward(params, tokens, positions,
+                                         kv_caches, meta, is_prefill=True)
+            hidden = model.select_last_token(x, seq_lens)
+            logits = model.compute_logits(params, hidden)
+            return jnp.argmax(logits, -1).astype(jnp.int32), kv_caches
+
+        sharded = shard_map_fn(
+            fwd, mesh,
+            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P()),
+            out_specs=(P(), kv_specs))
+
+        def mk(nper):
+            @functools.partial(jax.jit, static_argnames=("reps",))
+            def many(params, tokens, reps):
+                kv = [jnp.zeros(kv_shape, jnp.bfloat16)
+                      for _ in range(num_layers)]
+
+                def body(carry, _):
+                    kv, tokens = carry
+                    for _ in range(nper):
+                        nxt, kv = sharded(params, kv, tokens,
+                                          jnp.asarray(positions),
+                                          jnp.asarray(slots),
+                                          jnp.asarray(bt),
+                                          jnp.asarray(seq_lens))
+                        # Chain: sampled token feeds position 0.
+                        tokens = tokens.at[:, 0].set(nxt)
+                    return (kv, tokens), ()
+                (kv, tokens), _ = jax.lax.scan(body, (kv, tokens), None,
+                                               length=reps)
+                return tokens
+            return many
+
+        rng = np.random.default_rng(0)
+        tokens = jnp.asarray(rng.integers(0, 256, (b, t)), jnp.int32)
+
+        def timed(fn, tokens):
+            out = fn(params, tokens, 4)
+            np.asarray(out[:1, :1])
+            t0 = time.perf_counter()
+            out = fn(params, tokens, 4)
+            np.asarray(out[:1, :1])
+            return (time.perf_counter() - t0) / 4
+
+        t1 = timed(mk(1), tokens)
+        t3 = timed(mk(3), tokens)
+        per_call = max((t3 - t1) / 2, 1e-9)
+        results[f"{b}x{t}"] = round(per_call * 1e3, 2)
+    return results
+
+
 def count_quant_param_bytes(params) -> int:
     import jax
     total = 0
@@ -271,7 +394,12 @@ def run_decode_bench(model_name: str, quantization, batch: int,
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="auto",
-                        choices=["auto", "llama3-8b-int4", "debug"])
+                        choices=["auto", "llama3-8b-int4", "mixtral",
+                                 "debug"])
+    parser.add_argument("--no-prefill", action="store_true",
+                        help="skip the prefill_ms side metric")
+    parser.add_argument("--prefill-only", action="store_true",
+                        help="emit only the prefill_ms metric")
     # B=72 verified to fit HBM and beat B=64/56 (1561 vs 1496/1386
     # tok/s, docs/PERF_NOTES.md round 3); B=80 OOMs.
     parser.add_argument("--batch", type=int, default=72)
@@ -312,6 +440,7 @@ def main():
     if config == "auto":
         config = "llama3-8b-int4" if on_tpu else "debug"
 
+    layers_override = args.layers
     if config == "llama3-8b-int4":
         model_name, quant = "llama-3-8b", "gptq"
         batch, ctx, steps = args.batch, args.context_len, args.steps
@@ -319,6 +448,16 @@ def main():
             # W4A8 stores weights as int8 (2x weight HBM): cap the batch
             # so weights+KV fit a single v5e chip.
             batch = min(batch, 32)
+    elif config == "mixtral":
+        # Mixtral-8x7B geometry INT4 MoE decode (BASELINE config 5),
+        # scaled to fit one 16 GB chip: 12 of 32 layers ≈ 8.8 GB packed
+        # expert weights. At B>=32 nearly every expert activates each
+        # step, so the all-weights-per-step roofline still applies.
+        model_name, quant = "mixtral-8x7b", "gptq"
+        batch, ctx, steps = min(args.batch, 48), args.context_len, \
+            args.steps
+        if layers_override is None:
+            layers_override = 12
     else:
         model_name, quant = "debug-llama", None
         batch, ctx, steps = 8, 128, args.steps
@@ -350,15 +489,44 @@ def main():
     if args.dump_hlo:
         run_decode_bench(model_name, quant, batch, ctx, steps,
                          block_size=args.block_size,
-                         num_layers_override=args.layers,
+                         num_layers_override=layers_override,
                          dump_hlo=args.dump_hlo, head=head)
+        return
+
+    def emit_prefill():
+        # TTFT-proportional side metric (VERDICT r3 item 6): on-device
+        # per-call prefill-step ms at serving shapes, incl. the batched
+        # multi-prompt grid. Resilient: a prefill failure must not cost
+        # the headline decode metric.
+        if config == "debug":
+            cfgs, nlo = [(1, 128), (4, 64)], None
+        elif config == "mixtral":
+            cfgs, nlo = [(1, 1024), (4, 512)], layers_override
+        else:
+            cfgs, nlo = [(1, 2048), (1, 8192), (4, 512)], layers_override
+        try:
+            pf = run_prefill_bench(model_name, quant, cfgs,
+                                   block_size=args.block_size,
+                                   num_layers_override=nlo)
+            print(json.dumps({
+                "metric": f"prefill_ms[{model_name}"
+                          f"{'+' + quant if quant else ''}]",
+                "unit": "ms/prefill-call", **{
+                    f"prefill_ms[{k}]": v for k, v in pf.items()}}),
+                flush=True)
+        except Exception as e:
+            print(json.dumps({"metric": "prefill_ms_error",
+                              "error": str(e)[:300]}), flush=True)
+
+    if args.prefill_only:
+        emit_prefill()
         return
 
     try:
         tokens_per_s, params_bytes, kv_bytes = run_decode_bench(
             model_name, quant, batch, ctx, steps,
             block_size=args.block_size,
-            num_layers_override=args.layers, head=head)
+            num_layers_override=layers_override, head=head)
     except Exception as e:  # HBM OOM at the default batch: retry smaller.
         # Match ONLY the allocator's status code: a loose "memory" match
         # once caught "#tpu.memory_space<hbm>" inside a Mosaic compile
@@ -369,28 +537,35 @@ def main():
             try:
                 tokens_per_s, params_bytes, kv_bytes = run_decode_bench(
                     model_name, quant, batch, ctx, steps,
-                    block_size=args.block_size)
+                    block_size=args.block_size,
+                    num_layers_override=layers_override)
                 break
             except Exception as e2:
                 if "RESOURCE_EXHAUSTED" not in str(e2) or batch == 32:
                     raise
+    if not args.no_prefill:
+        emit_prefill()
     hbm = detect_hbm_gbps()
     roof = roofline_tokens_per_s(params_bytes, hbm, batch, kv_bytes)
-    measured_bw = measure_hbm_gbps()
-    print(json.dumps({
+    bw_lo, bw_hi, bw_spread = measure_hbm_bracketed()
+    out = {
         "metric": f"decode_tokens_per_s_per_chip[{model_name}"
                   f"{'+' + quant if quant else ''},B={batch},ctx={ctx}]",
         "value": round(tokens_per_s, 2),
         "unit": "tokens/s/chip",
         # vs the SPEC-sheet roofline (819 GB/s v5e). The tunnel device
-        # achieves far less: hbm_measured_gbps is the best chained
-        # full-HBM read XLA can do here (docs/PERF_NOTES.md round 3);
-        # vs_achievable re-rooflines against it.
+        # achieves far less: hbm_measured_gbps brackets 3 in-run chained
+        # full-HBM read samples; vs_achievable re-rooflines against the
+        # best sample ONLY when the bracket is tight (<15% spread) —
+        # a drifting probe is not evidence (VERDICT r3 item 8).
         "vs_baseline": round(tokens_per_s / roof, 4),
-        "hbm_measured_gbps": round(measured_bw, 1),
-        "vs_achievable": round(tokens_per_s / roofline_tokens_per_s(
-            params_bytes, measured_bw, batch, kv_bytes), 4),
-    }))
+        "hbm_measured_gbps": [round(bw_lo, 1), round(bw_hi, 1)],
+        "hbm_probe_spread": round(bw_spread, 3),
+    }
+    if bw_spread < 0.15:
+        out["vs_achievable"] = round(tokens_per_s / roofline_tokens_per_s(
+            params_bytes, bw_hi, batch, kv_bytes), 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -218,6 +218,80 @@ def make_variant(name, m, k, n, bn=1024, bk=2048, chunk=1024):
     return functools.partial(call, variant=name)
 
 
+def bench_interleaved(variants, m, k, n, bn=1024, bk=2048, chunk=1024):
+    """Drift-immune comparison: compile EVERYTHING first, then time
+    ctrl,v,ctrl,v,... back-to-back and report each variant as a ratio
+    to its bracketing ctrl measurements (the tunnel's fixed costs drift
+    3x+ between minutes — absolute ms across cases are meaningless,
+    adjacent ratios are not)."""
+    import jax
+    import jax.numpy as jnp
+    x, qw, s, z = _build(m, k, n)
+
+    from nmvllm_tpu.ops.quant_matmul import quant_matmul_reference
+    ref = quant_matmul_reference(x, qw, s, z, bits=4, group_size=128)
+    refm = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-9
+
+    def make_timers(name, salt):
+        fn = make_variant(name, m, k, n, bn=bn, bk=bk, chunk=chunk)
+        if name not in ("raw", "chan"):
+            got = jax.jit(fn)(x, qw, s, z)
+            err = float(jnp.max(jnp.abs(got.astype(jnp.float32) -
+                                        ref.astype(jnp.float32))))
+            assert err / refm < 2e-2, (name, err, refm)
+
+        def mk(nper):
+            @jax.jit
+            def many(x):
+                def body(x, _):
+                    for _ in range(nper):
+                        y = fn(x, qw, s, z)
+                        upd = (y[:, :1] * jnp.bfloat16(1e-6 * salt)
+                               ).astype(x.dtype)
+                        x = x.at[:, :1].add(upd)
+                    return x, ()
+                x, _ = jax.lax.scan(body, x, None, length=8)
+                return x
+            return many
+        return mk(1), mk(9)
+
+    timers = {}
+    for i, v in enumerate(dict.fromkeys(["ctrl"] + variants)):
+        timers[v] = make_timers(v, 1.0 + i * 1e-9)
+        # Compile both depths now so the timing loop is compile-free.
+        for f in timers[v]:
+            np.asarray(f(x)[:1, :1])
+
+    def one(v):
+        f1, f9 = timers[v]
+        t0 = time.perf_counter()
+        np.asarray(f1(x)[:1, :1])
+        t1 = (time.perf_counter() - t0) / 8
+        t0 = time.perf_counter()
+        np.asarray(f9(x)[:1, :1])
+        t9 = (time.perf_counter() - t0) / 8
+        return max((t9 - t1) / 8, 1e-9)
+
+    wbytes = k * n // 2 + (k // 128) * n * 8
+    out = []
+    ctrl_before = one("ctrl")
+    for v in variants:
+        tv = one(v)
+        ctrl_after = one("ctrl")
+        cref = (ctrl_before + ctrl_after) / 2
+        out.append({
+            "variant": v, "m": m, "K": k, "N": n, "bn": bn, "bk": bk,
+            "ms": round(tv * 1e3, 4),
+            "ctrl_ms": round(cref * 1e3, 4),
+            "ratio_vs_ctrl": round(tv / cref, 3),
+            "GBps": round(wbytes / tv / 1e9, 1),
+            "ctrl_GBps": round(wbytes / cref / 1e9, 1),
+        })
+        print(json.dumps(out[-1]), flush=True)
+        ctrl_before = ctrl_after
+    return out
+
+
 def bench_case(variant, m, k, n, reps, idx, bn=1024, bk=2048, chunk=1024,
                check=True):
     import jax
@@ -281,11 +355,9 @@ def main():
     shapes = {"gate_up": (4096, 28672), "down": (14336, 4096),
               "qkv": (4096, 6144)}
     k, n = shapes[args.case]
-    variants = args.variants.split(",")
-    for i, v in enumerate(variants + [variants[0]]):   # drift control
-        r = bench_case(v, args.m, k, n, 8, i, bn=args.bn, bk=args.bk,
-                       chunk=args.chunk)
-        print(json.dumps(r), flush=True)
+    variants = [v for v in args.variants.split(",") if v != "ctrl"]
+    bench_interleaved(variants, args.m, k, n, bn=args.bn, bk=args.bk,
+                      chunk=args.chunk)
 
 
 if __name__ == "__main__":

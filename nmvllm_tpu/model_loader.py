@@ -141,6 +141,22 @@ def load_safetensors_weights(model, params, model_dir: str, mesh,
 
     def put(path, arr, cast=True):
         nonlocal loaded
+        parent = _get_in(params, path[:-1]) if len(path) > 1 else params
+        if (path[-1] == "weight" and isinstance(parent, dict)
+                and "weight" not in parent and "v0" in parent):
+            # 2:4 sparse serving of a dense (pruned) checkpoint: the
+            # param tree holds the compressed (v0, v1, meta) layout —
+            # compress on the way in (the reference's magic_wand
+            # LazyCompressedParameter post-load compression,
+            # sparse_w16a16_linear_method.py:61-109).
+            from nmvllm_tpu.ops.sparse_gemm import compress_24
+            v0, v1, meta = compress_24(jnp.asarray(arr, jnp.float32))
+            for key, val in (("v0", v0), ("v1", v1), ("meta", meta)):
+                tgt = parent[key]
+                parent[key] = jax.device_put(val.astype(tgt.dtype),
+                                             tgt.sharding)
+            loaded += 1
+            return
         target = _get_in(params, path)
         arr = jnp.asarray(arr)
         if cast:
