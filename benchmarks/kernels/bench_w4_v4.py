@@ -53,10 +53,35 @@ def make_variant(name, m, k, n, bn=1024, bk=2048, chunk=1024):
     from nmvllm_tpu.utils import round_up
 
     g = 128
-    if name == "ctrl":
-        def run(x, qw, s, z):
+    if name == "ctrl" or name.startswith("prod"):
+        # Production quant_matmul path. prod_nocat / prod_cat trace the
+        # kernel with NMVLLM_W4_NOCAT forced on/off (flag is read at
+        # trace time); prod_bn2048 etc. change block shapes.
+        flag = None
+        use_bn, use_bk = bn, bk
+        if name == "prod_nocat":
+            flag = "1"
+        elif name == "prod_cat":
+            flag = "0"
+        elif name == "prod_bn2048":
+            use_bn = 2048
+        elif name == "prod_bn2048_bk1024":
+            use_bn, use_bk = 2048, 1024
+        elif name == "prod_bk4096":
+            use_bk = 4096
+
+        # block_m cache-buster: the env flag is read at trace time and
+        # is NOT part of quant_matmul's jit key — give each flag value
+        # a distinct static block_m (both resolve to the same bm=80 at
+        # m=72) so the traces don't collide in the cache.
+        bm_buster = {"prod_nocat": 80, "prod_cat": 96}.get(name, 0)
+
+        def run(x, qw, s, z, _flag=flag, _bn=use_bn, _bk=use_bk,
+                _bm=bm_buster):
+            if _flag is not None:
+                os.environ["NMVLLM_W4_NOCAT"] = _flag
             return quant_matmul(x, qw, s, z, bits=4, group_size=g,
-                                block_n=bn, block_k=bk)
+                                block_m=_bm, block_n=_bn, block_k=_bk)
         return run
 
     def unpack_parts(w32):
@@ -103,10 +128,11 @@ def make_variant(name, m, k, n, bn=1024, bk=2048, chunk=1024):
             jax.lax.fori_loop(0, gpb, per_group, 0, unroll=False)
             acc_ref[:] += jnp.dot(x_ref[:], deq_ref[:],
                                   preferred_element_type=jnp.float32)
-        elif variant == "chunk":
+        elif variant in ("chunk", "nochunk"):
             # Interleave: dequant chunk c, dot chunk c. Mosaic can
             # schedule the dequant of chunk c+1 under the dot of chunk c
-            # (no data dependency between them).
+            # (no data dependency between them). "nochunk" additionally
+            # stores each magic part directly (nocat).
             gpc = chunk // g
             nch = bk // chunk
             for c in range(nch):
@@ -115,9 +141,17 @@ def make_variant(name, m, k, n, bn=1024, bk=2048, chunk=1024):
                     sg = s_ref[pl.ds(g0 + gi, 1), :].astype(jnp.bfloat16)
                     zg = z_ref[pl.ds(g0 + gi, 1), :].astype(jnp.bfloat16)
                     zb = zg + 128
-                    wd = jnp.concatenate(unpack_parts(w), axis=0)
-                    deq_ref[pl.ds(pl.multiple_of(gi * g, g), g), :] = \
-                        (wd - zb) * sg
+                    parts = unpack_parts(w)
+                    if variant == "nochunk":
+                        for mm in range(4):
+                            r0 = gi * g + mm * (g // 4)
+                            deq_ref[pl.ds(pl.multiple_of(r0, g // 4),
+                                          g // 4), :] = \
+                                (parts[mm] - zb) * sg
+                    else:
+                        wd = jnp.concatenate(parts, axis=0)
+                        deq_ref[pl.ds(pl.multiple_of(gi * g, g), g),
+                                :] = (wd - zb) * sg
                 acc_ref[:] += jnp.dot(
                     x_ref[:, pl.ds(pl.multiple_of(c * chunk, chunk),
                                    chunk)],
@@ -240,6 +274,9 @@ def bench_interleaved(variants, m, k, n, bn=1024, bk=2048, chunk=1024):
                                         ref.astype(jnp.float32))))
             assert err / refm < 2e-2, (name, err, refm)
 
+        DEEP = 25      # delta = 24 calls/iter x 8 iters ≈ 60 ms of
+                       # kernel time — far above tunnel RPC jitter
+
         def mk(nper):
             @jax.jit
             def many(x):
@@ -253,7 +290,7 @@ def bench_interleaved(variants, m, k, n, bn=1024, bk=2048, chunk=1024):
                 x, _ = jax.lax.scan(body, x, None, length=8)
                 return x
             return many
-        return mk(1), mk(9)
+        return mk(1), mk(DEEP)
 
     timers = {}
     for i, v in enumerate(dict.fromkeys(["ctrl"] + variants)):
@@ -263,32 +300,41 @@ def bench_interleaved(variants, m, k, n, bn=1024, bk=2048, chunk=1024):
             np.asarray(f(x)[:1, :1])
 
     def one(v):
-        f1, f9 = timers[v]
+        f1, fd = timers[v]
         t0 = time.perf_counter()
         np.asarray(f1(x)[:1, :1])
         t1 = (time.perf_counter() - t0) / 8
         t0 = time.perf_counter()
-        np.asarray(f9(x)[:1, :1])
-        t9 = (time.perf_counter() - t0) / 8
-        return max((t9 - t1) / 8, 1e-9)
+        np.asarray(fd(x)[:1, :1])
+        td = (time.perf_counter() - t0) / 8
+        return max((td - t1) / 24, 1e-9)
 
+    # ROUNDS interleaved passes; per-round ratios vs the adjacent ctrl,
+    # medians reported (single bracketed readings still flipped sign
+    # between runs on this tunnel).
+    ROUNDS = 5
     wbytes = k * n // 2 + (k // 128) * n * 8
+    samples = {v: [] for v in variants}
+    ctrl_samples = []
+    for _ in range(ROUNDS):
+        c = one("ctrl")
+        ctrl_samples.append(c)
+        for v in variants:
+            samples[v].append(one(v) / c)
     out = []
-    ctrl_before = one("ctrl")
+    cmed = sorted(ctrl_samples)[len(ctrl_samples) // 2]
     for v in variants:
-        tv = one(v)
-        ctrl_after = one("ctrl")
-        cref = (ctrl_before + ctrl_after) / 2
+        rs = sorted(samples[v])
+        med = rs[len(rs) // 2]
         out.append({
             "variant": v, "m": m, "K": k, "N": n, "bn": bn, "bk": bk,
-            "ms": round(tv * 1e3, 4),
-            "ctrl_ms": round(cref * 1e3, 4),
-            "ratio_vs_ctrl": round(tv / cref, 3),
-            "GBps": round(wbytes / tv / 1e9, 1),
-            "ctrl_GBps": round(wbytes / cref / 1e9, 1),
+            "ratio_vs_ctrl_median": round(med, 3),
+            "ratio_samples": [round(r, 3) for r in samples[v]],
+            "ctrl_ms_median": round(cmed * 1e3, 4),
+            "ctrl_GBps": round(wbytes / cmed / 1e9, 1),
+            "GBps_at_median": round(wbytes / (med * cmed) / 1e9, 1),
         })
         print(json.dumps(out[-1]), flush=True)
-        ctrl_before = ctrl_after
     return out
 
 

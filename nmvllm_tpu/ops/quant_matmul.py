@@ -210,14 +210,26 @@ def _w4_magic_enabled() -> bool:
     return os.getenv("NMVLLM_W4_MAGIC", "1") not in ("0", "false")
 
 
-def _unpack_group(w, cdtype):
-    """(wpg, bn) int32 paired words -> (8*wpg, bn) cdtype nibble values.
+def _w4_nocat_enabled() -> bool:
+    # Store each magic part at its natural slab rows instead of a 4-way
+    # sublane concat + one store. A first bracketed reading said 0.77x,
+    # but the median-of-5 interleaved rerun read ~1.0-1.08x (tunnel
+    # drift had manufactured the win; docs/PERF_NOTES.md round-4
+    # variant hunt) — default OFF, kept for hardware A/B.
+    import os
+    return os.getenv("NMVLLM_W4_NOCAT", "0") not in ("0", "false")
+
+
+def _unpack_group_parts(w, cdtype):
+    """(wpg, bn) int32 paired words -> 4 parts of (2*wpg, bn) cdtype
+    nibble values; part m holds natural rows [m*g/4, (m+1)*g/4) of the
+    scale group.
 
     bf16 fast path (NMVLLM_W4_MAGIC, default on): OR each nibble into a
     bf16 mantissa — 0x4300 | n bitcasts to 128 + n exactly (exp 134,
     mantissa ulp 1) — so there is NO int->float convert instruction at
     all; the caller subtracts a (128 + z) zero-bias instead of z.
-    Returns (values, bias) where dequant = (values - (bias + z)) * s and
+    Returns (parts, bias) where dequant = (part - (bias + z)) * s and
     every intermediate is an exact small integer in cdtype.
 
     Fallback (f32 compute, or flag off): masked-shift to int16 pairs +
@@ -230,12 +242,43 @@ def _unpack_group(w, cdtype):
             p = (jax.lax.shift_right_logical(w, jnp.int32(4 * m)) & mask
                  ) | magic
             parts.append(pltpu.bitcast(p, jnp.bfloat16))
-        return jnp.concatenate(parts, axis=0), 128
+        return parts, 128
     parts = []
     for m in range(4):
         p = jax.lax.shift_right_logical(w, jnp.int32(4 * m)) & mask
-        parts.append(pltpu.bitcast(p, jnp.int16))
-    return jnp.concatenate(parts, axis=0).astype(cdtype), 0
+        parts.append(pltpu.bitcast(p, jnp.int16).astype(cdtype))
+    return parts, 0
+
+
+def _unpack_group(w, cdtype):
+    """Concat form of _unpack_group_parts -> ((g, bn) values, bias)."""
+    parts, bias = _unpack_group_parts(w, cdtype)
+    return jnp.concatenate(parts, axis=0), bias
+
+
+def _dequant_group_store(deq_ref, w_ref, s_ref, z_ref, gi, g0, *,
+                         g: int, wpg: int, cdtype):
+    """Dequantize scale group ``gi`` of the current k-block into
+    deq_ref rows [gi*g, (gi+1)*g). NMVLLM_W4_NOCAT (default on) stores
+    each magic part at its natural slab rows — dropping the 4-way
+    sublane concat measured 0.77x at the gate_up shape
+    (docs/PERF_NOTES.md round-4 variant hunt)."""
+    w = w_ref[pl.ds(pl.multiple_of(gi * wpg, wpg), wpg), :]
+    sg = s_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
+    zg = z_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
+    if _w4_nocat_enabled():
+        parts, bias = _unpack_group_parts(w, cdtype)
+        if bias:
+            zg = zg + bias                 # exact: integer <= 143
+        for m in range(4):
+            r0 = gi * g + m * (g // 4)
+            deq_ref[pl.ds(pl.multiple_of(r0, g // 4), g // 4), :] = \
+                (parts[m] - zg) * sg
+        return
+    wd, bias = _unpack_group(w, cdtype)
+    if bias:
+        zg = zg + bias
+    deq_ref[pl.ds(pl.multiple_of(gi * g, g), g), :] = (wd - zg) * sg
 
 
 def _w4_paired_kernel(x_ref, *refs, group_size: int, bk: int,
@@ -272,13 +315,8 @@ def _w4_paired_kernel(x_ref, *refs, group_size: int, bk: int,
     g0 = pl.program_id(2) * gpb
 
     def per_group(gi, _):
-        w = w_ref[pl.ds(pl.multiple_of(gi * wpg, wpg), wpg), :]
-        wd, bias = _unpack_group(w, cdtype)
-        sg = s_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
-        zg = z_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
-        if bias:
-            zg = zg + bias                 # exact: integer <= 143
-        deq_ref[pl.ds(pl.multiple_of(gi * g, g), g), :] = (wd - zg) * sg
+        _dequant_group_store(deq_ref, w_ref, s_ref, z_ref, gi, g0,
+                             g=g, wpg=wpg, cdtype=cdtype)
         return 0
 
     jax.lax.fori_loop(0, gpb, per_group, 0, unroll=False)
@@ -367,13 +405,8 @@ def _w4_paired_prologue_kernel(x_ref, aux_ref, *refs, group_size: int,
     g0 = kk * gpb
 
     def per_group(gi, _):
-        w = w_ref[pl.ds(pl.multiple_of(gi * wpg, wpg), wpg), :]
-        wd, bias = _unpack_group(w, cdtype)
-        sg = s_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
-        zg = z_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
-        if bias:
-            zg = zg + bias                 # exact: integer <= 143
-        deq_ref[pl.ds(pl.multiple_of(gi * g, g), g), :] = (wd - zg) * sg
+        _dequant_group_store(deq_ref, w_ref, s_ref, z_ref, gi, g0,
+                             g=g, wpg=wpg, cdtype=cdtype)
         return 0
 
     jax.lax.fori_loop(0, gpb, per_group, 0, unroll=False)
