@@ -172,43 +172,29 @@ def run_prefill_bench(model_name: str, quantization,
             in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P()),
             out_specs=(P(), kv_specs))
 
-        def mk(nper):
-            @functools.partial(jax.jit, static_argnames=("reps",))
-            def many(params, tokens, reps):
-                kv = [jnp.zeros(kv_shape, jnp.bfloat16)
-                      for _ in range(num_layers)]
-
-                def body(carry, _):
-                    kv, tokens = carry
-                    for _ in range(nper):
-                        nxt, kv = sharded(params, kv, tokens,
-                                          jnp.asarray(positions),
-                                          jnp.asarray(slots),
-                                          jnp.asarray(bt),
-                                          jnp.asarray(seq_lens))
-                        # Chain: sampled token feeds position 0.
-                        tokens = tokens.at[:, 0].set(nxt)
-                    return (kv, tokens), ()
-                (kv, tokens), _ = jax.lax.scan(body, (kv, tokens), None,
-                                               length=reps)
-                return tokens
-            return many
+        # Prefill steps are LONG (tens-to-hundreds of ms at these
+        # shapes) so no chaining/differencing is needed — the tunnel's
+        # per-dispatch overhead (~1 ms) is noise here, and a chained
+        # multi-call program at T=8192 x 32 layers crashed the remote
+        # compile helper outright. Median of 3 fenced single dispatches.
+        @jax.jit
+        def one(params, tokens):
+            kv = [jnp.zeros(kv_shape, jnp.bfloat16)
+                  for _ in range(num_layers)]
+            nxt, kv = sharded(params, kv, tokens,
+                              jnp.asarray(positions), jnp.asarray(slots),
+                              jnp.asarray(bt), jnp.asarray(seq_lens))
+            return nxt
 
         rng = np.random.default_rng(0)
         tokens = jnp.asarray(rng.integers(0, 256, (b, t)), jnp.int32)
-
-        def timed(fn, tokens):
-            out = fn(params, tokens, 4)
-            np.asarray(out[:1, :1])
+        np.asarray(one(params, tokens)[:1])      # compile + warm
+        ts = []
+        for _ in range(3):
             t0 = time.perf_counter()
-            out = fn(params, tokens, 4)
-            np.asarray(out[:1, :1])
-            return (time.perf_counter() - t0) / 4
-
-        t1 = timed(mk(1), tokens)
-        t3 = timed(mk(3), tokens)
-        per_call = max((t3 - t1) / 2, 1e-9)
-        results[f"{b}x{t}"] = round(per_call * 1e3, 2)
+            np.asarray(one(params, tokens)[:1])  # fence: device_get
+            ts.append(time.perf_counter() - t0)
+        results[f"{b}x{t}"] = round(sorted(ts)[1] * 1e3, 2)
     return results
 
 

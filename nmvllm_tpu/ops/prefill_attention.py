@@ -111,6 +111,11 @@ def _flash_prefill(q, k, v, seq_lens, *, scale, sliding_window,
     # Cap the score tile at (2048, bk) f32 (~4MB VMEM) for large groups.
     if group * bq > 2048:
         bq = max(128, 2048 // group)
+    if t > 4096:
+        # Long rows keep the full (T, d) K/V VMEM-resident (8MB at 8192
+        # double-buffered); shrink the q tile so scores + softmax state
+        # stay inside the 16MB scoped budget.
+        bq = min(bq, 256)
     bk = min(512, t)
     # (B, T, H, d) -> (B, H, g, T, d) blocks: head-major rows per kv head.
     q_r = q.reshape(batch, t, num_kv_heads, group,
@@ -205,7 +210,7 @@ def prefill_attention(
     # 8B model). Exotic modifiers fall back to the einsum reference.
     bk = min(512, t)
     if (use_pallas() and head_dim % 128 == 0 and alibi_slopes is None
-            and blocksparse is None and t % bk == 0 and 128 <= t <= 4096
+            and blocksparse is None and t % bk == 0 and 128 <= t <= 8192
             and num_q_heads % num_kv_heads == 0):
         return _flash_prefill(q, k, v, seq_lens, scale=scale,
                               sliding_window=sliding_window,

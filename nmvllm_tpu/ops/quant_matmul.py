@@ -426,6 +426,37 @@ def _w4_paired_prologue_kernel(x_ref, aux_ref, *refs, group_size: int,
         o_ref[:] = out
 
 
+# Budget for the _w4_vmem_estimate model below, CALIBRATED against
+# measured scoped allocations: the model over-counts double-buffered
+# operand blocks (prefill qkv: est 21.5M, actual 17.5M) but is near-
+# exact when the act/deq scratches dominate (prefill down: est 16.7M,
+# actual 16.38M). 16M keeps every proven decode config (est <= 15.5M)
+# untouched while rejecting both measured OOM shapes.
+_W4_VMEM_BUDGET = 16 * 1024 * 1024
+
+
+def _w4_vmem_estimate(bm, bn, bk, k, g, xb, db, prologue, has_res):
+    """Scoped-VMEM model of the paired kernel: double-buffered operand
+    blocks + scratch. Mirrors what Mosaic allocates; the prefill-sized
+    qkv/gate_up prologue calls blew the 16MB cap at bm=256 (measured
+    17.5M) until blocks were chosen against this budget."""
+    est = 2 * bm * bk * xb                 # x block
+    est += 2 * (bk // 8) * bn * 4          # packed weights
+    est += 2 * 2 * (k // g) * bn * 4       # scales + zeros (full K col)
+    est += 2 * bm * bn * 4                 # out
+    est += bm * bn * 4                     # acc scratch
+    est += bk * bn * db                    # deq scratch
+    if prologue in ("silu_mul", "gelu_mul"):
+        est += 2 * bm * bk * xb            # aux block
+        est += bm * k * db                 # hoisted act scratch
+    elif prologue == "rmsnorm":
+        est += 2 * bk * 4                  # (1, bk) norm weight
+        est += bm * k * db                 # hoisted act scratch
+    if has_res:
+        est += 2 * bm * bn * 4
+    return est
+
+
 def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
                             block_m, block_n, block_k, prologue=None,
                             aux=None, eps=1e-6, epilogue_add=None):
@@ -441,9 +472,6 @@ def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
     if block_m <= 0:
         block_m = min(round_up(m, sublane), 256)
     bm = min(block_m, round_up(m, sublane))
-    m_pad = round_up(m, bm)
-    if m_pad != m:
-        xp = jnp.pad(xp, ((0, m_pad - m), (0, 0)))
     bk = g
     d = g
     if prologue == "rmsnorm":
@@ -460,6 +488,24 @@ def _quant_matmul_w4_paired(x, qweight, scales, zeros, *, group_size,
     while n % bn != 0:
         bn //= 2
     assert n % bn == 0 and bn >= 128, (n, bn)
+
+    # Shrink blocks until the kernel fits scoped VMEM (prefill-sized m
+    # with the full-K rmsnorm scratch otherwise OOMs the 16MB cap).
+    db = 2 if x.dtype == jnp.bfloat16 else 4
+    xb = x.dtype.itemsize
+
+    def fits(bm_, bn_):
+        return _w4_vmem_estimate(bm_, bn_, bk, k, g, xb, db, prologue,
+                                 epilogue_add is not None) \
+            <= _W4_VMEM_BUDGET
+
+    while not fits(bm, bn) and bn > 256 and n % (bn // 2) == 0:
+        bn //= 2
+    while not fits(bm, bn) and bm > sublane:
+        bm = max(sublane, round_up(bm // 2, sublane))
+    m_pad = round_up(m, bm)
+    if m_pad != m:
+        xp = jnp.pad(xp, ((0, m_pad - m), (0, 0)))
 
     grid = (m_pad // bm, n // bn, k // bk)
     x_spec = pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
@@ -579,6 +625,14 @@ def quant_matmul(
                 y = (y.astype(jnp.float32) +
                      epilogue_add.astype(jnp.float32)).astype(y.dtype)
             return y
+        if prologue is not None and m > 128:
+            # Prefill-sized batches: the fused prologue's act scratch
+            # (bm, K) + f32 temporaries blow the 16MB scoped-VMEM cap
+            # (measured 16.4-17.5M OOMs at m=2048), and prefill GEMMs
+            # are MXU-bound anyway — run the prologue as (XLA-fused)
+            # jnp and the plain kernel. Decode keeps the fused form.
+            x = apply_prologue_jnp(prologue, x, aux, eps)
+            prologue, aux = None, None
         # Paired relayout-free kernel (the production 4-bit path).
         return _quant_matmul_w4_paired(
             x, qweight, scales, zeros, group_size=g, block_m=block_m,
