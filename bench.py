@@ -210,7 +210,7 @@ def run_decode_bench(model_name: str, quantization, batch: int,
                      context_len: int, steps: int, block_size: int = 32,
                      dtype: str = "bfloat16", num_layers_override=None,
                      dump_hlo=None, head: str = "argmax",
-                     samples: int = 1):
+                     samples: int = 1, kv_dtype: str = "auto"):
     import jax
     import jax.numpy as jnp
     from nmvllm_tpu.config import (CacheConfig, DeviceConfig, EngineConfig,
@@ -219,18 +219,21 @@ def run_decode_bench(model_name: str, quantization, batch: int,
     from nmvllm_tpu.model_loader import build_model, init_params_on_mesh
     from nmvllm_tpu.models.base import AttentionMetadata
     from nmvllm_tpu.parallel.mesh import build_mesh
-    from nmvllm_tpu.utils import cdiv
+    from nmvllm_tpu.utils import STR_DTYPE_TO_JNP, cdiv
 
     mesh = build_mesh(1, 1)
     model_config = ModelConfig(model=model_name, quantization=quantization,
                                dtype=dtype)
     engine_config = EngineConfig(
         model_config=model_config,
-        cache_config=CacheConfig(block_size=block_size),
+        cache_config=CacheConfig(block_size=block_size,
+                                 cache_dtype=kv_dtype),
         parallel_config=ParallelConfig(),
         scheduler_config=SchedulerConfig(max_model_len=context_len,
                                          max_num_seqs=batch),
         device_config=DeviceConfig())
+    kv_jnp_dtype = jnp.dtype(STR_DTYPE_TO_JNP.get(
+        kv_dtype if kv_dtype != "auto" else "bfloat16", "bfloat16"))
     model = build_model(engine_config)
     if num_layers_override is not None:
         # Differential profiling: per-layer device time = slope of step
@@ -314,7 +317,7 @@ def run_decode_bench(model_name: str, quantization, batch: int,
     # residency of input+output pools.
     @_ft.partial(jax.jit, static_argnames=("n_steps",))
     def decode_many(params, tokens, positions, block_tables, n_steps):
-        kv_caches = [jnp.zeros(s, jnp.bfloat16) for s in kv_shapes]
+        kv_caches = [jnp.zeros(s, kv_jnp_dtype) for s in kv_shapes]
 
         def body(carry, _):
             kv_caches, tokens, positions = carry
@@ -372,7 +375,8 @@ def run_decode_bench(model_name: str, quantization, batch: int,
         dt = time.perf_counter() - t0
         tok_s.append(batch * steps / dt)
     kv_bytes_per_step = (num_layers * 2 * model.total_num_kv_heads *
-                         model.head_dim * context_len * 2 * batch)
+                         model.head_dim * context_len * batch *
+                         jnp.dtype(kv_jnp_dtype).itemsize)
     tokens_per_s = tok_s[0] if len(tok_s) == 1 else tok_s
     return tokens_per_s, params_bytes, kv_bytes_per_step
 
@@ -386,6 +390,12 @@ def main():
                         help="skip the prefill_ms side metric")
     parser.add_argument("--prefill-only", action="store_true",
                         help="emit only the prefill_ms metric")
+    parser.add_argument("--kv-dtype", default="auto",
+                        choices=["auto", "fp8", "fp8_e5m2"],
+                        help="paged-KV storage dtype; fp8 halves the KV "
+                             "stream so batch can roughly double "
+                             "(accuracy certified by the fp8-kv leg of "
+                             "accuracy_cert.py)")
     # B=72 verified to fit HBM and beat B=64/56 (1561 vs 1496/1386
     # tok/s, docs/PERF_NOTES.md round 3); B=80 OOMs.
     parser.add_argument("--batch", type=int, default=72)
@@ -511,7 +521,7 @@ def main():
     try:
         tokens_per_s, params_bytes, kv_bytes = run_decode_bench(
             model_name, quant, batch, ctx, steps,
-            block_size=args.block_size,
+            block_size=args.block_size, kv_dtype=args.kv_dtype,
             num_layers_override=layers_override, head=head)
     except Exception as e:  # HBM OOM at the default batch: retry smaller.
         # Match ONLY the allocator's status code: a loose "memory" match
@@ -523,7 +533,7 @@ def main():
             try:
                 tokens_per_s, params_bytes, kv_bytes = run_decode_bench(
                     model_name, quant, batch, ctx, steps,
-                    block_size=args.block_size,
+                    block_size=args.block_size, kv_dtype=args.kv_dtype,
                     num_layers_override=layers_override)
                 break
             except Exception as e2:
@@ -536,7 +546,8 @@ def main():
     bw_lo, bw_hi, bw_spread = measure_hbm_bracketed()
     out = {
         "metric": f"decode_tokens_per_s_per_chip[{model_name}"
-                  f"{'+' + quant if quant else ''},B={batch},ctx={ctx}]",
+                  f"{'+' + quant if quant else ''},B={batch},ctx={ctx}"
+                  f"{',kv=fp8' if args.kv_dtype.startswith('fp8') else ''}]",
         "value": round(tokens_per_s, 2),
         "unit": "tokens/s/chip",
         # vs the SPEC-sheet roofline (819 GB/s v5e). The tunnel device
