@@ -283,3 +283,62 @@ class TestPrologueScratchTiling:
         np.testing.assert_allclose(np.asarray(fused, np.float32),
                                    np.asarray(ref, np.float32),
                                    rtol=0.08, atol=0.08)
+
+
+def test_w4_vmem_budget_block_choice():
+    """Regression pin for the round-4 VMEM-OOM fix: decode-sized calls
+    keep the proven (bm, bn) blocks, prefill-sized calls must shrink
+    below the measured 16MB scoped-VMEM cliff (bm=256 prologue configs
+    OOMed at 16.4-17.5M on hardware)."""
+    from nmvllm_tpu.ops.quant_matmul import (_W4_VMEM_BUDGET,
+                                             _w4_vmem_estimate)
+
+    def choose(m, k, n, prologue, bk, bn=1024):
+        bm = min(((m + 15) // 16) * 16, 256)
+
+        def fits(bm_, bn_):
+            return _w4_vmem_estimate(bm_, bn_, bk, k, 128, 2, 2,
+                                     prologue, False) <= _W4_VMEM_BUDGET
+        while not fits(bm, bn) and bn > 256 and n % (bn // 2) == 0:
+            bn //= 2
+        while not fits(bm, bn) and bm > 16:
+            bm = max(16, ((bm // 2 + 15) // 16) * 16)
+        return bm, bn
+
+    # Decode configs: unchanged (these are the benchmarked-fast blocks).
+    assert choose(72, 4096, 28672, "rmsnorm", 4096) == (80, 1024)
+    assert choose(72, 4096, 6144, "rmsnorm", 4096) == (80, 1024)
+    assert choose(72, 14336, 4096, "silu_mul", 2048) == (80, 1024)
+    # Prefill-sized PLAIN calls (the prologue falls back to jnp for
+    # m>128) must also fit, with shrunken blocks where needed.
+    for m, k, n, bk in [(2048, 4096, 6144, 2048),
+                        (2048, 4096, 28672, 2048),
+                        (2048, 14336, 4096, 2048),
+                        (8192, 4096, 6144, 2048)]:
+        bm, bn = choose(m, k, n, None, bk)
+        assert _w4_vmem_estimate(bm, bn, bk, k, 128, 2, 2, None,
+                                 False) <= _W4_VMEM_BUDGET
+
+
+def test_w4_prologue_falls_back_at_prefill_m():
+    """m>128 with a prologue must produce the same numbers as the fused
+    decode form (prologue applied as jnp + plain kernel)."""
+    import jax
+    import jax.numpy as jnp
+    from nmvllm_tpu.ops.quant_matmul import (quant_matmul,
+                                             quant_matmul_reference,
+                                             quantize_weights_to_packed,
+                                             apply_prologue_jnp)
+    rng = jax.random.PRNGKey(3)
+    k, n = 256, 256
+    w = jax.random.normal(rng, (n, k), jnp.float32) * 0.02
+    qw, s, z = quantize_weights_to_packed(w, 4, 128, symmetric=False)
+    x = jax.random.normal(rng, (192, k), jnp.float32)  # m > 128
+    aux = jnp.ones((k,), jnp.float32)
+    y = quant_matmul(x, qw, s, z, bits=4, group_size=128,
+                     prologue="rmsnorm", aux=aux, eps=1e-6)
+    ref = quant_matmul_reference(
+        apply_prologue_jnp("rmsnorm", x, aux, 1e-6), qw, s, z,
+        bits=4, group_size=128)
+    assert jnp.max(jnp.abs(y - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9) \
+        < 2e-2
