@@ -445,15 +445,19 @@ def main():
             # so weights+KV fit a single v5e chip.
             batch = min(batch, 32)
     elif config == "mixtral":
-        # Mixtral-8x7B geometry INT4 MoE decode (BASELINE config 5),
-        # scaled to fit one 16 GB chip: 12 of 32 layers ≈ 8.8 GB packed
-        # expert weights. At B>=32 nearly every expert activates each
-        # step, so the all-weights-per-step roofline still applies.
+        # Mixtral-8x7B geometry MoE decode (BASELINE config 5), scaled
+        # to fit one 16 GB chip: 4 of 32 layers. Attention linears run
+        # INT4; the ragged_dot expert stacks are bf16 — the fused-MoE
+        # grouped GEMM does not take the weight-only quant path yet
+        # (surfaced by this bench: 12 INT4-labelled layers OOMed at
+        # 34.6G because experts were full bf16). INT4 expert stacks are
+        # the next-round item. At B>=32 nearly every expert activates
+        # each step, so the all-weights roofline still applies.
         model_name, quant = "mixtral-8x7b", "gptq"
-        batch, ctx, steps = min(args.batch, 48), args.context_len, \
+        batch, ctx, steps = min(args.batch, 32), args.context_len, \
             args.steps
         if layers_override is None:
-            layers_override = 12
+            layers_override = 4
     else:
         model_name, quant = "debug-llama", None
         batch, ctx, steps = 8, 128, args.steps
@@ -501,6 +505,9 @@ def main():
         else:
             cfgs, nlo = [(1, 2048), (1, 8192), (4, 512)], layers_override
         try:
+            # Keep the side metric from ever eating the headline: the
+            # driver parses the LAST line, so the decode result prints
+            # after this — but a hung prefill compile would lose both.
             pf = run_prefill_bench(model_name, quant, cfgs,
                                    block_size=args.block_size,
                                    num_layers_override=nlo)
