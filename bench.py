@@ -403,8 +403,11 @@ def main():
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--block-size", type=int, default=32)
     parser.add_argument("--a8", action="store_true", default=None,
-                        help="serve INT4 via the W4A8 int8-MXU path "
-                             "(int8-stored weights, per-token act quant)")
+                        help="serve INT4 via the W4A8 'packed' path: "
+                             "weights stay packed int4 in HBM, in-kernel "
+                             "unpack to int8 + one full-depth int8 MXU "
+                             "dot (0.43x the exact kernel's time at "
+                             "decode shapes, docs/PERF_NOTES.md round 5)")
     parser.add_argument("--no-a8", dest="a8", action="store_false")
     parser.add_argument("--profile", action="store_true",
                         help="differential per-layer profile: run at two "
@@ -440,10 +443,9 @@ def main():
     if config == "llama3-8b-int4":
         model_name, quant = "llama-3-8b", "gptq"
         batch, ctx, steps = args.batch, args.context_len, args.steps
-        if args.a8:
-            # W4A8 stores weights as int8 (2x weight HBM): cap the batch
-            # so weights+KV fit a single v5e chip.
-            batch = min(batch, 32)
+        # The A8 "packed" mode keeps weights int4-packed in HBM (plus
+        # small mult/zms sidecars) — no batch cap needed (the old
+        # int8-stored mode halved the batch to fit).
     elif config == "mixtral":
         # Mixtral-8x7B geometry MoE decode (BASELINE config 5), scaled
         # to fit one 16 GB chip: 4 of 32 layers. Attention linears run

@@ -264,6 +264,15 @@ class CacheConfig:
         if self.cache_dtype not in ("auto", "bfloat16", "float32", "fp8",
                                     "fp8_e4m3", "fp8_e5m2"):
             raise ValueError(f"Unknown kv cache dtype: {self.cache_dtype}")
+        if self.cache_dtype.startswith("fp8"):
+            import os
+            if os.getenv("NMVLLM_FP8_KV_FAST", "1") in ("0", "false"):
+                from nmvllm_tpu.logger import init_logger
+                init_logger(__name__).warning(
+                    "fp8 KV cache with NMVLLM_FP8_KV_FAST=0 uses the "
+                    "slow astype dequant path (~2.6x decode slowdown, "
+                    "docs/PERF_NOTES.md round 4); unset the flag to use "
+                    "the relayout-free dequant.")
 
     def kv_dtype_name(self, model_dtype: str) -> str:
         if self.cache_dtype == "auto":

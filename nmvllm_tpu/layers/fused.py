@@ -79,7 +79,7 @@ def _method_kind(linear: Linear) -> Optional[Tuple]:
 
 # param name -> concat axis (the output-dim axis of that tensor)
 _CONCAT_AXIS = {"weight": 1, "bias": 0, "qweight": 1, "scales": 1,
-                "zeros": 1, "weight_scale": 0}
+                "zeros": 1, "mult": 1, "weight_scale": 0}
 
 
 def try_fuse(linears: List[Linear], params_list: List[Dict[str, Any]],

@@ -394,6 +394,21 @@ def _load_quant_groups(model, params, name_map, quant_groups, quant_name,
             qw, scales, zeros = wNa16_wire_to_canonical(
                 tensors["weight_packed"], tensors["weight_scale"],
                 tensors.get("weight_zero_point"), nb, gs, symmetric=sym)
+            tl = _get_in(params, layer_path)
+            if nb == 4 and isinstance(tl, dict) and "mult" in tl:
+                from nmvllm_tpu.ops.quant_matmul import (
+                    requantize_grouped_to_a8p)
+                k = np.asarray(qw).shape[0] * 8
+                g_eff = k // np.asarray(scales).shape[0]
+                aqw, mult, s_chan, zms = requantize_grouped_to_a8p(
+                    jnp.asarray(qw), jnp.asarray(scales),
+                    jnp.asarray(zeros), group_size=g_eff, k=k)
+                put(layer_path + ("qweight",), np.asarray(aqw),
+                    cast=False)
+                put(layer_path + ("mult",), np.asarray(mult), cast=False)
+                put(layer_path + ("scales",), np.asarray(s_chan))
+                put(layer_path + ("zeros",), np.asarray(zms), cast=False)
+                continue
             put(layer_path + ("qweight",), qw, cast=False)
             put(layer_path + ("scales",), scales)
             put(layer_path + ("zeros",), zeros, cast=False)
@@ -433,6 +448,24 @@ def _load_quant_groups(model, params, name_map, quant_groups, quant_name,
                 tensors["qweight"], tensors["qzeros"], tensors["scales"],
                 tensors.get("g_idx"), bits, group_size)
         target = _get_in(params, layer_path + ("qweight",))
+        target_layer = _get_in(params, layer_path)
+        if bits == 4 and isinstance(target_layer, dict) \
+                and "mult" in target_layer:
+            # W4A8 "packed" mode: requantize group scales into integer
+            # multipliers + per-channel scale, re-round values, repack
+            # to the group-half byte-lane layout (quant_matmul_a8p).
+            from nmvllm_tpu.ops.quant_matmul import (
+                requantize_grouped_to_a8p)
+            k = qw.shape[0] * 8
+            g_eff = k // np.asarray(scales).shape[0]
+            aqw, mult, s_chan, zms = requantize_grouped_to_a8p(
+                jnp.asarray(qw), jnp.asarray(scales),
+                jnp.asarray(zeros), group_size=g_eff, k=k)
+            put(layer_path + ("qweight",), np.asarray(aqw), cast=False)
+            put(layer_path + ("mult",), np.asarray(mult), cast=False)
+            put(layer_path + ("scales",), np.asarray(s_chan))
+            put(layer_path + ("zeros",), np.asarray(zms), cast=False)
+            continue
         if (bits == 4 and target.dtype == jnp.int8
                 and target.shape[0] == qw.shape[0] * 8):
             k = qw.shape[0] * 8

@@ -345,7 +345,7 @@ class LlamaMLP:
         m1, m2 = self._gu_fused.method, self.down_proj.method
         for m in (m1, m2):
             if not (isinstance(m, WNA16LinearMethod) and m.bits == 4
-                    and not m.a8_int8_store and m.group_size and
+                    and not m.a8_mode and m.group_size and
                     m.group_size % 8 == 0):
                 return False
         if m1.group_size != m2.group_size:

@@ -50,6 +50,44 @@ from nmvllm_tpu.ops.utils import pallas_interpret, use_pallas
 
 _NEG_INF = float("-inf")
 
+# Exponent re-bias addends for the SIMD-in-int32 fp8 -> bf16 conversion:
+# for a normal fp8 value, bf16 bits = sign | ((bits & 0x7f) << shift) +
+# (bias_delta << 7). e4m3 (bias 7): shift 4, delta 120 -> 0x3C00;
+# e5m2 (bias 15): shift 5, delta 112 -> 0x3800. No carry across 16-bit
+# half-lanes: 0x7f << shift + addend < 0x8000 for both formats.
+_FP8_FMT = {"float8_e4m3fn": (4, 0x3C003C00), "float8_e5m2": (5, 0x38003800)}
+
+
+def _fp8_rows_to_bf16(x, shift, addend):
+    """(C, d) fp8 -> (C, d) bf16 with 4-interleaved ROW PERMUTATION,
+    entirely in the int32 domain (no sublane relayout — the measured
+    wall of the astype path, docs/PERF_NOTES.md round 4).
+
+    Bitcasting the fp8 tile to int32 packs rows 4r..4r+3 into word row r
+    (byte i at bits 8i). Bytes (0,1) shuffle to the 16-bit half-lanes of
+    ``lo``, bytes (2,3) to ``hi``; a SIMD exponent re-bias converts both
+    halves at once; bitcasting int32 -> bf16 expands each word into rows
+    (2r, 2r+1). Output row j therefore holds input row perm(j):
+      j <  C/2: 4*(j//2) + j%2
+      j >= C/2: 4*((j-C/2)//2) + 2 + (j-C/2)%2
+    Callers must evaluate positional masks in this permuted order (the
+    p @ v product is consistent because v permutes identically).
+    fp8 zero/subnormal maps to ~2^-7 * (1+m/8) instead of ~0 — an error
+    below one fp8 quantization step, certified by the fp8-KV accuracy
+    leg; NaN bytes map to finite values (padding is score-masked).
+    """
+    w = pltpu.bitcast(x, jnp.int32)                    # (C/4, d)
+    b01 = (w & 0x000000FF) | ((w & 0x0000FF00) << 8)
+    w16 = jax.lax.shift_right_logical(w, jnp.int32(16))
+    b23 = (w16 & 0x000000FF) | ((w16 & 0x0000FF00) << 8)
+
+    def conv(y):
+        sign = (y & 0x00800080) << 8
+        mag = ((y & 0x007F007F) << shift) + addend
+        return pltpu.bitcast(sign | mag, jnp.bfloat16)  # (C/2, d)
+
+    return jnp.concatenate([conv(b01), conv(b23)], axis=0)
+
 
 def _decode_kernel(
     # scalar prefetch
@@ -88,6 +126,8 @@ def _decode_kernel(
     blocksparse,         # None or (block, local_blocks, vert_stride)
     fused_write: bool,
     heads_per_dot: int,  # kv heads per block-diagonal MXU dot (<= H)
+    fp8_fast: str = "",  # "" (off) or the cache dtype name: use the
+                         # relayout-free int-domain fp8->bf16 dequant
     interpret_mode: bool = False,
 ):
     b = pl.program_id(0)
@@ -177,8 +217,12 @@ def _decode_kernel(
         start(sb_start, jax.lax.rem(sb_start, 2))
 
     # Fold the softmax scale into q (one extra bf16 rounding, saves a
-    # (rows, cols) multiply per superblock).
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    # (rows, cols) multiply per superblock). With the fp8 fast path,
+    # k_scale folds here too (scores are linear in k) and v_scale folds
+    # into the final normalize — the conversion itself then needs ZERO
+    # per-element scale work.
+    q_premul = scale * (k_scale if fp8_fast else 1.0)
+    q = (q_ref[0].astype(jnp.float32) * q_premul).astype(q_ref.dtype)
 
     # Head chunking: hpd kv heads per block-diagonal dot. hpd == H is one
     # big dot with H-fold masked-score VPU waste; hpd == 1 is H clean
@@ -192,6 +236,13 @@ def _decode_kernel(
     # Loop-invariant column decomposition within one chunk:
     # c = (p * hpd + h_local) * bs + t.
     col = jax.lax.broadcasted_iota(jnp.int32, (rows_c, cols_c), 1)
+    if fp8_fast:
+        # The int-domain fp8 dequant permutes K/V rows (4-interleaved,
+        # see _fp8_rows_to_bf16) — score column c corresponds to flat
+        # kv row perm(c); evaluate all positional masks in that order.
+        half = cols_c // 2
+        cm = jax.lax.rem(col, half)
+        col = 4 * (cm // 2) + jax.lax.rem(cm, 2) + 2 * (col // half)
     col_h = (col // bs) % hpd
     # Position of column c within superblock 0; superblock sb adds
     # sb * sb_tokens (hoisted out of the loop body).
@@ -216,8 +267,19 @@ def _decode_kernel(
             r0 = c * rows_c
             k = kv_buf[slot, :, 0, h0:h0 + hpd].reshape(cols_c, head_dim)
             v = kv_buf[slot, :, 1, h0:h0 + hpd].reshape(cols_c, head_dim)
-            if k.dtype != q_ref.dtype or k_scale != 1.0 or v_scale != 1.0:
-                # fp8 cache (and/or scaled KV storage): dequant in VMEM.
+            if fp8_fast:
+                # Relayout-free int-domain dequant (rows permuted; the
+                # mask iotas above are already in permuted order, and
+                # p @ v is consistent because v permutes identically).
+                # Scales are folded into q / the final normalize.
+                shift, addend = _FP8_FMT[fp8_fast]
+                k = _fp8_rows_to_bf16(k, shift, addend)
+                v = _fp8_rows_to_bf16(v, shift, addend)
+            elif (k.dtype != q_ref.dtype or k_scale != 1.0
+                  or v_scale != 1.0):
+                # Scaled KV storage (or fast path disabled): dequant in
+                # VMEM via astype — a sublane relayout per tile; ~2.6x
+                # decode slowdown for fp8 (docs/PERF_NOTES.md round 4).
                 k = k.astype(jnp.float32) * k_scale
                 v = v.astype(jnp.float32) * v_scale
                 k = k.astype(q_ref.dtype)
@@ -300,8 +362,12 @@ def _decode_kernel(
         # position, so alibi bias is 0, it is always inside the sliding
         # window, and its block is local under blocksparse — no extra
         # masking needed.
-        kf = new_k_ref[0].astype(jnp.float32) * k_scale   # (H, d)
-        vf = new_v_ref[0].astype(jnp.float32) * v_scale
+        # With fp8_fast, k_scale already rides in q and v_scale in the
+        # final normalize — fold the raw stored values.
+        kf = new_k_ref[0].astype(jnp.float32) * (
+            1.0 if fp8_fast else k_scale)                 # (H, d)
+        vf = new_v_ref[0].astype(jnp.float32) * (
+            1.0 if fp8_fast else v_scale)
         kg = jnp.broadcast_to(kf[:, None, :], (h, g_pad, head_dim)
                               ).reshape(rows, head_dim)
         vg = jnp.broadcast_to(vf[:, None, :], (h, g_pad, head_dim)
@@ -324,7 +390,10 @@ def _decode_kernel(
         def _():
             pltpu.make_async_copy(page_buf, kv_out.at[wblock],
                                   wsem).wait()
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    o_norm = acc / jnp.maximum(l, 1e-30)
+    if fp8_fast and v_scale != 1.0:
+        o_norm = o_norm * v_scale
+    o_ref[0] = o_norm.astype(o_ref.dtype)
 
 
 def _decode_kernel_dense(block_tables_ref, context_lens_ref,
@@ -545,6 +614,14 @@ def paged_attention(
         kernel_fn = _decode_kernel if has_bso else _decode_kernel_dense
     else:
         kernel_fn = _decode_kernel_ro if has_bso else _decode_kernel_ro_dense
+    # Relayout-free fp8 dequant (NMVLLM_FP8_KV_FAST, default on): needs a
+    # bf16 q (the converted K/V land in bf16) and a 4-divisible chunk
+    # column count (block_size % 32 == 0 already guarantees it).
+    fp8_fast = ""
+    if (kv_cache.dtype.name in _FP8_FMT and q.dtype == jnp.bfloat16
+            and os.environ.get("NMVLLM_FP8_KV_FAST", "1")
+            not in ("0", "false")):
+        fp8_fast = kv_cache.dtype.name
     kernel = functools.partial(
         kernel_fn,
         scale=float(scale), k_scale=float(k_scale), v_scale=float(v_scale),
@@ -553,7 +630,8 @@ def paged_attention(
         logit_soft_cap=float(logit_soft_cap),
         sliding_window=int(sliding_window), has_alibi=has_alibi,
         blocksparse=blocksparse, fused_write=fused_write,
-        heads_per_dot=hpd, interpret_mode=pallas_interpret())
+        heads_per_dot=hpd, fp8_fast=fp8_fast,
+        interpret_mode=pallas_interpret())
     ctx_bytes = 2 * num_kv_heads * block_size * head_dim * \
         kv_cache.dtype.itemsize
     out_shape = [jax.ShapeDtypeStruct((batch, rows, head_dim), q.dtype)]

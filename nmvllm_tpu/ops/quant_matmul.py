@@ -259,9 +259,11 @@ def _unpack_group(w, cdtype):
 def _dequant_group_store(deq_ref, w_ref, s_ref, z_ref, gi, g0, *,
                          g: int, wpg: int, cdtype):
     """Dequantize scale group ``gi`` of the current k-block into
-    deq_ref rows [gi*g, (gi+1)*g). NMVLLM_W4_NOCAT (default on) stores
-    each magic part at its natural slab rows — dropping the 4-way
-    sublane concat measured 0.77x at the gate_up shape
+    deq_ref rows [gi*g, (gi+1)*g). NMVLLM_W4_NOCAT (default OFF —
+    matching _w4_nocat_enabled) stores each magic part at its natural
+    slab rows, dropping the 4-way sublane concat; a first bracketed
+    reading said 0.77x but the median-of-5 interleaved rerun read
+    ~1.0-1.08x (drift), so the concat form stays the default
     (docs/PERF_NOTES.md round-4 variant hunt)."""
     w = w_ref[pl.ds(pl.multiple_of(gi * wpg, wpg), wpg), :]
     sg = s_ref[pl.ds(g0 + gi, 1), :].astype(cdtype)
@@ -1176,3 +1178,317 @@ def quantize_weights_to_packed(
                      qmax)
     qweight = pack_weights(q.reshape(k, n).astype(jnp.int32), bits, g)
     return qweight, scale[:, 0, :].astype(jnp.float32), zeros_arr
+
+
+# ---------------------------------------------------------------------------
+# W4A8 "packed" serving path (round 5).
+#
+# The bf16-dequant W4 family is VPU-capped near ~350 GB/s of the 819 GB/s
+# weight stream (round-4 `raw` floor, docs/PERF_NOTES.md). This path keeps
+# everything integer until one full-depth int8 MXU dot:
+#   * weights stay packed INT4 in HBM (group-half byte-lane layout below);
+#   * in-kernel unpack is 2 masked int32 ops + 2 free bitcasts per 8
+#     weights — no float convert, no sublane relayout;
+#   * GPTQ GROUP scales fold into small per-group integer multipliers
+#     m_g in [1, 8] applied SIMD-in-int32 during unpack (u8 = v * m_g,
+#     byte lanes carry at most 15*8 = 120 < 128 — no carry, fits int8);
+#   * the residual per-channel scale S_n and the zero correction
+#     z_g * m_g ride a tiny f32 epilogue (one rank-G MXU dot);
+#   * activations quantize to per-token int8 in XLA (the reference's
+#     dynamic_scaled_int8_quant, csrc/quantization/compressed_tensors/
+#     int8_quant_kernels.cu), fused into the preceding elementwise chain.
+#
+# Numerics: group scales are REQUANTIZED to m_g * S_n (S_n = max_g s_g/8,
+# m_g = ceil(s_g / S_n)) and the int4 values re-rounded against the new
+# grid at load — groups far below the channel-max scale get a coarser
+# grid (bounded by S_n/2); activations carry int8 rounding. This is an
+# opt-in approximate mode (NMVLLM_INT4_A8=packed), certified separately
+# from the exact dequant path. Measured (bench_w4a8_v5.py, interleaved):
+# 0.43x the exact kernel's time at the gate_up decode shape (453 GB/s
+# effective on the int4 stream vs 196).
+
+
+def pack_weights_a8p(v: jax.Array, group_size: int) -> jax.Array:
+    """(K, N) unsigned int4 values -> (K/8, N) int32, group-half
+    byte-lane layout: within scale group gi, word w, byte b holds group
+    row 4w+b in its LOW nibble and group row g/2 + 4w+b in its HIGH
+    nibble. ``(word & 0x0F0F0F0F)`` then bitcasts (int32->int8, free) to
+    the group's first half in NATURAL row order and ``(word >> 4) &
+    0x0F0F0F0F`` to the second half — no activation permutation."""
+    k, n = v.shape
+    g = _w4_group(group_size, k)
+    assert k % g == 0 and g % 8 == 0, (k, g)
+    vv = v.astype(jnp.uint32).reshape(k // g, 2, g // 8, 4, n)
+    byte = vv[:, 0] | (vv[:, 1] << 4)          # (G, g/8, 4, N)
+    word = jnp.zeros((k // g, g // 8, n), jnp.uint32)
+    for b in range(4):
+        word = word | (byte[:, :, b] << (8 * b))
+    return word.reshape(k // 8, n).astype(jnp.int32)
+
+
+def unpack_weights_a8p(packed: jax.Array, group_size: int,
+                       k: int) -> jax.Array:
+    """Inverse of pack_weights_a8p -> (K, N) int32 unsigned values."""
+    n = packed.shape[1]
+    g = _w4_group(group_size, k)
+    p = packed.astype(jnp.uint32).reshape(k // g, g // 8, n)
+    out = jnp.zeros((k // g, 2, g // 8, 4, n), jnp.uint32)
+    for b in range(4):
+        byte = (p >> (8 * b)) & 0xFF
+        out = out.at[:, 0, :, b].set(byte & 0xF)
+        out = out.at[:, 1, :, b].set(byte >> 4)
+    return out.reshape(k, n).astype(jnp.int32)
+
+
+def requantize_grouped_to_a8p(qweight: jax.Array, scales: jax.Array,
+                              zeros: jax.Array, *, group_size: int,
+                              k: int):
+    """Canonical paired W4 (group scales s_g, zeros z_g) -> the A8P
+    arrays: (qweight_a8p (K/8,N) i32, mult (G,N) i32, s_chan (1,N) f32,
+    zms (G,N) f32).
+
+    s_g is requantized to m_g * S_n with m_g = ceil(s_g/S_n) in [1, 16]
+    (ceil never EXPANDS values, so the re-round below cannot clip the
+    group extremes) and the int4 values re-rounded against the new grid
+    around the UNCHANGED zero point. The kernel serves the RECENTERED
+    value (v - 8) * m_g (in [-128, 112], int8-exact even at m = 16), so
+    the returned zms is (z_g - 8) * m_g."""
+    g = _w4_group(group_size, k)
+    v = unpack_weights(qweight, 4, g, k).astype(jnp.float32)    # (K, N)
+    s = scales.astype(jnp.float32)                              # (G, N)
+    z = zeros.astype(jnp.float32)                               # (G, N)
+    s_chan = jnp.maximum(jnp.max(s, axis=0, keepdims=True), 1e-12) / 16.0
+    mult = jnp.clip(jnp.ceil(s / s_chan - 1e-6), 1, 16)         # (G, N)
+    ratio = s / (mult * s_chan)                                 # <= 1
+    zr = jnp.repeat(z, g, axis=0)
+    v2 = jnp.clip(jnp.round((v - zr) * jnp.repeat(ratio, g, axis=0)) + zr,
+                  0, 15)
+    qw = pack_weights_a8p(v2.astype(jnp.int32), g)
+    return (qw, mult.astype(jnp.int32), s_chan,
+            ((z - 8.0) * mult).astype(jnp.float32))
+
+
+def _quantize_acts_a8p(x2: jax.Array, g: int, g_pad: int):
+    """Per-token int8 quant + per-scale-group sums (XLA, fused into the
+    preceding elementwise chain)."""
+    m, k = x2.shape
+    absmax = jnp.max(jnp.abs(x2.astype(jnp.float32)), axis=1,
+                     keepdims=True)
+    s_x = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x2.astype(jnp.float32) / s_x),
+                  -127, 127)
+    xg = jnp.sum(xq.reshape(m, k // g, g), axis=-1)             # (m, G)
+    if g_pad != k // g:
+        xg = jnp.pad(xg, ((0, 0), (0, g_pad - k // g)))
+    return xq.astype(jnp.int8), xg.astype(jnp.float32), s_x
+
+
+def _w4a8p_kernel(x8_ref, xg_ref, ax_ref, *refs, group_size: int, bk: int,
+                  has_res: bool = False):
+    """Full-depth int8 GEMM over in-kernel-unpacked INT4 weights.
+
+    Per scale group: 2 masked int32 ops extract the nibble halves, one
+    SIMD int32 multiply each applies the group multiplier (constant per
+    word — all 8 nibbles of a word share the scale group), two free
+    bitcasts land NATURAL-ordered int8 rows in the deq scratch. ONE
+    int8 x int8 -> int32 MXU dot per k-block; the k-final epilogue
+    applies (acc - xg @ zms) * S_n * ax plus the optional fused
+    residual."""
+    if has_res:
+        res_ref, w_ref, m_ref, zms_ref, sc_ref, o_ref, acc_ref, deq_ref \
+            = refs
+    else:
+        w_ref, m_ref, zms_ref, sc_ref, o_ref, acc_ref, deq_ref = refs
+        res_ref = None
+    g = group_size
+    gpb = bk // g
+    wpg = g // 8
+    half = g // 2
+    mask = jnp.int32(0x0F0F0F0F)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # mult rides a full-G block (a (bk//g, bn) block would break tiling
+    # when bk//g < 8); index the current k-block's group rows here.
+    g0 = pl.program_id(2) * gpb
+    sbit = jnp.int32(-0x7F7F7F80)   # 0x80808080 as int32
+
+    def per_group(gi, _):
+        w = w_ref[pl.ds(pl.multiple_of(gi * wpg, wpg), wpg), :]
+        mg = m_ref[pl.ds(g0 + gi, 1), :]             # (1, bn) int32
+        # Recentered SIMD dequant to signed int8 lanes: byte lane
+        # t = v*m + (128 - 8m) stays in [0, 240] (no cross-lane carry
+        # at m <= 16), and t ^ 0x80 reads as the signed value
+        # (v - 8) * m in [-128, 112]. cg's per-byte value 0x80 - 8m is
+        # >= 0, so the broadcast constant has no cross-lane borrow.
+        cg = sbit - mg * jnp.int32(0x08080808)
+        lo = ((w & mask) * mg + cg) ^ sbit
+        hi = ((jax.lax.shift_right_logical(w, jnp.int32(4)) & mask) * mg
+              + cg) ^ sbit
+        deq_ref[pl.ds(pl.multiple_of(gi * g, half), half), :] = \
+            pltpu.bitcast(lo, jnp.int8)
+        deq_ref[pl.ds(pl.multiple_of(gi * g + half, half), half), :] = \
+            pltpu.bitcast(hi, jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, gpb, per_group, 0, unroll=False)
+    acc_ref[:] += jnp.dot(x8_ref[:], deq_ref[:],
+                          preferred_element_type=jnp.int32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        corr = jnp.dot(xg_ref[:], zms_ref[:],
+                       preferred_element_type=jnp.float32)
+        out = (acc_ref[:].astype(jnp.float32) - corr) * \
+            sc_ref[0, :].astype(jnp.float32) * ax_ref[:, :1]
+        if res_ref is not None:
+            out = out + res_ref[:].astype(jnp.float32)
+        o_ref[:] = out
+
+
+def _a8p_vmem_estimate(bm, bn, bk, k, g, g_pad):
+    est = 2 * bm * bk                       # x8 block (int8)
+    est += 2 * (bk // 8) * bn * 4           # packed weights
+    est += 2 * (k // g) * bn * 4            # mult (full-G block)
+    est += 2 * g_pad * bn * 4               # zms
+    est += 2 * bm * g_pad * 4               # xg
+    est += 2 * bm * bn * 4                  # out
+    est += bm * bn * 4                      # acc scratch
+    est += bk * bn                          # deq scratch (int8)
+    return est
+
+
+def quant_matmul_a8p_reference(x, qweight, mult, s_chan, zms, *,
+                               group_size: int):
+    """jnp reference with IDENTICAL quantization semantics (int8 acts,
+    requantized group scales)."""
+    m, k = x.shape
+    g = _w4_group(group_size, k)
+    g_pad = round_up(k // g, 128)
+    xq, xg, s_x = _quantize_acts_a8p(x, g, g_pad)
+    v = unpack_weights_a8p(qweight, g, k).astype(jnp.float32)
+    u = (v - 8.0) * jnp.repeat(mult.astype(jnp.float32), g, axis=0)
+    acc = jnp.dot(xq.astype(jnp.float32), u,
+                  preferred_element_type=jnp.float32)
+    corr = jnp.dot(xg[:, :k // g], zms.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    return ((acc - corr) * s_chan.reshape(1, -1) * s_x).astype(x.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("group_size", "block_m", "block_n",
+                                    "block_k", "prologue", "eps"))
+def quant_matmul_a8p(
+    x: jax.Array,          # (M, K) bf16/f32 activations
+    qweight: jax.Array,    # (K/8, N) int32 A8P packed (pack_weights_a8p)
+    mult: jax.Array,       # (K/g, N) int32 group multipliers in [1, 8]
+    s_chan: jax.Array,     # (1, N) f32 per-channel scale
+    zms: jax.Array,        # (K/g, N) f32 zero * mult
+    *,
+    group_size: int,
+    block_m: int = 0,
+    block_n: int = 1024,
+    block_k: int = 0,
+    prologue=None,         # None | "silu_mul" | "gelu_mul" | "rmsnorm"
+    aux=None,
+    eps: float = 1e-6,
+    epilogue_add=None,
+) -> jax.Array:
+    """y = (int8(x) @ unpack_int8(qweight)) scaled — the W4A8 fast path.
+
+    The activation prologue and int8 quantization run in XLA (in-graph
+    elementwise nodes fuse into the preceding chain; only Pallas calls
+    carry per-call fixed cost on this stack — docs/PERF_NOTES.md)."""
+    m, k = x.shape
+    n = qweight.shape[1]
+    g = _w4_group(group_size, k)
+    if prologue is not None:
+        x = apply_prologue_jnp(prologue, x, aux, eps)
+    g_pad = round_up(k // g, 128)
+    if not use_pallas():
+        y = quant_matmul_a8p_reference(x, qweight, mult, s_chan, zms,
+                                       group_size=g)
+        if epilogue_add is not None:
+            y = (y.astype(jnp.float32) +
+                 epilogue_add.astype(jnp.float32)).astype(x.dtype)
+        return y
+    xq, xg, s_x = _quantize_acts_a8p(x, g, g_pad)
+
+    bm = min(block_m if block_m > 0 else round_up(m, 32), 256)
+    bm = min(bm, round_up(m, 32))
+    # Full-depth k preferred (ONE dot, scales fold entirely); shrink bn,
+    # then split k, until the kernel fits scoped VMEM.
+    bn = min(block_n, n)
+    while n % bn != 0:
+        bn //= 2
+    bk = k if block_k <= 0 else block_k
+
+    def fits(bm_, bn_, bk_):
+        return _a8p_vmem_estimate(bm_, bn_, bk_, k, g, g_pad) \
+            <= _W4_VMEM_BUDGET
+
+    while not fits(bm, bn, bk) and bn > 256 and n % (bn // 2) == 0:
+        bn //= 2
+    while not fits(bm, bn, bk) and bk > g and bk % 2 == 0 and \
+            (bk // 2) % g == 0:
+        bk //= 2
+    while not fits(bm, bn, bk) and bm > 32:
+        bm = max(32, round_up(bm // 2, 32))
+    m_pad = round_up(m, bm)
+    if m_pad != m:
+        xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
+        xg = jnp.pad(xg, ((0, m_pad - m), (0, 0)))
+        s_x = jnp.pad(s_x, ((0, m_pad - m), (0, 0)))
+    zms_p = zms
+    if g_pad != k // g:
+        zms_p = jnp.pad(zms, ((0, g_pad - k // g), (0, 0)))
+
+    grid = (m_pad // bm, n // bn, k // bk)
+    has_res = epilogue_add is not None
+    res_ops, res_specs = (), []
+    if has_res:
+        res = epilogue_add
+        if m_pad != m:
+            res = jnp.pad(res, ((0, m_pad - m), (0, 0)))
+        res_ops = (res,)
+        res_specs = [pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                                  memory_space=pltpu.VMEM)]
+    kernel = functools.partial(_w4a8p_kernel, group_size=g, bk=bk,
+                               has_res=has_res)
+    acc = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, g_pad), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + res_specs + [
+            pl.BlockSpec((bk // 8, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // g, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_pad, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32),
+                        pltpu.VMEM((bk, bn), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=(m_pad * k + k * n // 2 + (k // g) * n * 8 +
+                            m_pad * n * 4),
+            transcendentals=0),
+        interpret=pallas_interpret(),
+    )(xq, xg, s_x, *res_ops, qweight, mult, zms_p, s_chan)
+    y = (acc[:m]).astype(x.dtype)
+    return y

@@ -27,22 +27,30 @@ class WNA16LinearMethod(LinearMethodBase):
 
     @property
     def a8_mode(self) -> str:
-        """W4A8 serving mode for symmetric INT4 checkpoints:
-        "" (exact dequant-GEMM), "grouped" (int8-stored weights, exact
-        per-group int8 dots), or "channel" (per-channel int8 requantize,
-        ONE full-depth int8 dot — fastest; tiny extra rounding error)."""
+        """W4A8 serving mode for INT4 checkpoints:
+        "" (exact dequant-GEMM), "packed" (INT4-packed weights, in-kernel
+        unpack to int8 with group multipliers, ONE full-depth int8 dot —
+        the round-5 fast path: 0.43x the exact kernel's time at decode
+        shapes, docs/PERF_NOTES.md; works for asymmetric zeros too),
+        "grouped" (int8-stored weights, exact per-group int8 dots), or
+        "channel" (per-channel int8 requantize, single full-depth dot).
+        NMVLLM_INT4_A8 = packed | grouped | channel (or 1 = packed)."""
         from nmvllm_tpu import envs
-        if not (self.bits == 4 and self.symmetric):
+        if self.bits != 4:
             return ""
         v = str(envs.NMVLLM_INT4_A8).lower()
-        if not v:
+        if not v or v in ("0", "false"):
             return ""
+        if v.startswith("p") or v in ("1", "true"):
+            return "packed"
+        if not self.symmetric:
+            return ""          # grouped/channel require symmetric zeros
         return "channel" if v.startswith("c") else "grouped"
 
     @property
     def a8_int8_store(self) -> bool:
         """Whether qweight is stored as (K, N) int8 instead of packed."""
-        return bool(self.a8_mode)
+        return self.a8_mode in ("grouped", "channel")
 
     def _resolve_group(self, in_features: int) -> int:
         g = self.group_size
@@ -63,6 +71,21 @@ class WNA16LinearMethod(LinearMethodBase):
                           jnp.float32)
         zeros = jnp.full((in_features // g, out_features), qmax_half,
                          jnp.int32)
+        if self.a8_mode == "packed":
+            # A8P arrays: qweight group-half byte-lane packed, mult = 16
+            # (scale step 16 * s_chan == the exact path's scale_val),
+            # scales = s_chan (1, N), zeros = zms = (z - 8) * m == 0.
+            qweight = jax.random.randint(
+                k1, (in_features // 8, out_features),
+                jnp.iinfo(jnp.int32).min, jnp.iinfo(jnp.int32).max,
+                jnp.int32)
+            return {"qweight": qweight,
+                    "mult": jnp.full((in_features // g, out_features), 16,
+                                     jnp.int32),
+                    "scales": jnp.full((1, out_features), scale_val / 16.0,
+                                       jnp.float32),
+                    "zeros": jnp.zeros((in_features // g, out_features),
+                                       jnp.float32)}
         if self.a8_mode == "channel":
             w8 = jax.random.randint(k1, (in_features, out_features),
                                     -127, 128, jnp.int32).astype(jnp.int8)
@@ -85,8 +108,9 @@ class WNA16LinearMethod(LinearMethodBase):
 
     @property
     def supports_prologue(self) -> bool:
-        """Fused activation/norm prologues on the paired kernel (4-bit
-        exact path only)."""
+        """Fused activation/norm prologues: in-kernel on the paired
+        4-bit kernel; XLA-side (but inside the same jit) on the A8P
+        path — either way the method consumes the prologue itself."""
         return self.bits == 4 and not self.a8_int8_store
 
     def apply(self, params: Dict[str, Any], x, bias=None, *,
@@ -113,6 +137,14 @@ class WNA16LinearMethod(LinearMethodBase):
                 w = w + (128 - z).astype(jnp.float32) * s
             y = jnp.dot(x2, w.astype(x.dtype),
                         preferred_element_type=jnp.float32).astype(x.dtype)
+        elif self.a8_mode == "packed":
+            from nmvllm_tpu.ops.quant_matmul import quant_matmul_a8p
+            y = quant_matmul_a8p(x2, params["qweight"], params["mult"],
+                                 params["scales"], params["zeros"],
+                                 group_size=g, prologue=prologue,
+                                 aux=aux, eps=eps,
+                                 epilogue_add=epilogue_add)
+            epilogue_add = None
         elif self.a8_mode == "channel":
             from nmvllm_tpu.ops.quant_matmul import int8_channel_matmul
             y = int8_channel_matmul(x2, params["qweight"],
@@ -145,7 +177,9 @@ class WNA16LinearMethod(LinearMethodBase):
         else:
             spec = P()
         out = {"qweight": spec, "scales": spec, "zeros": spec}
-        if self.a8_mode == "channel":
+        if self.a8_mode == "packed":
+            out["mult"] = spec
+        if self.a8_mode in ("channel", "packed"):
             # Channel scales are (1, N): shard on N for column-parallel,
             # replicate for row-parallel (partial sums carry full scales).
             out["scales"] = P(None, TP_AXIS) if shard == "column" else P()
@@ -153,6 +187,11 @@ class WNA16LinearMethod(LinearMethodBase):
 
     def load_weight_shapes(self, in_features, out_features):
         g = self._resolve_group(in_features)
+        if self.a8_mode == "packed":
+            return {"qweight": (in_features // 8, out_features),
+                    "mult": (in_features // g, out_features),
+                    "scales": (1, out_features),
+                    "zeros": (in_features // g, out_features)}
         if self.a8_mode == "channel":
             return {"qweight": (in_features, out_features),
                     "scales": (1, out_features),

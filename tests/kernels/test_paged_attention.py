@@ -164,3 +164,48 @@ def test_paged_attention_heads_per_dot(rng, hpd, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
     _dense_check(q, kv_cache, bt, cl, scale, out)
+
+
+@pytest.mark.parametrize("kv_dtype", [jnp.float8_e4m3fn, jnp.float8_e5m2])
+def test_paged_attention_fp8_kv_fast(rng, kv_dtype, monkeypatch):
+    """Relayout-free int-domain fp8 dequant (NMVLLM_FP8_KV_FAST, default
+    on): bf16 q selects the fast path; must match the astype-dequant
+    reference. Tolerances cover the documented subnormal mapping
+    (fp8 subnormals land at ~2^-7*(1+m/8) instead of their exact value
+    — below one fp8 quantization step)."""
+    monkeypatch.setenv("NMVLLM_FP8_KV_FAST", "1")
+    q, kv_cache, bt, cl = _make_inputs(
+        rng, 3, 8, 4, 128, 32, num_blocks=16, max_ctx=90,
+        dtype=jnp.bfloat16, kv_dtype=kv_dtype)
+    # Distinct static scale per dtype: the env flag is read at trace
+    # time, so identical signatures would reuse a previous compile.
+    scale = 128**-0.5 * (1.0 + (kv_dtype == jnp.float8_e5m2) * 1e-6)
+    ref = paged_attention_reference(q, kv_cache, bt, cl, scale=scale,
+                                    k_scale=0.5, v_scale=2.0)
+    out = paged_attention(q, kv_cache, bt, cl, scale=scale,
+                          k_scale=0.5, v_scale=2.0,
+                          pages_per_compute_block=2)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=8e-2, rtol=8e-2)
+    _dense_check(q, kv_cache, bt, cl, scale, out, k_scale=0.5,
+                 v_scale=2.0)
+
+
+def test_paged_attention_fp8_kv_fast_masks(rng, monkeypatch):
+    """The fast path permutes score COLUMNS — sliding-window and
+    soft-cap masks must be evaluated in permuted order."""
+    monkeypatch.setenv("NMVLLM_FP8_KV_FAST", "1")
+    q, kv_cache, bt, cl = _make_inputs(
+        rng, 4, 8, 2, 128, 32, num_blocks=32, max_ctx=100,
+        dtype=jnp.bfloat16, kv_dtype=jnp.float8_e4m3fn)
+    scale = 128**-0.5 * (1.0 + 3e-6)
+    ref = paged_attention_reference(q, kv_cache, bt, cl, scale=scale,
+                                    sliding_window=40,
+                                    logit_soft_cap=30.0)
+    out = paged_attention(q, kv_cache, bt, cl, scale=scale,
+                          sliding_window=40, logit_soft_cap=30.0,
+                          pages_per_compute_block=2)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=8e-2, rtol=8e-2)

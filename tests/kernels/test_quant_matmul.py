@@ -342,3 +342,93 @@ def test_w4_prologue_falls_back_at_prefill_m():
         bits=4, group_size=128)
     assert jnp.max(jnp.abs(y - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9) \
         < 2e-2
+
+
+class TestW4A8Packed:
+    """Round-5 W4A8 fast path: group-half byte-lane packing, in-kernel
+    int8 unpack with group multipliers, one full-depth int8 MXU dot
+    (bench_w4a8_v5.py measured 0.43x the exact kernel's time)."""
+
+    def _mk(self, m, k, n, sym, seed=0):
+        from nmvllm_tpu.ops.quant_matmul import (
+            quantize_weights_to_packed, requantize_grouped_to_a8p)
+        rng = jax.random.PRNGKey(seed)
+        w = jax.random.normal(rng, (n, k), jnp.float32) * 0.02
+        qw, s, z = quantize_weights_to_packed(w, 4, 128, symmetric=sym)
+        a8 = requantize_grouped_to_a8p(qw, s, z, group_size=128, k=k)
+        x = jax.random.normal(jax.random.fold_in(rng, 1), (m, k),
+                              jnp.bfloat16)
+        return (qw, s, z), a8, x
+
+    def test_pack_roundtrip(self):
+        from nmvllm_tpu.ops.quant_matmul import (pack_weights_a8p,
+                                                 unpack_weights_a8p)
+        v = np.random.default_rng(0).integers(0, 16, size=(512, 256))
+        rt = unpack_weights_a8p(pack_weights_a8p(jnp.asarray(v), 128),
+                                128, 512)
+        np.testing.assert_array_equal(np.asarray(rt), v)
+
+    @pytest.mark.parametrize("m,sym", [(8, True), (72, False)])
+    def test_kernel_matches_reference(self, m, sym):
+        from nmvllm_tpu.ops.quant_matmul import (
+            quant_matmul_a8p, quant_matmul_a8p_reference)
+        _, (aqw, mult, sc, zms), x = self._mk(m, 1024, 512, sym)
+        ref = quant_matmul_a8p_reference(x, aqw, mult, sc, zms,
+                                         group_size=128)
+        got = quant_matmul_a8p(x, aqw, mult, sc, zms, group_size=128)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32) -
+                                    ref.astype(jnp.float32))))
+        scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-9
+        assert err / scale < 2e-2, (err, scale)
+
+    def test_close_to_exact_dequant(self):
+        """The requantized scheme must track the exact dequant path to
+        quantization-error level (int8 activations + regridded group
+        scales; bounded by the cert harness at real geometry)."""
+        from nmvllm_tpu.ops.quant_matmul import (quant_matmul,
+                                                 quant_matmul_a8p)
+        (qw, s, z), (aqw, mult, sc, zms), x = self._mk(32, 1024, 512,
+                                                       False)
+        exact = quant_matmul(x, qw, s, z, bits=4, group_size=128,
+                             symmetric=False)
+        got = quant_matmul_a8p(x, aqw, mult, sc, zms, group_size=128)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32) -
+                                    exact.astype(jnp.float32))))
+        scale = float(jnp.max(jnp.abs(exact.astype(jnp.float32)))) + 1e-9
+        assert err / scale < 0.08, (err, scale)
+
+    def test_prologue_and_residual(self):
+        from nmvllm_tpu.ops.quant_matmul import (
+            quant_matmul_a8p, quant_matmul_a8p_reference,
+            apply_prologue_jnp)
+        _, (aqw, mult, sc, zms), x = self._mk(16, 512, 256, True)
+        aux = jnp.ones((512,), jnp.float32) * 1.5
+        res = jax.random.normal(jax.random.PRNGKey(3), (16, 256),
+                                jnp.float32)
+        got = quant_matmul_a8p(x, aqw, mult, sc, zms, group_size=128,
+                               prologue="rmsnorm", aux=aux,
+                               epilogue_add=res)
+        xn = apply_prologue_jnp("rmsnorm", x, aux, 1e-6)
+        ref = quant_matmul_a8p_reference(xn, aqw, mult, sc, zms,
+                                         group_size=128)
+        err = float(jnp.max(jnp.abs(
+            got.astype(jnp.float32) -
+            (ref.astype(jnp.float32) + res))))
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+        assert err / scale < 3e-2, (err, scale)
+
+    def test_method_level(self, monkeypatch):
+        """wNa16 'packed' mode end-to-end through the method seam."""
+        monkeypatch.setenv("NMVLLM_INT4_A8", "packed")
+        from nmvllm_tpu.quantization.wNa16 import WNA16LinearMethod
+        meth = WNA16LinearMethod(4, 128, symmetric=True)
+        assert meth.a8_mode == "packed"
+        p = meth.create_weights(jax.random.PRNGKey(0), 512, 256,
+                                jnp.float32)
+        assert set(p) == {"qweight", "mult", "scales", "zeros"}
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 512),
+                              jnp.float32)
+        y = meth.apply(p, x)
+        assert y.shape == (4, 256)
+        assert not bool(jnp.isnan(y).any())
+        assert float(jnp.std(y.astype(jnp.float32))) > 0.1

@@ -242,6 +242,35 @@ def test_w4_paired_gemm(prologue, m):
     _close(got, want, tol=0.15)
 
 
+@pytest.mark.parametrize("m", [8, 72])
+def test_w4a8_packed_gemm(m):
+    """Round-5 W4A8 fast path: in-kernel int8 unpack with group
+    multipliers + one full-depth int8 MXU dot (+ the k-split shape)."""
+    from nmvllm_tpu.ops.quant_matmul import (
+        quant_matmul_a8p, quant_matmul_a8p_reference,
+        requantize_grouped_to_a8p)
+    from nmvllm_tpu import envs
+    k, n, g = 1024, 1024, 128
+    r = np.random.default_rng(23)
+    x = jnp.asarray(r.standard_normal((m, k)), jnp.bfloat16)
+    qw, s, z = _mk_w4(23, k, n, g)
+    aqw, mult, sc, zms = requantize_grouped_to_a8p(qw, s, z,
+                                                   group_size=g, k=k)
+    got = quant_matmul_a8p(x, aqw, mult, sc, zms, group_size=g)
+    want = quant_matmul_a8p_reference(x, aqw, mult, sc, zms,
+                                      group_size=g)
+    _close(got, want, tol=0.05)
+    # k-split shape (block_k < K exercises the cross-block int32 acc).
+    got2 = quant_matmul_a8p(x, aqw, mult, sc, zms, group_size=g,
+                            block_k=512)
+    _close(got2, want, tol=0.05)
+    # rmsnorm prologue (the production qkv/gate_up call shape).
+    aux = jnp.asarray(r.uniform(0.5, 1.5, (k,)), jnp.float32)
+    got3 = quant_matmul_a8p(x, aqw, mult, sc, zms, group_size=g,
+                            prologue="rmsnorm", aux=aux)
+    assert not np.isnan(np.asarray(got3, np.float32)).any()
+
+
 def test_fused_mlp_w4():
     from nmvllm_tpu.ops.fused_mlp import fused_mlp_reference, fused_mlp_w4
     m, k, i, g = 8, 256, 512, 128
