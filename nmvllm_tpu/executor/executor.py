@@ -57,9 +57,23 @@ class TPUExecutor:
                     "MLP-speculator speculative decoding is not "
                     "supported with pipeline_parallel_size > 1 (use "
                     "ngram_prompt_lookup_max or a draft model).")
+            import jax
+            pp_devices = None
+            if jax.process_count() > 1:
+                # Multi-host PP (round 5): stages are OUTERMOST in the
+                # (pp, data, tp) mesh, so host-major device ordering
+                # puts each stage's data x tp block on one host (ICI)
+                # and the stage ring crosses DCN once per hop — the
+                # reference's cross-node PP send/recv analogue
+                # (vllm/distributed/parallel_state.py:562-649), here a
+                # ppermute XLA lays onto the slow links. Scheduling
+                # stays host-replicated (parallel/multihost.py).
+                pp_devices = sorted(jax.devices(),
+                                    key=lambda d: (d.process_index, d.id))
             self.mesh = build_pp_mesh(
                 parallel.pipeline_parallel_size,
                 parallel.tensor_parallel_size,
+                devices=pp_devices,
                 data_parallel_size=parallel.data_parallel_size)
             set_global_mesh(self.mesh)
             self._maybe_init_compile_cache()
@@ -96,10 +110,11 @@ class TPUExecutor:
                 # parallel/multihost.py). tp groups are host-major so
                 # they ride ICI; only dp crosses DCN. The caller (or the
                 # pod runtime) initializes jax.distributed first.
-                if (parallel.sequence_parallel_size > 1 or
-                        parallel.pipeline_parallel_size > 1):
+                if parallel.sequence_parallel_size > 1:
                     raise ValueError(
-                        "multi-host meshes support dp x tp only")
+                        "multi-host meshes support pp x dp x tp; "
+                        "sequence parallelism is single-host (the sp "
+                        "ring assumes ICI-contiguous devices)")
                 from nmvllm_tpu.parallel.multihost import build_pod_mesh
                 self.mesh = build_pod_mesh(
                     parallel.data_parallel_size,

@@ -192,16 +192,19 @@ def load_safetensors_weights(model, params, model_dir: str, mesh,
         fpath = os.path.join(model_dir, fname)
         with safe_open(fpath, framework="np") as f:
             for tensor_name in f.keys():
+                # Mixtral experts: model.layers.N...experts.E.w{1,2,3}...
+                # (checked BEFORE the quant suffixes so per-expert GPTQ
+                # tensors stack into expert stacks instead of being
+                # dropped as unknown quantized layers).
+                if ".experts." in tensor_name:
+                    layer_prefix, rest = tensor_name.split(".experts.", 1)
+                    expert_groups.setdefault(layer_prefix, {})[rest] = \
+                        get_np(f, fpath, tensor_name)
+                    continue
                 # Quantized-layer tensors: buffer by layer prefix.
                 if tensor_name.endswith(_QUANT_SUFFIXES):
                     prefix, suffix = tensor_name.rsplit(".", 1)
                     quant_groups.setdefault(prefix, {})[suffix] = \
-                        get_np(f, fpath, tensor_name)
-                    continue
-                # Mixtral experts: model.layers.N...experts.E.w{1,2,3}...
-                if ".experts." in tensor_name:
-                    layer_prefix, rest = tensor_name.split(".experts.", 1)
-                    expert_groups.setdefault(layer_prefix, {})[rest] = \
                         get_np(f, fpath, tensor_name)
                     continue
                 if tensor_name not in name_map:
@@ -493,6 +496,88 @@ def _load_quant_groups(model, params, name_map, quant_groups, quant_name,
         put(layer_path + ("zeros",), zeros, cast=False)
 
 
+def _stack_quant_experts(model, moe, layer_idx, attr, tensors, put):
+    """Per-expert GPTQ/AWQ expert weights -> stacked A8P arrays (when
+    the MoE block runs quantized experts) or dense f32 (fallback).
+
+    tensors keys: "{eid}.{w1|w2|w3|gate_proj|up_proj|down_proj}.{qweight
+    |qzeros|scales|g_idx}" (reference per-expert checkpoint schema)."""
+    from nmvllm_tpu.quantization.gptq import gptq_to_canonical
+    kind_map = {"w1": "gate", "gate_proj": "gate", "w3": "up",
+                "up_proj": "up", "w2": "down", "down_proj": "down"}
+    e, h, i = moe.num_experts, moe.hidden_size, moe.intermediate_size
+    hf_quant = getattr(model.cfg, "quantization_config", None) or {}
+    if hasattr(hf_quant, "to_dict"):
+        hf_quant = hf_quant.to_dict()
+    bits = int(hf_quant.get("bits", hf_quant.get("w_bit", 4)))
+    group_size = int(hf_quant.get("group_size",
+                                  hf_quant.get("q_group_size", 128)))
+    per = {}
+    for name, arr in tensors.items():
+        eid_s, kind, suffix = name.split(".", 2)
+        per.setdefault((int(eid_s), kind_map[kind]), {})[suffix] = arr
+
+    def canonical(eid, role):
+        t = per[(eid, role)]
+        return gptq_to_canonical(t["qweight"], t["qzeros"], t["scales"],
+                                 t.get("g_idx"), bits, group_size)
+
+    quant = getattr(moe, "quant_experts", False)
+    import jax.numpy as _jnp
+    if quant:
+        from nmvllm_tpu.ops.quant_matmul import requantize_grouped_to_a8p
+        s1 = {k: [] for k in ("qweight", "mult", "scales", "zeros")}
+        s2 = {k: [] for k in ("qweight", "mult", "scales", "zeros")}
+        for eid in range(e):
+            g_qw, g_s, g_z = canonical(eid, "gate")
+            u_qw, u_s, u_z = canonical(eid, "up")
+            qw = _jnp.concatenate([_jnp.asarray(g_qw),
+                                   _jnp.asarray(u_qw)], axis=1)
+            s = _jnp.concatenate([_jnp.asarray(g_s), _jnp.asarray(u_s)],
+                                 axis=1)
+            z = _jnp.concatenate([_jnp.asarray(g_z), _jnp.asarray(u_z)],
+                                 axis=1)
+            for k, v in zip(s1, requantize_grouped_to_a8p(
+                    qw, s, z, group_size=group_size, k=h)):
+                s1[k].append(np.asarray(v))
+            d_qw, d_s, d_z = canonical(eid, "down")
+            for k, v in zip(s2, requantize_grouped_to_a8p(
+                    _jnp.asarray(d_qw), _jnp.asarray(d_s),
+                    _jnp.asarray(d_z), group_size=group_size, k=i)):
+                s2[k].append(np.asarray(v))
+        w1 = {k: np.stack(v) for k, v in s1.items()}
+        w2 = {k: np.stack(v) for k, v in s2.items()}
+    else:
+        # Dequantize to dense f32 (bf16-expert serving).
+        from nmvllm_tpu.ops.quant_matmul import unpack_weights
+        def dense(eid, role, k):
+            qw, s, z = canonical(eid, role)
+            v = np.asarray(unpack_weights(_jnp.asarray(qw), bits,
+                                          group_size, k), np.float32)
+            g = group_size if group_size > 0 else k
+            sr = np.repeat(np.asarray(s, np.float32), g, axis=0)
+            zr = np.repeat(np.asarray(z, np.float32), g, axis=0)
+            return (v - zr) * sr
+        w1 = np.zeros((e, h, 2 * i), np.float32)
+        w2 = np.zeros((e, i, h), np.float32)
+        for eid in range(e):
+            w1[eid, :, :i] = dense(eid, "gate", h)
+            w1[eid, :, i:] = dense(eid, "up", h)
+            w2[eid] = dense(eid, "down", i)
+    if not getattr(moe, "ep", False):
+        from nmvllm_tpu.ops.moe import interleave_w1_for_tp
+        tp = getattr(moe, "tp_size", getattr(model, "tp_size", 1))
+        w1 = interleave_w1_for_tp(w1, tp)
+    path = ("layers", layer_idx, attr)
+    if quant:
+        for k in w1:
+            put(path + ("w1", k), w1[k], cast=False)
+            put(path + ("w2", k), w2[k], cast=False)
+    else:
+        put(path + ("w1",), w1)
+        put(path + ("w2",), w2)
+
+
 def _load_expert_groups(model, params, expert_groups, put):
     """Stack per-expert tensors into (E, ...) arrays. Handles Mixtral
     (block_sparse_moe.experts.E.w{1,3,2}) and Qwen2-MoE / DeepSeek
@@ -508,6 +593,10 @@ def _load_expert_groups(model, params, expert_groups, put):
         attr = parts[3]
         moe = getattr(model.layers[layer_idx], attr)
         e, h, i = moe.num_experts, moe.hidden_size, moe.intermediate_size
+        if any(n.endswith(".qweight") for n in tensors):
+            _stack_quant_experts(model, moe, layer_idx, attr, tensors,
+                                 put)
+            continue
         w1 = np.zeros((e, h, 2 * i), np.float32)
         w2 = np.zeros((e, i, h), np.float32)
         for name, arr in tensors.items():

@@ -39,10 +39,33 @@ class MixtralMoE:
         self.dtype = dtype
         self.gate = Linear(cfg.hidden_size, self.num_experts, bias=False,
                            shard="none", params_dtype=dtype)
+        # Quantized expert stacks (round 5): W4 quant configs route the
+        # experts through packed-INT4 A8P stacks + the grouped W4A8
+        # Pallas kernel (ops/moe_quant.py) — bf16 stacks made 12-layer
+        # Mixtral "INT4" OOM at 34.6 GB (docs/PERF_NOTES.md round 4).
+        # NMVLLM_MOE_INT4=0 opts out (bf16 experts).
+        self.quant_experts = False
+        from nmvllm_tpu.quantization.wNa16 import WNA16LinearMethod
+        m = method_factory(f"model.layers.{layer_idx}.experts")
+        if (isinstance(m, WNA16LinearMethod) and m.bits == 4
+                and (m.group_size or 0) > 0 and m.group_size % 8 == 0
+                and self.hidden_size % m.group_size == 0
+                and self.intermediate_size % m.group_size == 0):
+            import os
+            if os.getenv("NMVLLM_MOE_INT4", "1") not in ("0", "false"):
+                self.quant_experts = True
+                self.expert_group = m.group_size
 
     def init(self, rng):
         k1, k2, k3 = jax.random.split(rng, 3)
         e, h, i = self.num_experts, self.hidden_size, self.intermediate_size
+        if self.quant_experts:
+            from nmvllm_tpu.ops.moe_quant import random_a8p_stack
+            return {"gate": self.gate.init(k3),
+                    "w1": random_a8p_stack(k1, e, h, 2 * i,
+                                           self.expert_group),
+                    "w2": random_a8p_stack(k2, e, i, h,
+                                           self.expert_group)}
         scale = h**-0.5
         w1 = jax.random.normal(k1, (e, h, 2 * i), jnp.float32) * scale
         w2 = jax.random.normal(k2, (e, i, h), jnp.float32) * (i**-0.5)
@@ -50,15 +73,9 @@ class MixtralMoE:
                 "w1": w1.astype(self.dtype), "w2": w2.astype(self.dtype)}
 
     def specs(self):
-        if self.ep:
-            # First-class EP: experts sharded over tp (full intermediate
-            # width per expert; ops/moe.py fused_moe_ep).
-            return {"gate": self.gate.specs(),
-                    "w1": P(TP_AXIS, None, None),
-                    "w2": P(TP_AXIS, None, None)}
-        # Intermediate dim sharded over tp (reference TP-only expert shard).
-        return {"gate": self.gate.specs(),
-                "w1": P(None, None, TP_AXIS), "w2": P(None, TP_AXIS, None)}
+        from nmvllm_tpu.ops.moe import moe_expert_specs
+        w1s, w2s = moe_expert_specs(self.ep, quant=self.quant_experts)
+        return {"gate": self.gate.specs(), "w1": w1s, "w2": w2s}
 
     def __call__(self, params, x):
         from nmvllm_tpu.ops.moe import moe_apply

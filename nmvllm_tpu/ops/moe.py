@@ -53,10 +53,54 @@ def grouped_topk(gate_logits: jax.Array, top_k: int, num_expert_group: int,
     return weights, ids.astype(jnp.int32)
 
 
+def _num_experts(w) -> int:
+    """Leading expert-dim size; works for bf16 stacks and A8P dicts."""
+    return (w["qweight"] if isinstance(w, dict) else w).shape[0]
+
+
+def _apply_moe_act(h1, activation):
+    a, b = jnp.split(h1, 2, axis=-1)
+    if activation == "silu":
+        return jax.nn.silu(a) * b
+    if activation.startswith("gelu"):
+        return jax.nn.gelu(a, approximate=True) * b
+    raise ValueError(f"Unsupported MoE activation {activation}")
+
+
+def _expert_gemms(x_sorted, w1, w2, group_sizes, dtype, activation):
+    """Both expert GEMMs over expert-sorted rows: bf16 stacks run XLA's
+    ragged_dot; quantized stacks (dicts of A8P arrays — round 5) run the
+    Pallas grouped W4A8 kernel so experts stream packed INT4 from HBM
+    (the bf16 stacks OOMed 12-layer Mixtral INT4 at 34.6 GB,
+    docs/PERF_NOTES.md round 4)."""
+    from nmvllm_tpu.ops.moe_quant import is_quant_stack, ragged_quant_dot_a8p
+    if is_quant_stack(w1):
+        # group_size is implied by the array shapes (K // num_groups) —
+        # a static int in the params pytree would not survive jit.
+        g1 = (w1["qweight"].shape[1] * 8) // w1["mult"].shape[1]
+        g2 = (w2["qweight"].shape[1] * 8) // w2["mult"].shape[1]
+        h1 = ragged_quant_dot_a8p(x_sorted, w1, group_sizes,
+                                  group_size=g1).astype(jnp.float32)
+        inter = _apply_moe_act(h1, activation)
+        out = ragged_quant_dot_a8p(inter.astype(dtype), w2, group_sizes,
+                                   group_size=g2)
+        return h1, out
+    # HIGHEST precision for f32 (true-f32 grouped matmul); DEFAULT for
+    # bf16 (Mosaic's ragged_dot lowering rejects bf16+HIGHEST).
+    prec = (jax.lax.Precision.HIGHEST if x_sorted.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    h1 = jax.lax.ragged_dot(x_sorted, w1, group_sizes, precision=prec)
+    inter = _apply_moe_act(h1, activation)
+    out = jax.lax.ragged_dot(inter.astype(dtype), w2, group_sizes,
+                             precision=prec)
+    return h1, out
+
+
 def fused_moe(
     x: jax.Array,            # (T, H) tokens
-    w1: jax.Array,           # (E, H, 2I) gate+up stacked per expert
-    w2: jax.Array,           # (E, I, H) down per expert
+    w1: jax.Array,           # (E, H, 2I) gate+up stacked per expert —
+                             #   or a dict of stacked A8P arrays
+    w2: jax.Array,           # (E, I, H) down per expert (or A8P dict)
     gate_logits: jax.Array,  # (T, E)
     top_k: int,
     *,
@@ -70,7 +114,7 @@ def fused_moe(
     Pass ``topk_weights``/``topk_ids`` to override the default softmax
     top-k routing (e.g. DeepSeek-V2 grouped_topk)."""
     t, h = x.shape
-    e = w1.shape[0]
+    e = _num_experts(w1)
     if topk_weights is None or topk_ids is None:
         weights, ids = topk_softmax(gate_logits, top_k, renormalize)
     else:
@@ -82,21 +126,9 @@ def fused_moe(
     x_sorted = x[token_idx]                          # (T*k, H)
     group_sizes = jnp.bincount(flat_ids, length=e)   # (E,)
 
-    # HIGHEST precision for f32 (true-f32 grouped matmul); DEFAULT for
-    # bf16 (Mosaic's ragged_dot lowering rejects bf16+HIGHEST).
-    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
-    h1 = jax.lax.ragged_dot(x_sorted, w1, group_sizes,
-                            precision=prec)  # (T*k, 2I)
-    a, b = jnp.split(h1, 2, axis=-1)
-    if activation == "silu":
-        inter = jax.nn.silu(a) * b
-    elif activation.startswith("gelu"):
-        inter = jax.nn.gelu(a, approximate=True) * b
-    else:
-        raise ValueError(f"Unsupported MoE activation {activation}")
-    out_sorted = jax.lax.ragged_dot(inter.astype(x.dtype), w2, group_sizes,
-                                    precision=prec)
+    h1, out_sorted = _expert_gemms(x_sorted, w1, w2, group_sizes, x.dtype,
+                                   activation)
+    del h1
 
     # Unsort and apply routing weights; scatter-add rows back per token.
     w_sorted = weights.reshape(-1)[order]
@@ -135,7 +167,7 @@ def fused_moe_ep(
     Call INSIDE shard_map. Returns the PARTIAL local contribution — the
     caller must psum over ``axis_name`` (matching the TP path's contract).
     """
-    e_local = w1_local.shape[0]
+    e_local = _num_experts(w1_local)
     rank = jax.lax.axis_index(axis_name)
     lo = rank * e_local
     if topk_weights is None or topk_ids is None:
@@ -185,7 +217,7 @@ def fused_moe_ep_a2a(
     Call INSIDE shard_map. Requires T % ep_size == 0 (engine batches are
     padded to multiples of 8) and balanced expert ownership.
     """
-    e_local = w1_local.shape[0]
+    e_local = _num_experts(w1_local)
     t, h = x.shape
     ep = ep_size
     if t % ep != 0:
@@ -235,18 +267,8 @@ def fused_moe_ep_a2a(
     rows2 = recv_rows[order2]
     ids2 = ids2_flat[order2]
     group_sizes = jnp.bincount(ids2, length=e_local)
-    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
-    h1 = jax.lax.ragged_dot(rows2, w1_local, group_sizes, precision=prec)
-    a, b = jnp.split(h1, 2, axis=-1)
-    if activation == "silu":
-        inter = jax.nn.silu(a) * b
-    elif activation.startswith("gelu"):
-        inter = jax.nn.gelu(a, approximate=True) * b
-    else:
-        raise ValueError(f"Unsupported MoE activation {activation}")
-    out2 = jax.lax.ragged_dot(inter.astype(x.dtype), w2_local, group_sizes,
-                              precision=prec)
+    _, out2 = _expert_gemms(rows2, w1_local, w2_local, group_sizes,
+                            x.dtype, activation)
 
     # Undo the expert sort (padding rows may hold ragged_dot garbage —
     # their slots are never read back by any sender) and return chunks
@@ -277,7 +299,12 @@ def interleave_w1_for_tp(w1, tp: int):
     """
     if tp <= 1:
         return w1
-    e, h, i2 = w1.shape
+    if isinstance(w1, dict):
+        # A8P stacks: every array has the gate|up dim LAST — interleave
+        # each identically (columns are independent in the packed
+        # layout, so this is exact).
+        return {k: interleave_w1_for_tp(v, tp) for k, v in w1.items()}
+    i2 = w1.shape[-1]
     i = i2 // 2
     assert i % tp == 0, (i, tp)
     per = i // tp
@@ -302,14 +329,28 @@ def moe_ep_enabled(num_experts: int, tp_size: int) -> bool:
     return True
 
 
-def moe_expert_specs(ep: bool):
-    """(w1_spec, w2_spec) for the stacked expert tensors."""
+def moe_expert_specs(ep: bool, quant: bool = False):
+    """(w1_spec, w2_spec) for the stacked expert tensors. With
+    ``quant`` (A8P dict stacks), returns dicts of per-array specs: EP
+    shards the expert dim of every array; TP shards the OUTPUT dim
+    (last) of w1 arrays and the K dim of w2's qweight/mult/zeros
+    (scales stay replicated for row-parallel — partial sums carry full
+    per-channel scales)."""
     from jax.sharding import PartitionSpec as P
 
     from nmvllm_tpu.parallel.mesh import TP_AXIS
+    if not quant:
+        if ep:
+            return P(TP_AXIS, None, None), P(TP_AXIS, None, None)
+        return P(None, None, TP_AXIS), P(None, TP_AXIS, None)
+    keys = ("qweight", "mult", "scales", "zeros")
     if ep:
-        return P(TP_AXIS, None, None), P(TP_AXIS, None, None)
-    return P(None, None, TP_AXIS), P(None, TP_AXIS, None)
+        espec = P(TP_AXIS, None, None)
+        return ({k: espec for k in keys}, {k: espec for k in keys})
+    w1s = {k: P(None, None, TP_AXIS) for k in keys}
+    w2s = {k: P(None, TP_AXIS, None) for k in keys}
+    w2s["scales"] = P()
+    return w1s, w2s
 
 
 def moe_apply(x, w1, w2, gate_logits, top_k, *, ep: bool, axis_name: str,

@@ -1404,6 +1404,7 @@ def quant_matmul_a8p(
     m, k = x.shape
     n = qweight.shape[1]
     g = _w4_group(group_size, k)
+    x_orig, prologue_orig = x, prologue
     if prologue is not None:
         x = apply_prologue_jnp(prologue, x, aux, eps)
     g_pad = round_up(k // g, 128)
@@ -1414,6 +1415,16 @@ def quant_matmul_a8p(
             y = (y.astype(jnp.float32) +
                  epilogue_add.astype(jnp.float32)).astype(x.dtype)
         return y
+    import os as _os
+    if (block_k <= 0
+            and _os.getenv("NMVLLM_A8_INQ", "1") not in ("0", "false")):
+        # In-kernel prologue + quantize (removes the XLA absmax/round
+        # chain from the critical path); the prologue was already
+        # consumed above when routed here, so pass the ORIGINAL one.
+        return _quant_matmul_a8p_inq(
+            x_orig, qweight, mult, s_chan, zms, group_size=g,
+            block_m=block_m, block_n=block_n, prologue=prologue_orig,
+            aux=aux, eps=eps, epilogue_add=epilogue_add)
     xq, xg, s_x = _quantize_acts_a8p(x, g, g_pad)
 
     bm = min(block_m if block_m > 0 else round_up(m, 32), 256)
@@ -1492,3 +1503,165 @@ def quant_matmul_a8p(
     )(xq, xg, s_x, *res_ops, qweight, mult, zms_p, s_chan)
     y = (acc[:m]).astype(x.dtype)
     return y
+
+
+def _w4a8p_inq_kernel(x_ref, aux_ref, *refs, group_size: int, k: int,
+                      prologue, eps: float, has_res: bool = False):
+    """A8P kernel with IN-KERNEL activation prologue + int8 quantize.
+
+    The XLA-side quantize chain (absmax reduce + round + astype + group
+    sums) sits on the decode critical path once per GEMM call; hoisting
+    it into the kernel at n-step 0 (the proven pattern of
+    _w4_paired_prologue_kernel — computed ONCE into scratches, reused
+    across the n grid) removes four serial reduces per layer. Requires
+    bk == K (full rows for rmsnorm variance / row absmax).
+
+    prologue: None (quantize only) | "rmsnorm" | "silu_mul" | "gelu_mul".
+    """
+    if has_res:
+        res_ref, w_ref, m_ref, zms_ref, sc_ref, o_ref, deq_ref, \
+            x8s_ref, xgs_ref, axs_ref = refs
+    else:
+        w_ref, m_ref, zms_ref, sc_ref, o_ref, deq_ref, \
+            x8s_ref, xgs_ref, axs_ref = refs
+        res_ref = None
+    g = group_size
+    gpb = k // g
+    wpg = g // 8
+    half = g // 2
+    g_pad = xgs_ref.shape[1]
+    mask = jnp.int32(0x0F0F0F0F)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        if prologue == "rmsnorm":
+            var = jnp.mean(xf * xf, axis=1, keepdims=True)
+            xf = xf * jax.lax.rsqrt(var + eps) * \
+                aux_ref[:].astype(jnp.float32)
+        elif prologue == "silu_mul":
+            xf = xf * jax.lax.logistic(xf) * aux_ref[:].astype(jnp.float32)
+        elif prologue == "gelu_mul":
+            xf = jax.nn.gelu(xf, approximate=True) * \
+                aux_ref[:].astype(jnp.float32)
+        ax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                         1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / ax), -127, 127)
+        x8s_ref[:] = xq.astype(jnp.int8)
+        bm = xq.shape[0]
+        xg = jnp.sum(xq.reshape(bm, gpb, g), axis=-1)
+        if g_pad != gpb:
+            xg = jnp.pad(xg, ((0, 0), (0, g_pad - gpb)))
+        xgs_ref[:] = xg
+        axs_ref[:] = ax
+
+    sbit = jnp.int32(-0x7F7F7F80)   # 0x80808080 as int32
+
+    def per_group(gi, _):
+        w = w_ref[pl.ds(pl.multiple_of(gi * wpg, wpg), wpg), :]
+        mg = m_ref[pl.ds(gi, 1), :]
+        cg = sbit - mg * jnp.int32(0x08080808)
+        lo = ((w & mask) * mg + cg) ^ sbit
+        hi = ((jax.lax.shift_right_logical(w, jnp.int32(4)) & mask) * mg
+              + cg) ^ sbit
+        deq_ref[pl.ds(pl.multiple_of(gi * g, half), half), :] = \
+            pltpu.bitcast(lo, jnp.int8)
+        deq_ref[pl.ds(pl.multiple_of(gi * g + half, half), half), :] = \
+            pltpu.bitcast(hi, jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, gpb, per_group, 0, unroll=False)
+    acc = jnp.dot(x8s_ref[:], deq_ref[:],
+                  preferred_element_type=jnp.int32)
+    corr = jnp.dot(xgs_ref[:], zms_ref[:],
+                   preferred_element_type=jnp.float32)
+    out = (acc.astype(jnp.float32) - corr) * \
+        sc_ref[0, :].astype(jnp.float32) * axs_ref[:, :1]
+    if res_ref is not None:
+        out = out + res_ref[:].astype(jnp.float32)
+    o_ref[:] = out
+
+
+def _quant_matmul_a8p_inq(x, qweight, mult, s_chan, zms, *, group_size,
+                          block_m, block_n, prologue, aux, eps,
+                          epilogue_add):
+    """Full-depth (bk == K) A8P call with the in-kernel quantize
+    prologue. Caller guarantees the VMEM estimate fits."""
+    m, k = x.shape
+    n = qweight.shape[1]
+    g = _w4_group(group_size, k)
+    gpb = k // g
+    g_pad = round_up(gpb, 128)
+    bm = min(block_m if block_m > 0 else round_up(m, 32), 256)
+    bm = min(bm, round_up(m, 32))
+    bn = min(block_n, n)
+    while n % bn != 0:
+        bn //= 2
+    m_pad = round_up(m, bm)
+    xp = jnp.pad(x, ((0, m_pad - m), (0, 0))) if m_pad != m else x
+    if prologue == "rmsnorm":
+        aux_in = aux.reshape(1, k).astype(jnp.float32)
+        aux_spec = pl.BlockSpec((1, k), lambda i, j, kk: (0, 0),
+                                memory_space=pltpu.VMEM)
+    elif prologue in ("silu_mul", "gelu_mul"):
+        aux_in = aux
+        if m_pad != m:
+            aux_in = jnp.pad(aux_in, ((0, m_pad - m), (0, 0)))
+        aux_spec = pl.BlockSpec((bm, k), lambda i, j, kk: (i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        # Quantize-only: a zero-size aux would change the operand list;
+        # pass the norm-style dummy (never read).
+        aux_in = jnp.zeros((1, k), jnp.float32)
+        aux_spec = pl.BlockSpec((1, k), lambda i, j, kk: (0, 0),
+                                memory_space=pltpu.VMEM)
+    zms_p = zms
+    if g_pad != gpb:
+        zms_p = jnp.pad(zms, ((0, g_pad - gpb), (0, 0)))
+    has_res = epilogue_add is not None
+    res_ops, res_specs = (), []
+    if has_res:
+        res = epilogue_add
+        if m_pad != m:
+            res = jnp.pad(res, ((0, m_pad - m), (0, 0)))
+        res_ops = (res,)
+        res_specs = [pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                                  memory_space=pltpu.VMEM)]
+    kernel = functools.partial(_w4a8p_inq_kernel, group_size=g, k=k,
+                               prologue=prologue, eps=float(eps),
+                               has_res=has_res)
+    grid = (m_pad // bm, n // bn, 1)
+    acc = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            aux_spec,
+        ] + res_specs + [
+            pl.BlockSpec((k // 8, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_pad, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k, bn), jnp.int8),
+                        pltpu.VMEM((bm, k), jnp.int8),
+                        pltpu.VMEM((bm, g_pad), jnp.float32),
+                        pltpu.VMEM((bm, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=(m_pad * k * x.dtype.itemsize + k * n // 2 +
+                            (k // g) * n * 8 + m_pad * n * 4),
+            transcendentals=m_pad * k if prologue else 0),
+        interpret=pallas_interpret(),
+    )(xp, aux_in, *res_ops, qweight, mult, zms_p, s_chan)
+    return acc[:m].astype(x.dtype)

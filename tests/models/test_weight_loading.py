@@ -273,11 +273,34 @@ def test_gptq_checkpoint_a8_expansion(tmp_path, monkeypatch):
             np.ones((h,), np.float32)
     save_file(tensors, str(tmp_path / "model.safetensors"))
 
+    # NMVLLM_INT4_A8=1 now selects the round-5 "packed" mode: qweight
+    # stays (K/8, N) int32 in the A8P byte-lane layout with mult/
+    # channel-scale/zms sidecars; dequant must track the checkpoint
+    # values to requantization-grid error.
     monkeypatch.setenv("NMVLLM_INT4_A8", "1")
     from nmvllm_tpu.parallel.mesh import build_mesh
     model, params = get_model(_engine_config(tmp_path, quantization="gptq"),
                               build_mesh(1, 1))
     layer = params["layers"][0]["mlp"]["gate_proj"]
-    w8 = np.asarray(layer["qweight"])
-    assert w8.dtype == np.int8 and w8.shape == (h, cfg.intermediate_size)
-    np.testing.assert_array_equal(w8, expected["w_int"].astype(np.int8) - 8)
+    qw = np.asarray(layer["qweight"])
+    assert qw.dtype == np.int32 and qw.shape == (h // 8,
+                                                 cfg.intermediate_size)
+    assert set(layer) >= {"qweight", "mult", "scales", "zeros"}
+    from nmvllm_tpu.ops.quant_matmul import unpack_weights_a8p
+    import jax.numpy as jnp
+    v2 = np.asarray(unpack_weights_a8p(jnp.asarray(qw), 128, h))
+    mult = np.asarray(layer["mult"], np.float32)
+    s_chan = np.asarray(layer["scales"], np.float32)
+    zms = np.asarray(layer["zeros"], np.float32)
+    deq = ((v2 - 8.0) * np.repeat(mult, 128, 0) -
+           np.repeat(zms, 128, 0)) * s_chan
+    # Ground truth: the checkpoint's own dequant (z = 8, group scales).
+    # make_gptq writes qzeros = 7 (stored zero - 1 convention -> z = 8).
+    scales_full = None
+    for name, arr in tensors.items():
+        if name.endswith("mlp.gate_proj.scales") and ".0." in name:
+            scales_full = arr.astype(np.float32)
+    truth = (expected["w_int"] - 8.0) * np.repeat(scales_full, 128, 0)
+    err = np.abs(deq - truth).max()
+    step = np.repeat(scales_full, 128, 0).max()
+    assert err <= step, (err, step)  # within one original grid step
