@@ -1339,8 +1339,11 @@ def _w4a8p_kernel(x8_ref, xg_ref, ax_ref, *refs, group_size: int, bk: int,
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
+        # HIGHEST: xg entries reach 127*128 and zms ~1e2 — a bf16-pass
+        # corr dot costs ~0.1% of the output scale at K=14336.
         corr = jnp.dot(xg_ref[:], zms_ref[:],
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         out = (acc_ref[:].astype(jnp.float32) - corr) * \
             sc_ref[0, :].astype(jnp.float32) * ax_ref[:, :1]
         if res_ref is not None:
@@ -1421,10 +1424,14 @@ def quant_matmul_a8p(
         # In-kernel prologue + quantize (removes the XLA absmax/round
         # chain from the critical path); the prologue was already
         # consumed above when routed here, so pass the ORIGINAL one.
-        return _quant_matmul_a8p_inq(
+        # Returns None when the full-depth kernel cannot fit scoped
+        # VMEM (prefill-sized m) — fall through to the k-split path.
+        y = _quant_matmul_a8p_inq(
             x_orig, qweight, mult, s_chan, zms, group_size=g,
             block_m=block_m, block_n=block_n, prologue=prologue_orig,
             aux=aux, eps=eps, epilogue_add=epilogue_add)
+        if y is not None:
+            return y
     xq, xg, s_x = _quantize_acts_a8p(x, g, g_pad)
 
     bm = min(block_m if block_m > 0 else round_up(m, 32), 256)
@@ -1574,7 +1581,8 @@ def _w4a8p_inq_kernel(x_ref, aux_ref, *refs, group_size: int, k: int,
     acc = jnp.dot(x8s_ref[:], deq_ref[:],
                   preferred_element_type=jnp.int32)
     corr = jnp.dot(xgs_ref[:], zms_ref[:],
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     out = (acc.astype(jnp.float32) - corr) * \
         sc_ref[0, :].astype(jnp.float32) * axs_ref[:, :1]
     if res_ref is not None:
@@ -1597,6 +1605,32 @@ def _quant_matmul_a8p_inq(x, qweight, mult, s_chan, zms, *, group_size,
     bn = min(block_n, n)
     while n % bn != 0:
         bn //= 2
+
+    # Scoped-VMEM fit (the decode benches never hit prefill-sized m:
+    # the first server run OOMed at m=512 x down-proj geometry). Shrink
+    # bn, then bm; if even the minimum doesn't fit, the caller falls
+    # back to the k-split XLA-quantize path (return None).
+    xb = x.dtype.itemsize
+
+    def est(bm_, bn_):
+        v = 2 * bm_ * k * xb + bm_ * k + bm_ * g_pad * 4 + bm_ * 4
+        if prologue in ("silu_mul", "gelu_mul"):
+            v += 2 * bm_ * k * xb
+        else:
+            v += 2 * k * 4
+        v += k * bn_ + 2 * (k // 8) * bn_ * 4 + 2 * gpb * bn_ * 4
+        v += 2 * g_pad * bn_ * 4 + 2 * bn_ * 4 + 2 * bm_ * bn_ * 4
+        if epilogue_add is not None:
+            v += 2 * bm_ * bn_ * 4
+        return v
+
+    _BUDGET = 56 * 1024 * 1024   # vmem_limit_bytes 64M minus headroom
+    while est(bm, bn) > _BUDGET and bn > 256 and n % (bn // 2) == 0:
+        bn //= 2
+    while est(bm, bn) > _BUDGET and bm > 32:
+        bm = max(32, round_up(bm // 2, 32))
+    if est(bm, bn) > _BUDGET:
+        return None
     m_pad = round_up(m, bm)
     xp = jnp.pad(x, ((0, m_pad - m), (0, 0))) if m_pad != m else x
     if prologue == "rmsnorm":

@@ -323,3 +323,31 @@ def test_engine_decode_smoke():
     out = llm.generate(["hardware gate"],
                        SamplingParams(temperature=0.0, max_tokens=8))
     assert len(out[0].outputs[0].token_ids) == 8
+
+
+def test_w4a8_packed_gemm_prefill_shapes():
+    """Prefill-sized m at the real down-proj depth (K=14336): the first
+    server run OOMed scoped VMEM here — the inq kernel must shrink its
+    blocks or fall back to the k-split path."""
+    from nmvllm_tpu.ops.quant_matmul import (
+        quant_matmul_a8p, quant_matmul_a8p_reference,
+        requantize_grouped_to_a8p)
+    k, n, g, m = 14336, 512, 128, 512
+    r = np.random.default_rng(31)
+    x = jnp.asarray(r.standard_normal((m, k)), jnp.bfloat16)
+    aux = jnp.asarray(r.standard_normal((m, k)), jnp.bfloat16)
+    qw, s, z = _mk_w4(31, k, n, g)
+    aqw, mult, sc, zms = requantize_grouped_to_a8p(qw, s, z,
+                                                   group_size=g, k=k)
+    got = quant_matmul_a8p(x, aqw, mult, sc, zms, group_size=g,
+                           prologue="silu_mul", aux=aux)
+    assert not np.isnan(np.asarray(got, np.float32)).any()
+    from nmvllm_tpu.ops.quant_matmul import apply_prologue_jnp
+    xn = apply_prologue_jnp("silu_mul", x, aux, 1e-6)
+    want = quant_matmul_a8p_reference(xn, aqw, mult, sc, zms,
+                                      group_size=g)
+    # The in-kernel prologue quantizes the f32 activation directly
+    # while apply_prologue_jnp rounds through bf16 first — ±1 int8 ulp
+    # per element, ~0.075 rel-to-mean at K=14336 (bit-exact same-path
+    # equivalence is pinned by tests/kernels/test_quant_matmul.py).
+    _close(got, want, tol=0.12)
