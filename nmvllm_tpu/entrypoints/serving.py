@@ -305,8 +305,9 @@ class OpenAIServingChat(OpenAIServing):
                 prev = previous_texts.get(out.index, "")
                 delta_text = out.text[len(prev):]
                 previous_texts[out.index] = out.text
+                new_tok = len(out.token_ids) - completion_tokens
                 completion_tokens = len(out.token_ids)
-                if delta_text or out.finish_reason is not None:
+                if new_tok or delta_text or out.finish_reason is not None:
                     chunk = ChatCompletionStreamResponse(
                         id=request_id, model=request.model,
                         choices=[ChatCompletionResponseStreamChoice(
@@ -517,12 +518,20 @@ class OpenAIServingCompletion(OpenAIServing):
                                  request_id) -> AsyncIterator[str]:
         for i, generator in enumerate(generators):
             previous_texts: Dict[int, str] = {}
+            previous_ntok: Dict[int, int] = {}
             async for output in generator:
                 for out in output.outputs:
                     prev = previous_texts.get(out.index, "")
                     delta = out.text[len(prev):]
                     previous_texts[out.index] = out.text
-                    if delta or out.finish_reason is not None:
+                    new_tok = len(out.token_ids) - previous_ntok.get(
+                        out.index, 0)
+                    previous_ntok[out.index] = len(out.token_ids)
+                    # Stream a chunk per NEW TOKEN even when the text
+                    # delta is empty (partial-UTF8 / empty-piece
+                    # tokens): the reference emits per-token chunks and
+                    # TTFT/ITL measurement depends on the cadence.
+                    if new_tok or delta or out.finish_reason is not None:
                         chunk = CompletionStreamResponse(
                             id=request_id, model=request.model,
                             choices=[CompletionResponseStreamChoice(

@@ -254,7 +254,16 @@ class TPUExecutor:
         block_bytes_per_dev = max(block_bytes // tp, 1)
         total = device_memory_total()
         used = device_memory_used()
-        avail = int(total * cache_config.hbm_utilization) - used
+        # Step-transient allowance: prefill executables reserve ~0.9 MB
+        # of temp per batched token (measured 1.84 GB at 2048 tokens via
+        # AOT memory_analysis, round 5), and several compiled buckets
+        # can be resident at once. Without this reserve the pool sizing
+        # left no room and serving died compiling larger prefill
+        # buckets (HBM OOM at hbm_utilization 0.9 AND 0.62).
+        sched = self.config.scheduler_config
+        batched = getattr(sched, "max_num_batched_tokens", None) or 2048
+        reserve = max(2 << 30, int(1.2e6) * int(batched))
+        avail = int(total * cache_config.hbm_utilization) - used - reserve
         num_dev_blocks = max(avail // block_bytes_per_dev, 0)
         # Data parallelism shards the pool over the data axis: each
         # replica's devices hold only pool/dp pages, so the same
@@ -340,11 +349,42 @@ class TPUExecutor:
                 by_sample[meta.do_sample].append(meta)
             else:
                 singles.append(meta)
-        for group in by_sample.values():
-            if len(group) >= 2:
-                batches.append(group)
+        # Bound each dispatch's PADDED token count: prefill executables
+        # reserve ~0.9 MB of temp per padded token (AOT memory_analysis,
+        # round 5), and b_pad (power of 2) x the length bucket can
+        # overshoot the scheduler's raw-token budget 4x — a 16 x 512
+        # dispatch wanted 7.3 GB of temp and killed serving at any
+        # hbm_utilization.
+        sched = self.config.scheduler_config
+        cap = 2 * max(
+            getattr(sched, "max_num_batched_tokens", None) or 2048, 2048)
+
+        def np2(x):
+            p = 1
+            while p < x:
+                p *= 2
+            return p
+
+        def flush(chunk):
+            if len(chunk) >= 2:
+                batches.append(chunk)
             else:
+                singles.extend(chunk)
+
+        for group in by_sample.values():
+            if len(group) < 2:
                 singles.extend(group)
+                continue
+            chunk: list = []
+            t_max = 0
+            for meta in group:
+                t_meta = self.runner.pad_prefill_len(meta.token_chunk_size)
+                if chunk and np2(len(chunk) + 1) * max(t_max, t_meta) > cap:
+                    flush(chunk)
+                    chunk, t_max = [], 0
+                chunk.append(meta)
+                t_max = max(t_max, t_meta)
+            flush(chunk)
         for group in batches:
             kv, out = self.runner.execute_prefill_batch(group, kv)
             for i, meta in enumerate(group):

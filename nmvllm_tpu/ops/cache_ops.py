@@ -48,7 +48,10 @@ def _write_kernel(slots_ref, k_ref, v_ref, kv_hbm, kv_out, page_buf, sem,
         h, bs, d = page.shape[1], page.shape[2], page.shape[3]
         pos = jax.lax.broadcasted_iota(jnp.int32, (bs, d), 0)
         sel = (pos == off)[None, None, :, :]
-        new = jnp.stack([k_ref[t], v_ref[t]])[:, :, None, :]  # (2,H,1,d)
+        # k/v ride (1, H, d) BLOCKS indexed by the grid step — whole
+        # (T, H, d) VMEM operands blew scoped VMEM at T=8192 (32M > 16M,
+        # round-5 serving diagnostics).
+        new = jnp.stack([k_ref[0], v_ref[0]])[:, :, None, :]  # (2,H,1,d)
         page_buf[:] = jnp.where(sel, jnp.broadcast_to(new, page.shape),
                                 page)
         cp_out = pltpu.make_async_copy(page_buf, kv_out.at[block], sem)
@@ -69,8 +72,10 @@ def _write_fn(shape, dtype_name, kv_dtype_name, t, block_size):
             num_scalar_prefetch=1,
             grid=(t,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, d), lambda ti, slots: (ti, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, d), lambda ti, slots: (ti, 0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),

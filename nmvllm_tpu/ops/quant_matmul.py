@@ -1614,6 +1614,11 @@ def _quant_matmul_a8p_inq(x, qweight, mult, s_chan, zms, *, group_size,
 
     def est(bm_, bn_):
         v = 2 * bm_ * k * xb + bm_ * k + bm_ * g_pad * 4 + bm_ * 4
+        # f32 prologue/quantize stack temporaries: Mosaic materializes
+        # ~2 (bm, K) f32 intermediates for the astype/activation/round
+        # chain (measured 67M actual vs 50M modeled at bm=256, K=14336
+        # — the second server OOM).
+        v += 2 * bm_ * k * 4
         if prologue in ("silu_mul", "gelu_mul"):
             v += 2 * bm_ * k * xb
         else:

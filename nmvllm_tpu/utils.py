@@ -99,7 +99,18 @@ def device_memory_used() -> int:
             return int(stats["bytes_in_use"])
     except Exception:
         pass
-    return 0
+    # Platforms without memory_stats (the axon tunnel reports nothing):
+    # fall back to summing live arrays — without this, KV sizing assumed
+    # an EMPTY device after 6.6 GB of weights loaded and oversized the
+    # pool until the first big prefill compile OOMed HBM (round-5
+    # serving diagnostics).
+    try:
+        tot = 0
+        for a in jax.live_arrays():
+            tot += a.size * a.dtype.itemsize
+        return tot
+    except Exception:
+        return 0
 
 
 def device_memory_total(default: int = 16 * 1024**3) -> int:
