@@ -441,7 +441,7 @@ def hf_nll(model, prompts, answers):
 
 
 def engine_nll(model_dir, prompts, answers, greedy_key=None,
-               **llm_kwargs):
+               env=None, **llm_kwargs):
     """Same metric through the engine's public LLM surface (prompt
     logprobs over prompt+answer), plus greedy agreement against the
     SAME checkpoint's HF greedy continuations (`greedy_key`) — serving
@@ -449,6 +449,10 @@ def engine_nll(model_dir, prompts, answers, greedy_key=None,
     at near-ties. ``llm_kwargs`` selects engine-side compression legs
     (kv_cache_dtype="fp8", sparsity=...)."""
     from nmvllm_tpu import LLM, SamplingParams
+    saved_env = {}
+    for k, v in (env or {}).items():
+        saved_env[k] = os.environ.get(k)
+        os.environ[k] = v
     kwargs = dict(dtype="float32", num_gpu_blocks_override=192,
                   max_num_seqs=8, max_model_len=128)
     kwargs.update(llm_kwargs)
@@ -475,54 +479,92 @@ def engine_nll(model_dir, prompts, answers, greedy_key=None,
             for i in range(min(len(g.outputs[0].token_ids), ANSWER_LEN)))
         greedy_agree = match / (len(prompts) * ANSWER_LEN)
     del llm
+    for k, v in saved_env.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
     return tot / cnt, greedy_agree
 
 
-def full_geometry_leg(workdir):
-    """GPTQ W4A16 at full Llama-3-8B geometry: seeded synthetic weights,
-    HF f32 ground truth on CPU, engine NLL through the production
-    loader + Pallas kernels (8B-scale group counts / K depths /
-    accumulation lengths). Fewer items than the small-geometry matrix —
-    each HF forward is an 8B f32 CPU pass."""
+def full_geometry_leg(workdir, schemes=("gptq", "w4a8", "fp8", "w8a8",
+                                        "sparse24"), n_items=16):
+    """Full Llama-3-8B-geometry certification, multi-scheme (VERDICT r4
+    item 5: the r4 leg was GPTQ-only at N=12 — a real 8B-scale numerics
+    regression in FP8/INT8/2:4 would not have been caught).
+
+    Seeded synthetic weights at 4096/14336 x 32L / vocab 128256. Each
+    scheme scores the SAME fixed answer key: HF f32 ground truth on CPU
+    vs the engine (bf16, production loaders + Pallas kernels). The
+    engine cannot serve the 16 GB bf16 8B model on one chip, so every
+    leg compares quantized-HF vs quantized-engine (same weights both
+    sides — the reference's per-model lm-eval ground-truth structure).
+    w4a8 is engine-only: the a8 serving mode scored against the GPTQ
+    HF ground truth at a widened tolerance (approximate mode)."""
     global HIDDEN, INTER, LAYERS, HEADS, KV_HEADS, VOCAB
     saved = (HIDDEN, INTER, LAYERS, HEADS, KV_HEADS, VOCAB)
     HIDDEN, INTER, LAYERS, HEADS, KV_HEADS, VOCAB = (
         FULL_GEOM["HIDDEN"], FULL_GEOM["INTER"], FULL_GEOM["LAYERS"],
         FULL_GEOM["HEADS"], FULL_GEOM["KV_HEADS"], FULL_GEOM["VOCAB"])
-    n_items = 12
+    import gc
+    import torch
+    legs = {}
     try:
-        import torch
         model, cfg = build_hf_model()
-        gptq_dir = os.path.join(workdir, "gptq-8b-geom")
-        qmodel = write_gptq_checkpoint(model, cfg, gptq_dir)
-        del model
         rng = np.random.default_rng(SEED + 1)
-        prompts = rng.integers(4, 32000, (n_items, PROMPT_LEN)).tolist()
+        prompts = rng.integers(4, min(32000, VOCAB - 1),
+                               (n_items, PROMPT_LEN)).tolist()
+        # Scheme-independent answer key from the BASE model.
         answers = []
         with torch.no_grad():
-            for p in prompts:
-                out = qmodel.generate(torch.tensor([p]),
-                                      max_new_tokens=ANSWER_LEN,
-                                      do_sample=False)
+            for p_ in prompts:
+                out = model.generate(torch.tensor([p_]),
+                                     max_new_tokens=ANSWER_LEN,
+                                     do_sample=False)
                 answers.append(out[0, PROMPT_LEN:].tolist())
-        nll_hf = hf_nll(qmodel, prompts, answers)
-        del qmodel
-        import gc
-        gc.collect()
-        nll_eng, _ = engine_nll(gptq_dir, prompts, answers,
-                                dtype="bfloat16",
-                                num_gpu_blocks_override=64)
-        rel = abs(nll_eng - nll_hf) / max(abs(nll_hf), 1e-9)
-        # bf16 serving vs f32 HF at 8B depth: certify at 2x the small-
-        # geometry rtol (the reference's GSM8K rtol compares equal-dtype
-        # runs; here the engine intentionally serves bf16).
+
+        def leg(scheme, writer, subdir, tol, engine_kw=None, env=None,
+                reuse_hf=None):
+            d = os.path.join(workdir, subdir)
+            if reuse_hf is None:
+                qm = writer(model, cfg, d)
+                nll_hf = hf_nll(qm, prompts, answers)
+                del qm
+                gc.collect()
+            else:
+                nll_hf = reuse_hf
+            nll_eng, _ = engine_nll(d, prompts, answers, dtype="bfloat16",
+                                    num_gpu_blocks_override=64, env=env,
+                                    **(engine_kw or {}))
+            r = abs(nll_eng - nll_hf) / max(abs(nll_hf), 1e-9)
+            legs[scheme] = {"nll_hf_f32": round(nll_hf, 6),
+                            "nll_engine_bf16": round(nll_eng, 6),
+                            "rel_err": round(r, 6), "tol": tol,
+                            "pass": r <= tol}
+            return nll_hf
+
+        # bf16 serving vs f32 HF at 8B depth: 2x rtol (the reference's
+        # rtol compares equal-dtype runs; the engine serves bf16).
+        gptq_hf = None
+        if "gptq" in schemes or "w4a8" in schemes:
+            gptq_hf = leg("gptq", write_gptq_checkpoint, "gptq-8b-geom",
+                          2 * RTOL)
+        if "w4a8" in schemes:
+            leg("w4a8", None, "gptq-8b-geom", 4 * RTOL,
+                env={"NMVLLM_INT4_A8": "packed"}, reuse_hf=gptq_hf)
+        if "fp8" in schemes:
+            leg("fp8", write_fp8_checkpoint, "fp8-8b-geom", 2 * RTOL)
+        if "w8a8" in schemes:
+            leg("w8a8", write_w8a8_checkpoint, "w8a8-8b-geom", 2 * RTOL)
+        if "sparse24" in schemes:
+            leg("sparse24", write_sparse24_checkpoint, "sp24-8b-geom",
+                2 * RTOL,
+                engine_kw={"sparsity": "semi_structured_sparse_w16a16"})
         return {
             "geometry": "llama-3-8b (4096/14336 x 32L, vocab 128256)",
-            "items": n_items,
-            "nll_int4_hf_f32": round(nll_hf, 6),
-            "nll_int4_engine_bf16": round(nll_eng, 6),
-            "rel_err": round(rel, 6),
-            "pass": rel <= 2 * RTOL,
+            "items_per_scheme": n_items,
+            "schemes": legs,
+            "pass": all(v["pass"] for v in legs.values()),
         }
     finally:
         HIDDEN, INTER, LAYERS, HEADS, KV_HEADS, VOCAB = saved
@@ -554,7 +596,7 @@ def main():
                       "accuracy_certification_rehearsal[gptq-w4a16-llama]"}
         result["full_geometry_leg"] = leg
         result["checks"] = result.get("checks", {})
-        result["checks"]["full_geometry_int4_matches_hf"] = leg["pass"]
+        result["checks"]["full_geometry_all_schemes"] = leg["pass"]
         result["pass"] = all(result["checks"].values())
         print(json.dumps(result))
         with open(args.out, "w") as f:
@@ -611,6 +653,12 @@ def main():
                                   kv_cache_dtype="fp8",
                                   enable_chunked_prefill=True,
                                   max_num_batched_tokens=16)
+    # W4A8 "packed" serving (round 5): same GPTQ checkpoint through the
+    # int8-MXU path — an APPROXIMATE mode (per-token int8 activations +
+    # group scales regridded to m_g * S_n), certified against the INT4
+    # HF ground truth at a widened tolerance.
+    nll_a8_eng, _ = engine_nll(gptq_dir, prompts, answers,
+                               env={"NMVLLM_INT4_A8": "packed"})
 
     def rel(a, b):
         return abs(a - b) / max(abs(b), 1e-9)
@@ -628,6 +676,11 @@ def main():
         "sparse24_engine_matches_hf": rel(nll_sp_eng, nll_sp_hf) <= RTOL,
         "fp8_kv_engine_matches_hf":
             rel(nll_fp8kv_eng, nll_fp8_hf) <= RTOL,
+        # 3x rtol: the a8 path intentionally adds int8-activation +
+        # scale-regrid noise on top of INT4 (reference analogue: QQQ /
+        # W4A8-Marlin requantization).
+        "w4a8_packed_tracks_int4": rel(nll_a8_eng, nll_int4_hf)
+        <= 3 * RTOL,
         # INT4 quality cost through the engine == through HF (abs diff of
         # the deltas, scaled by the fp16 NLL).
         "quant_delta_matches": abs(delta_eng - delta_hf) /
@@ -660,6 +713,7 @@ def main():
         "nll_sparse24_hf": round(nll_sp_hf, 6),
         "nll_sparse24_engine": round(nll_sp_eng, 6),
         "nll_fp8_kv_engine": round(nll_fp8kv_eng, 6),
+        "nll_w4a8_packed_engine": round(nll_a8_eng, 6),
         "greedy_agreement_int4": greedy_agree,
         "checks": checks,
         "pass": all(checks.values()),
@@ -673,7 +727,7 @@ def main():
     if args.full_geometry:
         leg = full_geometry_leg(args.workdir)
         result["full_geometry_leg"] = leg
-        checks["full_geometry_int4_matches_hf"] = leg["pass"]
+        checks["full_geometry_all_schemes"] = leg["pass"]
         result["pass"] = all(checks.values())
     print(json.dumps(result))
     with open(args.out, "w") as f:
