@@ -425,10 +425,13 @@ def main():
                              "(NMVLLM_QUANT_LM_HEAD)")
     args = parser.parse_args()
     if args.a8 is None:
-        args.a8 = False
+        # Round-5 default ON: the packed W4A8 path is certified
+        # (ACCURACY_r05 w4a8 legs) and 1.16x the exact kernel e2e
+        # (docs/PERF_NOTES.md round 5). --no-a8 restores exact dequant.
+        args.a8 = True
     if args.a8:
         import os
-        os.environ["NMVLLM_INT4_A8"] = "1"
+        os.environ["NMVLLM_INT4_A8"] = "packed"
     if args.quant_head:
         import os
         os.environ["NMVLLM_QUANT_LM_HEAD"] = args.quant_head
@@ -448,18 +451,18 @@ def main():
         # int8-stored mode halved the batch to fit).
     elif config == "mixtral":
         # Mixtral-8x7B geometry MoE decode (BASELINE config 5), scaled
-        # to fit one 16 GB chip: 4 of 32 layers. Attention linears run
-        # INT4; the ragged_dot expert stacks are bf16 — the fused-MoE
-        # grouped GEMM does not take the weight-only quant path yet
-        # (surfaced by this bench: 12 INT4-labelled layers OOMed at
-        # 34.6G because experts were full bf16). INT4 expert stacks are
-        # the next-round item. At B>=32 nearly every expert activates
+        # to fit one 16 GB chip: 12 of 32 layers at FULL width, with
+        # attention linears AND expert stacks INT4 (A8P packed stacks +
+        # the grouped W4A8 kernel, round 5 — the r4 bf16-expert config
+        # OOMed at 34.6 GB). At B>=32 nearly every expert activates
         # each step, so the all-weights roofline still applies.
         model_name, quant = "mixtral-8x7b", "gptq"
         batch, ctx, steps = min(args.batch, 32), args.context_len, \
             args.steps
         if layers_override is None:
-            layers_override = 4
+            # Full-depth 12-layer INT4 experts (round 5; the r4 4-layer
+            # bf16-expert proxy OOMed at 12 layers).
+            layers_override = 12
     else:
         model_name, quant = "debug-llama", None
         batch, ctx, steps = 8, 128, args.steps
@@ -550,6 +553,33 @@ def main():
                     raise
     if not args.no_prefill:
         emit_prefill()
+    if (config == "llama3-8b-int4" and args.kv_dtype == "auto"
+            and on_tpu):
+        # fp8-KV capacity record as a SIDE metric (the headline stays
+        # the bf16-KV config whose roofline matches prior rounds): fp8
+        # halves KV bytes so batch roughly doubles — 2675.5 tok/s at
+        # B=128 in the round-5 rehearsal vs 1812.6 at B=72 bf16.
+        try:
+            for b8 in (128, 112, 96):
+                try:
+                    t8, pb8, kvb8 = run_decode_bench(
+                        model_name, quant, b8, ctx, steps,
+                        block_size=args.block_size, kv_dtype="fp8",
+                        num_layers_override=layers_override)
+                    break
+                except Exception as e8:
+                    if "RESOURCE_EXHAUSTED" not in str(e8) or b8 == 96:
+                        raise
+            roof8 = roofline_tokens_per_s(pb8, detect_hbm_gbps(), b8,
+                                          kvb8)
+            print(json.dumps({
+                "metric": f"decode_tokens_per_s_per_chip[{model_name}"
+                          f"+{quant},B={b8},ctx={ctx},kv=fp8]",
+                "value": round(t8, 2), "unit": "tokens/s/chip",
+                "vs_baseline": round(t8 / roof8, 4)}), flush=True)
+        except Exception as e8:
+            print(json.dumps({"metric": "fp8_kv_side_metric_failed",
+                              "error": str(e8)[:300]}), flush=True)
     hbm = detect_hbm_gbps()
     roof = roofline_tokens_per_s(params_bytes, hbm, batch, kv_bytes)
     bw_lo, bw_hi, bw_spread = measure_hbm_bracketed()
