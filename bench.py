@@ -560,7 +560,10 @@ def main():
         # halves KV bytes so batch roughly doubles — 2675.5 tok/s at
         # B=128 in the round-5 rehearsal vs 1812.6 at B=72 bf16.
         try:
-            for b8 in (128, 112, 96):
+            for b8 in (128, 128, 112, 96):
+                # B=128 listed twice: one free retry for transient
+                # tunnel INTERNAL errors (observed: "read body: response
+                # body closed" from the remote-compile service).
                 try:
                     t8, pb8, kvb8 = run_decode_bench(
                         model_name, quant, b8, ctx, steps,
@@ -568,7 +571,9 @@ def main():
                         num_layers_override=layers_override)
                     break
                 except Exception as e8:
-                    if "RESOURCE_EXHAUSTED" not in str(e8) or b8 == 96:
+                    transient = ("INTERNAL" in str(e8)
+                                 or "RESOURCE_EXHAUSTED" in str(e8))
+                    if not transient or b8 == 96:
                         raise
             roof8 = roofline_tokens_per_s(pb8, detect_hbm_gbps(), b8,
                                           kvb8)

@@ -57,6 +57,14 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # down dequant-GEMM, ops/fused_mlp.py) for decode-sized W4 layers.
     # Default ON (+0.9% e2e at 0.1% drift, A/B 2026-08-19); "0" disables.
     "NMVLLM_FUSED_MLP": lambda: os.getenv("NMVLLM_FUSED_MLP", "1") != "0",
+    # One-kernel MLP block on the W4A8 'packed' path
+    # (ops/fused_mlp.py::fused_mlp_a8p). Default OFF: the chunked down
+    # dot loses more MXU efficiency than the saved Pallas call pays
+    # (measured 1.27x the two-call path at m=72 decode geometry,
+    # docs/PERF_NOTES.md round 5b). Kept flag-gated for re-evaluation
+    # at other geometries.
+    "NMVLLM_FUSED_MLP_A8": lambda: os.getenv("NMVLLM_FUSED_MLP_A8",
+                                             "0") != "0",
     # Native (C++) host-runtime hot loops (csrc/host/nm_host.cpp):
     # decode batch assembly + prefix-cache block hashing. "0" disables
     # (pure-Python fallbacks are always available).

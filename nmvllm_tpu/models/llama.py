@@ -333,27 +333,46 @@ class LlamaMLP:
         out["gate_up_proj"] = fused_params
         return out
 
-    def _can_fuse_block(self, norm):
-        """One-kernel MLP block (ops/fused_mlp.py): W4 paired weights,
-        silu/gelu act, rmsnorm folded, no bias/LoRA."""
+    def _fusable_methods(self, norm):
+        """Shared one-kernel-MLP eligibility: W4 weights on BOTH GEMMs,
+        silu/gelu act, rmsnorm available to fold, no bias/LoRA. Returns
+        (gate_up_method, down_method) or None."""
         from nmvllm_tpu import envs
         from nmvllm_tpu.quantization.wNa16 import WNA16LinearMethod
         if not envs.NMVLLM_FUSED_MLP or norm is None:
-            return False
+            return None
         if self._gu_fused is None or self._act_prologue is None:
-            return False
+            return None
         m1, m2 = self._gu_fused.method, self.down_proj.method
         for m in (m1, m2):
             if not (isinstance(m, WNA16LinearMethod) and m.bits == 4
-                    and not m.a8_mode and m.group_size and
-                    m.group_size % 8 == 0):
-                return False
+                    and m.group_size and m.group_size % 8 == 0):
+                return None
         if m1.group_size != m2.group_size:
-            return False
+            return None
         if self._gu_fused.use_bias or self.down_proj.use_bias:
-            return False
+            return None
         from nmvllm_tpu.lora.context import lora_active
-        return not lora_active()
+        if lora_active():
+            return None
+        return m1, m2
+
+    def _can_fuse_block(self, norm):
+        """One-kernel MLP block on the EXACT paired-W4 path
+        (ops/fused_mlp.py::fused_mlp_w4)."""
+        ms = self._fusable_methods(norm)
+        return ms is not None and not ms[0].a8_mode
+
+    def _can_fuse_block_a8p(self, norm):
+        """One-kernel MLP block on the W4A8 'packed' serving path
+        (ops/fused_mlp.py::fused_mlp_a8p). Opt-in: at the m=72 decode
+        geometry the chunked down dot measured SLOWER than the saved
+        Pallas call (docs/PERF_NOTES.md round 5b)."""
+        from nmvllm_tpu import envs
+        if not envs.NMVLLM_FUSED_MLP_A8:
+            return False
+        ms = self._fusable_methods(norm)
+        return ms is not None and ms[0].a8_mode == "packed"
 
     def __call__(self, params, x, *, norm=None, epilogue_add=None):
         """``norm=(weight, eps)`` fuses the preceding RMSNorm into the
@@ -365,6 +384,28 @@ class LlamaMLP:
         m_rows = 1
         for d in x.shape[:-1]:
             m_rows *= d
+        if m_rows <= 256 and self._can_fuse_block_a8p(norm):
+            from nmvllm_tpu.ops.fused_mlp import fused_mlp_a8p
+            gu, dn = params["gate_up_proj"], params["down_proj"]
+            shape = x.shape
+            x2 = x.reshape(-1, shape[-1])
+            y = fused_mlp_a8p(
+                x2, norm[0], gu["qweight"], gu["mult"], gu["scales"],
+                gu["zeros"], dn["qweight"], dn["mult"], dn["scales"],
+                dn["zeros"],
+                group_size=self.down_proj.method.group_size, eps=norm[1],
+                act="silu" if self._act_prologue == "silu_mul" else "gelu")
+            if y is not None:
+                try:
+                    from nmvllm_tpu.parallel.mesh import TP_AXIS
+                    y = jax.lax.psum(y, TP_AXIS)
+                except Exception:
+                    pass  # outside shard_map (unit tests): single shard
+                y = y.astype(x.dtype)
+                if epilogue_add is not None:
+                    y = (y.astype(jnp.float32) + epilogue_add.reshape(
+                        y.shape).astype(jnp.float32)).astype(x.dtype)
+                return y.reshape(*shape[:-1], y.shape[-1])
         if m_rows <= 256 and self._can_fuse_block(norm):
             from nmvllm_tpu.ops.fused_mlp import fused_mlp_w4
             gu, dn = params["gate_up_proj"], params["down_proj"]
