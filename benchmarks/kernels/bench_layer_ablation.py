@@ -239,8 +239,17 @@ def make_run(state, ablation, steps):
 
     x0 = state["x0"]
     try:
-        out = run(params, x0)                       # trace + compile
-        np.asarray(jax.tree.leaves(out)[0])[:1]
+        for attempt in (0, 1, 2):
+            try:
+                out = run(params, x0)               # trace + compile
+                np.asarray(jax.tree.leaves(out)[0])[:1]
+                break
+            except Exception as e:
+                # The tunnel compile service throws transient INTERNAL
+                # ("read body: response body closed") errors; retry.
+                if "INTERNAL" not in str(e) or attempt == 2:
+                    raise
+                time.sleep(5)
     finally:
         restore()
 

@@ -127,7 +127,10 @@ def make_variant(name, t, hq, hkv, d):
             ),
             out_shape=jax.ShapeDtypeStruct((b, hkv, group, t, d), q.dtype),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+                # bk=1024 variants carry a (2048, 1024) f32 score tile:
+                # ~17.4M scoped, over the 16M default.
+                vmem_limit_bytes=48 * 1024 * 1024),
             cost_estimate=pl.CostEstimate(
                 flops=2 * 2 * b * hq * t * t * d // 2,
                 bytes_accessed=(q.size + 2 * k.size) * 2,

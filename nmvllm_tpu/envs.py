@@ -36,6 +36,10 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "NMVLLM_HBM_UTILIZATION": lambda: float(os.getenv("NMVLLM_HBM_UTILIZATION", "0.9")),
     # Host swap space for swapped-out KV blocks, GiB.
     "NMVLLM_SWAP_SPACE_GB": lambda: float(os.getenv("NMVLLM_SWAP_SPACE_GB", "4")),
+    # Multi-host pod health-check timeout, seconds (executor
+    # check_health -> parallel/multihost.py::check_pod_health).
+    "NMVLLM_POD_HEALTH_TIMEOUT_S": lambda: float(
+        os.getenv("NMVLLM_POD_HEALTH_TIMEOUT_S", "30")),
     # Engine iteration watchdog, seconds (async engine). Generous default:
     # a step that hits a fresh bucket pays XLA compilation (minutes on a
     # cold cache), unlike the reference's eager CUDA path (envs.py:15).

@@ -76,6 +76,8 @@ class TPUExecutor:
                 devices=pp_devices,
                 data_parallel_size=parallel.data_parallel_size)
             set_global_mesh(self.mesh)
+            if pp_devices is not None:
+                self._pod_startup_health_check()
             self._maybe_init_compile_cache()
             self.runner = PipelineModelRunner(engine_config, self.mesh)
         else:
@@ -119,6 +121,7 @@ class TPUExecutor:
                 self.mesh = build_pod_mesh(
                     parallel.data_parallel_size,
                     parallel.tensor_parallel_size)
+                self._pod_startup_health_check()
             else:
                 self.mesh = build_mesh(
                     parallel.data_parallel_size,
@@ -528,5 +531,26 @@ class TPUExecutor:
         self.cache_engine.kv_caches = kv
         return [out]
 
+    def _pod_startup_health_check(self) -> None:
+        """Lockstep cross-host liveness barrier at pod-engine
+        construction (every host constructs the engine identically, so
+        all hosts reach this collective together): catches a host that
+        failed to start within NMVLLM_POD_HEALTH_TIMEOUT_S instead of
+        hanging the pod in the first model collective."""
+        from nmvllm_tpu import envs
+        from nmvllm_tpu.parallel.multihost import check_pod_health
+        check_pod_health(float(envs.NMVLLM_POD_HEALTH_TIMEOUT_S))
+
     def check_health(self) -> None:
+        """The in-process SPMD executor is healthy iff the process is
+        alive — deliberately NO cross-host collective here: /health is
+        served by host 0 while the other hosts of a pod sit inside the
+        admissions broadcast (host-replicated scheduling), so a
+        one-sided probe collective would MISMATCH their pending one and
+        wedge a healthy pod. Runtime dead-host detection rides the step
+        collectives themselves: a dead host hangs the step, and the
+        async engine's iteration watchdog (NMVLLM_ENGINE_ITERATION_
+        TIMEOUT_S) turns that into engine-dead -> /health 500. Startup
+        liveness is checked once, in lockstep, at pod-engine
+        construction (check_pod_health below)."""
         return

@@ -102,6 +102,53 @@ def _round_len(n: int) -> int:
     return (n + 255) // 256 * 256
 
 
+def check_pod_health(timeout_s: float = 30.0) -> None:
+    """Cross-host liveness check (the reference's executor health chain,
+    vllm/executor/executor_base.py:99 + ray_gpu_executor health checks).
+
+    JAX collectives simply HANG when a peer process has died, so a
+    naive probe would turn one dead host into a silently wedged pod.
+    This runs a tiny process allgather on a watchdog thread and
+    converts a hang into a descriptive RuntimeError that the engine's
+    dead-propagation path (AsyncEngineDeadError -> /health 500) can
+    surface. After a timeout the pod is NOT recoverable — the stuck
+    collective leaves the distributed runtime wedged — the contract is
+    clean failure, not failover (matches the reference: a dead Ray
+    worker kills the engine).
+
+    Single-host: no-op.
+    """
+    import jax
+    if jax.process_count() == 1:
+        return
+    import threading
+
+    from jax.experimental import multihost_utils
+
+    done = threading.Event()
+    errs = []
+
+    def probe():
+        try:
+            multihost_utils.process_allgather(
+                np.asarray([jax.process_index()], np.int32))
+        except Exception as e:  # pragma: no cover - runtime-dependent
+            errs.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=probe, daemon=True, name="pod-health")
+    t.start()
+    if not done.wait(timeout_s):
+        raise RuntimeError(
+            f"pod health check timed out after {timeout_s:.0f}s: a host "
+            f"is unresponsive (process {jax.process_index()} of "
+            f"{jax.process_count()} waiting in allgather). The pod must "
+            "be restarted.")
+    if errs:
+        raise RuntimeError(f"pod health check failed: {errs[0]!r}")
+
+
 def assert_same_across_hosts(value: Any, what: str = "engine state"):
     """Debug guard for the host-replicated scheduling contract: hashes a
     picklable value and checks every host agrees (the rebuild's answer
