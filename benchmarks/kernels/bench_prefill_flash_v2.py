@@ -149,7 +149,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--t", type=int, default=2048)
     ap.add_argument("--variants", default="ktr,bk1k,ktrbk")
-    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--iters", type=int, default=150)
     ap.add_argument("--rounds", type=int, default=5)
     args = ap.parse_args()
     t, d, hq, hkv = args.t, 128, 32, 8
